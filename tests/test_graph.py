@@ -1,0 +1,85 @@
+"""Graph layer tests: building, execution vs direct op calls, autodiff vs
+finite differences (the reference's MODE_GRAD idiom, tests/test-backend-ops.cpp:732)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import ggml_tpu.ops.core as O
+from ggml_tpu.graph import Context, build_forward, value_and_grad
+
+
+def test_build_and_run_mlp():
+    ctx = Context()
+    x = ctx.new_tensor((4, 16), name="x")
+    w1 = ctx.new_tensor((32, 16), name="w1")
+    b1 = ctx.new_tensor((32,), name="b1")
+    w2 = ctx.new_tensor((8, 32), name="w2")
+    h = ctx.gelu(ctx.add(ctx.mul_mat(w1, x), b1))
+    out = ctx.mul_mat(w2, h)
+    g = build_forward(out)
+    assert g.n_nodes == 4
+    f = g.compile()
+    rng = np.random.default_rng(0)
+    xv = rng.standard_normal((4, 16), dtype=np.float32)
+    w1v = rng.standard_normal((32, 16), dtype=np.float32)
+    b1v = rng.standard_normal(32, dtype=np.float32)
+    w2v = rng.standard_normal((8, 32), dtype=np.float32)
+    (got,) = f(x=xv, w1=w1v, b1=b1v, w2=w2v)
+    want = O.mul_mat(w2v, O.gelu(O.add(O.mul_mat(w1v, xv), b1v)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_graph_topological_order():
+    ctx = Context()
+    a = ctx.new_tensor((4,), name="a")
+    b = ctx.add(a, a)
+    c = ctx.mul(b, b)
+    d = ctx.add(c, b)
+    g = build_forward(d)
+    order = [id(n) for n in g.nodes]
+    assert order.index(id(b)) < order.index(id(c)) < order.index(id(d))
+
+
+def test_value_and_grad_vs_finite_difference():
+    ctx = Context()
+    x = ctx.new_tensor((3, 8), name="x")
+    w = ctx.new_tensor((4, 8), name="w").set_param()
+    labels = ctx.new_tensor((3, 4), name="labels")
+    logits = ctx.mul_mat(w, x)
+    loss = ctx.cross_entropy_loss(logits, labels).set_loss()
+    g = build_forward([loss, logits])
+    run = value_and_grad(g, loss, [w])
+
+    rng = np.random.default_rng(1)
+    xv = rng.standard_normal((3, 8), dtype=np.float32)
+    wv = rng.standard_normal((4, 8), dtype=np.float32)
+    lv = np.eye(4, dtype=np.float32)[rng.integers(0, 4, 3)]
+    loss_val, outs, grads = run({"w": wv}, {"x": xv, "labels": lv})
+    gw = np.asarray(grads["w"])
+
+    # central differences (reference grad_precise idiom)
+    eps = 1e-3
+    fd = np.zeros_like(wv)
+    fn = g.compile()
+    for i in range(4):
+        for j in range(8):
+            wp = wv.copy()
+            wp[i, j] += eps
+            lp = np.asarray(fn(x=xv, w=wp, labels=lv)[0])[0]
+            wm = wv.copy()
+            wm[i, j] -= eps
+            lm = np.asarray(fn(x=xv, w=wm, labels=lv)[0])[0]
+            fd[i, j] = (lp - lm) / (2 * eps)
+    np.testing.assert_allclose(gw, fd, rtol=2e-2, atol=2e-3)
+
+
+def test_graph_print_and_dot(tmp_path):
+    ctx = Context()
+    x = ctx.new_tensor((2, 4), name="x")
+    y = ctx.silu(ctx.rms_norm(x))
+    g = build_forward(y)
+    g.print()
+    p = tmp_path / "g.dot"
+    g.dump_dot(p)
+    txt = p.read_text()
+    assert "digraph" in txt and "rms_norm" in txt
