@@ -1,0 +1,214 @@
+"""Fused dequant x matmul Pallas kernels over planar-repacked weights.
+
+TPU-native replacement for ggml's quantized matmul kernels
+(reference: src/ggml-cpu/ggml-cpu.c:7428 ggml_compute_forward_mul_mat with
+per-type vec_dot, src/ggml-cuda/mmq.cu). Weights live in HBM as integer code
+planes (4-bit packed or int8) plus per-group fp32 scales, K-major (see
+ggml_tpu.quant.planar). Each grid step streams a (bk, bn) code tile into VMEM,
+dequantizes on the VPU (codes -> f32 * sublane-broadcast scales -> bf16), and
+feeds the MXU, accumulating the (M, bn) output tile in fp32 across the K grid
+dimension. HBM traffic is therefore ~bits-per-weight — the same win that makes
+ggml's vec_dot kernels fast on CPU, achieved via layout + fusion rather than
+SIMD intrinsics.
+
+The affine offset term (Q4_1/Q4_K/... minima) is added OUTSIDE the kernel as
+xsum @ offsets — mathematically exact, and XLA fuses this tiny side matmul.
+
+Mosaic tiling constraints shape the design: scale tiles must have sublane
+counts that are multiples of 8 or span the full array, so q4 scales are stored
+plane-major (2, K/2/G, N) and the K tile either satisfies (bk/G) % 8 == 0 or
+covers all of K in one grid step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.planar import PlanarWeight
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.cache
+def _interpret_default() -> bool:
+    return not _on_tpu()
+
+
+def _pick_tile(total: int, candidates: tuple[int, ...], multiple_of: int = 1) -> int:
+    for c in candidates:
+        if c <= total and total % c == 0 and c % multiple_of == 0:
+            return c
+    return total
+
+
+def _pick_k_tile(k: int, g: int) -> int:
+    """K tile: divides k, multiple of g, and scale-rows (bk/g) a multiple of 8
+    (Mosaic sublane granularity) — else fall back to the whole K per step."""
+    for c in (2048, 1536, 1024, 768, 512, 384, 256):
+        if c <= k and k % c == 0 and c % g == 0 and (c // g) % 8 == 0:
+            return c
+    return k
+
+
+def _expand_groups(s, g: int):
+    """(rows, bn) group scales -> (rows*g, bn), broadcasting along sublanes."""
+    r, bn = s.shape
+    return jnp.broadcast_to(s[:, None, :], (r, g, bn)).reshape(r * g, bn)
+
+
+# ---------------------------------------------------------------------------
+# q4 plane: packed nibbles. codes (K/2, N) uint8; element k<K/2 in low nibble,
+# k+K/2 in high nibble of the same byte -> the two halves contract separately.
+# scales (2, K/2/G, N): plane-major, fp32.
+# ---------------------------------------------------------------------------
+
+
+def _q4_kernel(x_lo, x_hi, qp, s_lo, s_hi, out, *, G: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    codes = qp[:].astype(jnp.int32)  # Mosaic: no direct uint8 -> f32 cast
+    lo = (codes & 0xF).astype(jnp.float32)
+    hi = (codes >> 4).astype(jnp.float32)
+    w_lo = (lo * _expand_groups(s_lo[0], G)).astype(jnp.bfloat16)
+    w_hi = (hi * _expand_groups(s_hi[0], G)).astype(jnp.bfloat16)
+    acc = jnp.dot(x_lo[:], w_lo, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(x_hi[:], w_hi, preferred_element_type=jnp.float32)
+    out[:] += acc
+
+
+def _q4_matmul(x, codes, scales, G: int, interpret: bool):
+    m, k = x.shape
+    k2, npad = codes.shape
+    assert k == 2 * k2
+    bn = _pick_tile(npad, (512, 384, 256, 128))
+    bk2 = _pick_k_tile(k2, G)
+    n_ktiles = k2 // bk2
+    grid = (npad // bn, n_ktiles)
+    sg = bk2 // G
+
+    return pl.pallas_call(
+        functools.partial(_q4_kernel, G=G),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, bk2), lambda i, kk: (0, kk + n_ktiles), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk2, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sg, bn), lambda i, kk: (0, kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sg, bn), lambda i, kk: (1, kk, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * npad,
+            bytes_accessed=k2 * npad + scales.nbytes + m * k * 2 + m * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, codes, scales, scales)
+
+
+# ---------------------------------------------------------------------------
+# q8 plane: int8 codes (K, N), scales (K/G, N).
+# ---------------------------------------------------------------------------
+
+
+def _q8_kernel(x, q, s, out, *, G: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    w = (q[:].astype(jnp.int32).astype(jnp.float32) * _expand_groups(s[:], G)).astype(jnp.bfloat16)
+    out[:] += jnp.dot(x[:], w, preferred_element_type=jnp.float32)
+
+
+def _q8_matmul(x, codes, scales, G: int, interpret: bool):
+    m, k = x.shape
+    kk_, npad = codes.shape
+    assert k == kk_
+    bn = _pick_tile(npad, (512, 384, 256, 128))
+    bk = _pick_k_tile(k, G)
+    grid = (npad // bn, k // bk)
+    sg = bk // G
+
+    return pl.pallas_call(
+        functools.partial(_q8_kernel, G=G),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sg, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * npad,
+            bytes_accessed=k * npad + scales.nbytes + m * k * 2 + m * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, codes, scales)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+_M_CHUNK = 512  # cap rows per kernel call to bound VMEM
+
+
+def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
+    """y = x @ W^T with W a planar-repacked quantized weight.
+
+    x: (..., K) float array (computed in bf16 on the MXU, fp32 accumulation).
+    Returns (..., N) in x's dtype.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    batch_shape = x.shape[:-1]
+    k = x.shape[-1]
+    assert k == pw.k, f"K mismatch: x {k} vs weight {pw.k}"
+    xf = x.reshape(-1, k)
+    m = xf.shape[0]
+    xb = xf.astype(jnp.bfloat16)
+
+    codes = jnp.asarray(pw.codes)
+    scales = jnp.asarray(pw.scales)
+
+    def one_chunk(xc):
+        if pw.kind == "q4":
+            y = _q4_matmul(xc, codes, scales, pw.group, interpret)
+        else:
+            y = _q8_matmul(xc, codes, scales, pw.group, interpret)
+        if pw.offsets is not None:
+            xsum = xc.astype(jnp.float32).reshape(xc.shape[0], k // pw.group, pw.group).sum(-1)
+            y = y + xsum @ jnp.asarray(pw.offsets)
+        return y
+
+    if m <= _M_CHUNK:
+        y = one_chunk(xb)
+    else:
+        nchunks = -(-m // _M_CHUNK)
+        mpad = nchunks * _M_CHUNK
+        xp = jnp.pad(xb, ((0, mpad - m), (0, 0))).reshape(nchunks, _M_CHUNK, k)
+        y = jax.lax.map(one_chunk, xp).reshape(mpad, -1)[:m]
+
+    y = y[:, : pw.n]
+    return y.reshape(*batch_shape, pw.n).astype(x.dtype)

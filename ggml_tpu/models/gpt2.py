@@ -57,12 +57,39 @@ def config_from_gguf(g: GGUFFile) -> GPT2Config:
     )
 
 
-def load_params(g: GGUFFile, dtype=jnp.float32) -> dict:
-    """Dequantize-on-load path (correctness baseline). Quantized-in-HBM path
-    lives in ggml_tpu.kernels (weights stay packed)."""
+def load_params(g: GGUFFile, dtype=jnp.float32, keep_quantized: bool = False) -> dict:
+    """Load GGUF tensors.
+
+    keep_quantized=False: dequantize everything to `dtype` (correctness
+    baseline — the analog of gpt-2 f32 models).
+    keep_quantized=True: 2-D quantized matmul weights are repacked to the
+    planar layout and stay packed in HBM, consumed by the Pallas fused
+    dequant-matmul kernels (the analog of ggml computing directly on Q tensors
+    via vec_dot; reference: src/ggml-cpu/ggml-cpu.c:7428). The token embedding
+    is additionally kept dense for get_rows lookups.
+    """
+    from ..quant.planar import planar_types, repack
+
     params: dict[str, Any] = {}
     for name, info in g.tensors.items():
-        params[name] = jnp.asarray(g.to_float32(name), dtype=dtype)
+        is_matmul_weight = (
+            name.endswith(".weight")
+            and len(info.shape) == 2
+            and "norm" not in name
+            and name != "position_embd.weight"
+        )
+        if (
+            keep_quantized
+            and is_matmul_weight
+            and GGMLType(info.ggml_type) in planar_types()
+        ):
+            n, k = info.shape
+            pw = repack(g.tensor_bytes(name), GGMLType(info.ggml_type), (int(n), int(k)))
+            params[name] = pw.to_device()
+            if name == "token_embd.weight":  # dense copy for the row gather
+                params["token_embd.weight@dense"] = jnp.asarray(g.to_float32(name), dtype=dtype)
+        else:
+            params[name] = jnp.asarray(g.to_float32(name), dtype=dtype)
     return params
 
 
@@ -109,7 +136,14 @@ def _layer_norm(x, w, b, eps):
 
 
 def _linear(x, w, b=None):
-    out = jnp.einsum("...k,nk->...n", x, w, precision=jax.lax.Precision.HIGHEST)
+    from ..quant.planar import PlanarWeight
+
+    if isinstance(w, PlanarWeight):
+        from ..kernels.qmatmul import planar_matmul
+
+        out = planar_matmul(x, w)
+    else:
+        out = jnp.einsum("...k,nk->...n", x, w, precision=jax.lax.Precision.HIGHEST)
     if b is not None:
         out = out + b
     return out
@@ -128,7 +162,8 @@ def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len):
     b, t = tokens.shape
     max_seq = cache.shape[-2]
     positions = pos_start[:, None] + jnp.arange(t)[None, :]
-    x = params["token_embd.weight"][tokens] + params["position_embd.weight"][positions]
+    embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
+    x = embd[tokens] + params["position_embd.weight"][positions]
 
     new_cache = cache
     scale = 1.0 / np.sqrt(cfg.head_dim)
@@ -186,10 +221,10 @@ class GPT2:
         self._step = jax.jit(step, donate_argnums=(3,))
 
     @classmethod
-    def from_gguf(cls, path, dtype=jnp.float32, **kw):
+    def from_gguf(cls, path, dtype=jnp.float32, keep_quantized: bool = False, **kw):
         g = GGUFFile(path)
         cfg = config_from_gguf(g)
-        params = load_params(g, dtype)
+        params = load_params(g, dtype, keep_quantized=keep_quantized)
         return cls(params, cfg, **kw)
 
     def new_cache(self, dtype=jnp.float32):

@@ -1,0 +1,14 @@
+"""Training / optimization subsystem — the ggml-opt analog.
+
+Reference: include/ggml-opt.h + src/ggml-opt.cpp (854 LoC): dataset with
+shard-wise shuffle, opt context with loss construction, fused AdamW update,
+epoch/fit loops with loss±stderr / accuracy±binomial-stderr reporting.
+
+TPU-native redesign: jax.grad replaces ggml_build_backward_expand, the AdamW
+step is one donated jitted update (the OPT_STEP_ADAMW fused-op analog), and
+gradient accumulation (opt_period) is a lax.cond inside the step.
+"""
+
+from .dataset import Dataset  # noqa: F401
+from .optimizer import AdamWConfig, Optimizer, LOSS_TYPES  # noqa: F401
+from .fit import Result, epoch, fit  # noqa: F401

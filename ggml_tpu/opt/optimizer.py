@@ -1,0 +1,195 @@
+"""Optimizer context: loss construction + fused AdamW step.
+
+Reference: ggml_opt_init/ggml_opt_eval_graph (src/ggml-opt.cpp:293-673):
+loss types GGML_OPT_LOSS_TYPE_{MEAN,SUM,CROSS_ENTROPY,MEAN_SQUARED_ERROR}
+(include/ggml-opt.h:60-66), pred=argmax and ncorrect=count_equal metric nodes
+(src/ggml-opt.cpp:402-414), AdamW hyperparams with beta^t bias correction
+(src/ggml-opt.cpp:436-438,598-609), gradient accumulation via opt_period
+(src/ggml-opt.cpp:659-673).
+
+TPU redesign: the whole train step — forward, jax.grad backward, grad-accum
+bookkeeping and the AdamW parameter update — is ONE jitted function with all
+state buffers donated, so steady-state training allocates nothing (the analog
+of ggml's zero-malloc graph re-execution + fused OPT_STEP_ADAMW node).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def loss_mean(outputs, labels):
+    return jnp.mean(outputs.astype(jnp.float32))
+
+
+def loss_sum(outputs, labels):
+    return jnp.sum(outputs.astype(jnp.float32))
+
+
+def loss_mse(outputs, labels):
+    d = outputs.astype(jnp.float32) - labels.astype(jnp.float32)
+    return jnp.mean(d * d)
+
+
+def loss_cross_entropy(outputs, labels):
+    """Soft-label cross entropy over the last axis, mean over rows
+    (reference: ggml_cross_entropy_loss semantics used by ggml-opt,
+    src/ggml-opt.cpp:381-386 scales by 1/ndata)."""
+    logp = jax.nn.log_softmax(outputs.astype(jnp.float32), axis=-1)
+    per_row = -jnp.sum(labels.astype(jnp.float32) * logp, axis=-1)
+    return jnp.mean(per_row)
+
+
+LOSS_TYPES: dict[str, Callable] = {
+    "mean": loss_mean,
+    "sum": loss_sum,
+    "mse": loss_mse,
+    "cross_entropy": loss_cross_entropy,
+}
+
+
+@dataclass(frozen=True)
+class AdamWConfig:
+    """reference defaults: ggml_opt_get_default_optimizer_params
+    (src/ggml-opt.cpp:223-235)."""
+
+    alpha: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    wd: float = 0.0
+
+
+class Optimizer:
+    """Functional train/eval step over an arbitrary params pytree.
+
+    model_fn(params, inputs) -> outputs (logits for classification).
+    """
+
+    def __init__(
+        self,
+        model_fn: Callable,
+        params: Any,
+        loss_type: str = "cross_entropy",
+        adamw: AdamWConfig = AdamWConfig(),
+        opt_period: int = 1,
+        classify: bool = True,
+    ):
+        self.model_fn = model_fn
+        self.loss_fn = LOSS_TYPES[loss_type]
+        self.loss_type = loss_type
+        self.cfg = adamw
+        self.opt_period = int(opt_period)
+        self.classify = classify
+        f32 = lambda p: jnp.zeros_like(p, dtype=jnp.float32)
+        # own a private copy: step() donates state buffers to XLA, which would
+        # otherwise invalidate arrays the caller still holds
+        params = jax.tree.map(lambda p: jnp.array(p, copy=True), params)
+        self.state = {
+            "params": params,
+            "m": jax.tree.map(f32, params),
+            "v": jax.tree.map(f32, params),
+            "g_acc": jax.tree.map(f32, params),
+            "t": jnp.zeros((), jnp.int32),  # optimizer step (post-accumulation)
+            "i_acc": jnp.zeros((), jnp.int32),  # position within opt_period
+        }
+        self._train_step = jax.jit(
+            functools.partial(_train_step, self), donate_argnums=(0,), static_argnums=()
+        )
+        self._eval_step = jax.jit(functools.partial(_eval_step, self))
+
+    # -- public API -----------------------------------------------------------
+
+    def step(self, inputs, labels):
+        """One forward/backward (+ parameter update every opt_period calls).
+        Returns {'loss': float, 'ncorrect': int, 'n': int}."""
+        self.state, metrics = self._train_step(self.state, inputs, labels)
+        return metrics
+
+    def eval(self, inputs, labels):
+        return self._eval_step(self.state["params"], inputs, labels)
+
+    @property
+    def params(self):
+        return self.state["params"]
+
+    # serialization hook: full optimizer state (params + momenta + counters),
+    # which the reference leaves to callers (SURVEY.md §5 checkpoint/resume)
+    def state_dict(self):
+        return self.state
+
+    def load_state_dict(self, state):
+        self.state = state
+
+
+def _loss_and_metrics(opt: Optimizer, params, inputs, labels):
+    outputs = opt.model_fn(params, inputs)
+    loss = opt.loss_fn(outputs, labels)
+    if opt.classify and labels is not None and outputs.ndim >= 2:
+        pred = jnp.argmax(outputs, axis=-1)
+        truth = jnp.argmax(labels, axis=-1) if labels.shape == outputs.shape else labels
+        ncorrect = jnp.sum(pred == truth)
+        n = pred.size
+    else:
+        ncorrect = jnp.zeros((), jnp.int32)
+        n = 0
+    return loss, (ncorrect, n)
+
+
+def _train_step(opt: Optimizer, state, inputs, labels):
+    cfg = opt.cfg
+    (loss, (ncorrect, n)), grads = jax.value_and_grad(
+        lambda p: _loss_and_metrics(opt, p, inputs, labels), has_aux=True
+    )(state["params"])
+
+    period = opt.opt_period
+    g_acc = jax.tree.map(
+        lambda a, g: a + g.astype(jnp.float32) / period, state["g_acc"], grads
+    )
+    i_acc = state["i_acc"] + 1
+    do_update = i_acc >= period
+
+    def apply(carry):
+        params, m, v, g_acc, t = carry
+        t = t + 1
+        tf = t.astype(jnp.float32)
+        b1c = 1.0 - jnp.power(cfg.beta1, tf)  # 1 - beta1^t (reference: src/ggml-opt.cpp:598-609)
+        b2c = 1.0 - jnp.power(cfg.beta2, tf)
+        m = jax.tree.map(lambda mm, g: cfg.beta1 * mm + (1 - cfg.beta1) * g, m, g_acc)
+        v = jax.tree.map(lambda vv, g: cfg.beta2 * vv + (1 - cfg.beta2) * g * g, v, g_acc)
+
+        def upd(p, mm, vv):
+            mhat = mm / b1c
+            vhat = vv / b2c
+            step = mhat / (jnp.sqrt(vhat) + cfg.eps) + cfg.wd * p.astype(jnp.float32)
+            return (p.astype(jnp.float32) - cfg.alpha * step).astype(p.dtype)
+
+        params = jax.tree.map(upd, params, m, v)
+        g_acc = jax.tree.map(jnp.zeros_like, g_acc)
+        return params, m, v, g_acc, t
+
+    params, m, v, g_acc, t = jax.lax.cond(
+        do_update,
+        apply,
+        lambda c: c,
+        (state["params"], state["m"], state["v"], g_acc, state["t"]),
+    )
+    new_state = {
+        "params": params,
+        "m": m,
+        "v": v,
+        "g_acc": g_acc,
+        "t": t,
+        "i_acc": jnp.where(do_update, 0, i_acc),
+    }
+    return new_state, {"loss": loss, "ncorrect": ncorrect, "n": n}
+
+
+def _eval_step(opt: Optimizer, params, inputs, labels):
+    loss, (ncorrect, n) = _loss_and_metrics(opt, params, inputs, labels)
+    return {"loss": loss, "ncorrect": ncorrect, "n": n}

@@ -1,0 +1,70 @@
+"""Differential test: Pallas flash attention vs the jnp reference
+(ops.core.flash_attn_ext), the analog of test-backend-ops FLASH_ATTN_EXT cases
+(reference: tests/test-backend-ops.cpp test_flash_attn_ext)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ggml_tpu.ops import core as ops
+from ggml_tpu.kernels.flash_attn import flash_attention
+
+RNG = np.random.default_rng(3)
+
+
+def _nmse(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(((a - b) ** 2).sum() / np.maximum((a * a).sum(), 1e-30))
+
+
+def _make(b, h, h_kv, nq, nkv, d):
+    q = RNG.standard_normal((b, h, nq, d)).astype(np.float32)
+    k = RNG.standard_normal((b, h_kv, nkv, d)).astype(np.float32)
+    v = RNG.standard_normal((b, h_kv, nkv, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def _causal_mask(nq, nkv, offset=0):
+    i = np.arange(nq)[:, None]
+    j = np.arange(nkv)[None, :]
+    m = np.where(j <= i + offset, 0.0, -np.inf).astype(np.float32)
+    return jnp.asarray(m)
+
+
+@pytest.mark.parametrize(
+    "b,h,h_kv,nq,nkv,d,max_bias,softcap",
+    [
+        (1, 4, 4, 128, 256, 64, 0.0, 0.0),
+        (2, 8, 2, 128, 128, 64, 0.0, 0.0),  # GQA
+        (1, 4, 4, 128, 256, 64, 8.0, 0.0),  # ALiBi
+        (1, 4, 4, 128, 256, 64, 0.0, 30.0),  # softcap (gemma-style)
+        (1, 4, 4, 100, 256, 64, 0.0, 0.0),  # ragged n_q -> q padding
+    ],
+)
+def test_flash_attention_vs_reference(b, h, h_kv, nq, nkv, d, max_bias, softcap):
+    q, k, v = _make(b, h, h_kv, nq, nkv, d)
+    mask = _causal_mask(nq, nkv, offset=nkv - nq)
+    scale = 1.0 / np.sqrt(d)
+    ref = ops.flash_attn_ext(q, k, v, mask=mask, scale=scale, max_bias=max_bias, logit_softcap=softcap)
+    out = flash_attention(q, k, v, mask=mask, scale=scale, max_bias=max_bias, logit_softcap=softcap)
+    assert out.shape == ref.shape
+    assert _nmse(ref, out) < 1e-4  # MXU bf16-pass rounding; reference f16 gate is 5e-4
+
+
+def test_flash_attention_no_mask():
+    q, k, v = _make(1, 4, 4, 128, 128, 64)
+    scale = 0.3
+    ref = ops.flash_attn_ext(q, k, v, mask=None, scale=scale)
+    out = flash_attention(q, k, v, mask=None, scale=scale)
+    assert _nmse(ref, out) < 1e-4
+
+
+def test_flash_attention_decode_shape():
+    # nq=1 decode step against a longer KV
+    q, k, v = _make(1, 8, 8, 1, 256, 64)
+    mask = _causal_mask(1, 256, offset=200)  # only first 201 positions visible
+    ref = ops.flash_attn_ext(q, k, v, mask=mask, scale=0.125)
+    out = flash_attention(q, k, v, mask=mask, scale=0.125)
+    assert _nmse(ref, out) < 1e-4

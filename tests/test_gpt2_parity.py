@@ -112,3 +112,44 @@ def test_q8_0_quantized_model_close(tiny_hf_model, tmp_path):
     b = hf_logits.ravel()
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.999, corr
+
+
+def test_keep_quantized_planar_path_matches_dequant(tmp_path):
+    """The Pallas fused dequant-matmul inference path must match the
+    dequantize-on-load path on the SAME quantized weights (bf16 MXU rounding
+    only). Exercises repack + planar_matmul + the dense embedding copy."""
+    cfg = transformers.GPT2Config(
+        vocab_size=512, n_positions=128, n_embd=256, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(11)
+    model = transformers.GPT2LMHeadModel(cfg)
+    model.eval()
+    w = convert_state_dict(model.state_dict(), cfg, GGMLType.Q4_K)
+    path = tmp_path / "tiny_q4k.gguf"
+    w.write(path)
+    g = GGUFFile(path)
+    assert any(t.ggml_type == GGMLType.Q4_K for t in g.tensors.values())
+    mcfg = config_from_gguf(g)
+
+    from ggml_tpu.quant.planar import PlanarWeight
+
+    params_dq = load_params(g)
+    params_q = load_params(g, keep_quantized=True)
+    assert any(isinstance(v, PlanarWeight) for v in params_q.values())
+    assert "token_embd.weight@dense" in params_q
+
+    m_dq = GPT2(params_dq, mcfg, max_seq=32, batch=1)
+    m_q = GPT2(params_q, mcfg, max_seq=32, batch=1)
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, 512, (1, 16)).astype(np.int32)
+    import jax.numpy as jnp
+
+    l_dq, _ = m_dq._step(m_dq.params, jnp.asarray(toks), jnp.zeros((1,), jnp.int32), m_dq.new_cache(), jnp.int32(0))
+    l_q, _ = m_q._step(m_q.params, jnp.asarray(toks), jnp.zeros((1,), jnp.int32), m_q.new_cache(), jnp.int32(0))
+    a = np.asarray(l_dq, np.float64)
+    b = np.asarray(l_q, np.float64)
+    nmse = ((a - b) ** 2).sum() / (a * a).sum()
+    assert nmse < 5e-4, nmse
+    # same argmax predictions on every position
+    assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.9

@@ -1,0 +1,124 @@
+"""Differential tests: planar repack + fused dequant-matmul kernels vs the
+reference dequantizers and a plain fp32 matmul.
+
+Mirrors the reference's backend-op conformance idiom
+(tests/test-backend-ops.cpp MODE_TEST: run the op on the device backend and on
+the CPU reference, gate on NMSE; matmul tolerance 5e-4 at
+tests/test-backend-ops.cpp:1915). Here the "CPU reference" is
+quant.reference dequant + numpy matmul, and the device path is the Pallas
+kernel (interpret mode on the CPU test mesh).
+"""
+
+import numpy as np
+import pytest
+
+from ggml_tpu.dtypes import GGMLType, row_size
+from ggml_tpu.quant import reference as R
+from ggml_tpu.quant.planar import dequant_planar, planar_types, repack
+from ggml_tpu.kernels.qmatmul import planar_matmul
+
+RNG = np.random.default_rng(7)
+
+
+# byte offset of the high byte of each block's fp16 scale: pin it to a small
+# finite exponent so random synthetic blocks decode to finite values
+_SCALE_HI_BYTE = {
+    GGMLType.IQ2_XXS: 1,
+    GGMLType.IQ2_XS: 1,
+    GGMLType.IQ2_S: 1,
+    GGMLType.IQ3_XXS: 1,
+    GGMLType.IQ3_S: 1,
+    GGMLType.IQ1_S: 1,
+    GGMLType.IQ1_M: 55,  # composite f16: high nibble comes from u16 sc[3]
+    GGMLType.IQ4_NL: 1,
+    GGMLType.IQ4_XS: 1,
+}
+
+
+def _random_quantized(ggml_type, n, k):
+    """Quantize random data with the reference quantizer when available, else
+    synthesize valid random blocks (for grid/codebook types with no simple
+    quantizer)."""
+    if ggml_type in R.supported_quant_types():
+        w = (RNG.standard_normal((n, k)) * 0.5).astype(np.float32)
+        raw = R.quantize(w, ggml_type)
+    else:
+        raw = RNG.integers(0, 256, (n * (k // 256), row_size(ggml_type, 256)), dtype=np.uint8)
+        off = _SCALE_HI_BYTE[ggml_type]
+        raw[:, off] = 0x30  # fp16 exponent well inside the finite range
+    return raw.reshape(n, -1)
+
+
+def _nmse(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    denom = (a * a).sum()
+    if denom == 0:
+        return float((b * b).sum())
+    return float(((a - b) ** 2).sum() / denom)
+
+
+PLANAR_TYPES = sorted(planar_types(), key=int)
+
+
+@pytest.mark.parametrize("ggml_type", PLANAR_TYPES, ids=lambda t: t.name)
+def test_planar_repack_matches_reference_dequant(ggml_type):
+    n, k = 16, 512
+    raw = _random_quantized(ggml_type, n, k)
+    w_ref = R.dequantize(raw.reshape(n, -1), ggml_type, n * k).reshape(n, k)
+    if not np.isfinite(w_ref).all():
+        pytest.skip("random bytes decoded to non-finite scales")
+    pw = repack(raw, ggml_type, (n, k))
+    w_planar = dequant_planar(pw)
+    # identical factored products, fp32 re-association only
+    np.testing.assert_allclose(w_planar, w_ref, rtol=1e-5, atol=1e-6)
+
+
+def _matmul_case(ggml_type, m, interpret):
+    import jax.numpy as jnp
+
+    n, k = 256, 512
+    raw = _random_quantized(ggml_type, n, k)
+    w_ref = R.dequantize(raw.reshape(n, -1), ggml_type, n * k).reshape(n, k)
+    if not np.isfinite(w_ref).all():
+        pytest.skip("random bytes decoded to non-finite scales")
+    pw = repack(raw, ggml_type, (n, k))
+    x = (RNG.standard_normal((m, k)) * 0.5).astype(np.float32)
+
+    y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
+    y = planar_matmul(jnp.asarray(x), pw, interpret=interpret)
+    assert y.shape == (m, n)
+    # bf16 mantissa on dequantized weights + activations: gate well under the
+    # reference matmul NMSE tolerance (5e-4, tests/test-backend-ops.cpp:1915)
+    assert _nmse(y_ref, np.asarray(y, np.float64)) < 5e-4
+
+
+@pytest.mark.parametrize("ggml_type", PLANAR_TYPES, ids=lambda t: t.name)
+@pytest.mark.parametrize("m", [1, 7])
+def test_planar_matmul_vs_dense(ggml_type, m):
+    # interpret mode: full dtype conformance without a Mosaic compile per type
+    _matmul_case(ggml_type, m, interpret=True)
+
+
+# One Mosaic-compiled case per distinct kernel variant (plane kind x group):
+# q4/G32 affine (Q4_K), q8/G16 (Q6_K) are the decode-critical paths; Q4_0/Q8_0
+# cover the simple-block layouts.
+@pytest.mark.parametrize(
+    "ggml_type", [GGMLType.Q4_0, GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K], ids=lambda t: t.name
+)
+def test_planar_matmul_compiled(ggml_type):
+    _matmul_case(ggml_type, 1, interpret=None)
+
+
+def test_planar_matmul_batched_and_chunked():
+    import jax.numpy as jnp
+
+    n, k = 128, 256
+    raw = _random_quantized(GGMLType.Q4_0, n, k)
+    w_ref = R.dequantize(raw.reshape(n, -1), GGMLType.Q4_0, n * k).reshape(n, k)
+    pw = repack(raw, GGMLType.Q4_0, (n, k))
+    x = (RNG.standard_normal((2, 600, k)) * 0.5).astype(np.float32)  # forces M-chunking
+    y = planar_matmul(jnp.asarray(x), pw, interpret=True)
+    y_ref = x.reshape(-1, k).astype(np.float64) @ w_ref.T.astype(np.float64)
+    assert y.shape == (2, 600, n)
+    assert _nmse(y_ref, np.asarray(y, np.float64).reshape(-1, n)) < 5e-4
