@@ -51,11 +51,12 @@ def _pick_tile(total: int, candidates: tuple[int, ...], multiple_of: int = 1) ->
     return total
 
 
-def _pick_k_tile(k: int, g: int) -> int:
+def _pick_k_tile(k: int, g: int, max_tile: int = 1024) -> int:
     """K tile: divides k, multiple of g, and scale-rows (bk/g) a multiple of 8
-    (Mosaic sublane granularity) — else fall back to the whole K per step."""
+    (Mosaic sublane granularity) — else fall back to the whole K per step.
+    max_tile bounds VMEM: the kernel holds codes + f32 + bf16 dequant tiles."""
     for c in (2048, 1536, 1024, 768, 512, 384, 256):
-        if c <= k and k % c == 0 and c % g == 0 and (c // g) % 8 == 0:
+        if c <= min(k, max_tile) and k % c == 0 and c % g == 0 and (c // g) % 8 == 0:
             return c
     return k
 
@@ -93,7 +94,7 @@ def _q4_matmul(x, codes, scales, G: int, interpret: bool):
     k2, npad = codes.shape
     assert k == 2 * k2
     bn = _pick_tile(npad, (512, 384, 256, 128))
-    bk2 = _pick_k_tile(k2, G)
+    bk2 = _pick_k_tile(k2, G, max_tile=512)  # two dequant planes live in VMEM
     n_ktiles = k2 // bk2
     grid = (npad // bn, n_ktiles)
     sg = bk2 // G
@@ -141,7 +142,7 @@ def _q8_matmul(x, codes, scales, G: int, interpret: bool):
     kk_, npad = codes.shape
     assert k == kk_
     bn = _pick_tile(npad, (512, 384, 256, 128))
-    bk = _pick_k_tile(k, G)
+    bk = _pick_k_tile(k, G, max_tile=1024)
     grid = (npad // bn, k // bk)
     sg = bk // G
 
@@ -165,6 +166,84 @@ def _q8_matmul(x, codes, scales, G: int, interpret: bool):
         ),
         interpret=interpret,
     )(x, codes, scales)
+
+
+# ---------------------------------------------------------------------------
+# int8 GEMV: decode-path speed of light.
+#
+# The v1 kernels above dequantize every element on the VPU — fine for prefill
+# (amortized over many rows) but the bottleneck for M=1 decode: the VPU
+# processes 32-bit lanes, so per-element dequant costs ~6 lane-ops x K x N per
+# token. This kernel is ggml's vec_dot_type trick (quantize activations to Q8,
+# integer dot; reference: src/ggml-cpu/ggml-cpu.c:7447-7471) mapped to the MXU:
+# int8 codes stream from HBM STRAIGHT into int8 x int8 -> int32 MXU dots, one
+# 32-element quant group per grid step, and the fp32 group scale multiplies the
+# per-group partial sum — per-GROUP VPU work instead of per-element.
+#
+# Activations are quantized per row outside (sx = amax/127), applied after.
+# ---------------------------------------------------------------------------
+
+
+def _q8gemv_kernel(xq, q, s, out, *, G: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    xv = xq[:]
+    qv = q[:]
+    sv = s[:]
+    acc = out[:]
+    for j in range(8):  # 8 quant groups per k step, statically unrolled
+        p = jax.lax.dot_general(
+            xv[:, j * G : (j + 1) * G],
+            qv[j * G : (j + 1) * G, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (M, bn) int32
+        acc = acc + p.astype(jnp.float32) * sv[j : j + 1, :]
+    out[:] = acc
+
+
+def _q8_gemv(xq, codes, scales, G: int, interpret: bool):
+    m, k = xq.shape
+    _, npad = codes.shape
+    bn = _pick_tile(npad, (512, 384, 256, 128))
+    n_groups = k // G
+    kt = 8 * G  # 8 groups per step: xq lane-tile 8G >= 128, scale tile 8 rows
+    assert n_groups % 8 == 0, f"n_groups={n_groups} must be a multiple of 8"
+    grid = (npad // bn, k // kt)
+
+    return pl.pallas_call(
+        functools.partial(_q8gemv_kernel, G=G),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, kt), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * npad,
+            bytes_accessed=k * npad + scales.nbytes + m * k + m * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, codes, scales)
+
+
+def _quantize_activations_per_row(x):
+    """Symmetric per-row int8 quantization (the Q8 activation analog)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.where(amax == 0, 1.0, amax / 127.0)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+_GEMV_MAX_M = 8  # int8 GEMV path for decode-sized row counts
 
 
 # ---------------------------------------------------------------------------
@@ -192,8 +271,18 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
     codes = jnp.asarray(pw.codes)
     scales = jnp.asarray(pw.scales)
 
+    use_gemv = (
+        pw.kind == "q8"
+        and m <= _GEMV_MAX_M
+        and pw.group in (16, 32)
+        and (k // pw.group) % 8 == 0
+    )
+
     def one_chunk(xc):
-        if pw.kind == "q4":
+        if use_gemv:
+            xq, sx = _quantize_activations_per_row(xc)
+            y = _q8_gemv(xq, codes, scales, pw.group, interpret) * sx
+        elif pw.kind == "q4":
             y = _q4_matmul(xc, codes, scales, pw.group, interpret)
         else:
             y = _q8_matmul(xc, codes, scales, pw.group, interpret)

@@ -84,7 +84,8 @@ def load_params(g: GGUFFile, dtype=jnp.float32, keep_quantized: bool = False) ->
             and GGMLType(info.ggml_type) in planar_types()
         ):
             n, k = info.shape
-            pw = repack(g.tensor_bytes(name), GGMLType(info.ggml_type), (int(n), int(k)))
+            # int8 codes by default: they feed the MXU int8 GEMV (decode-optimal)
+            pw = repack(g.tensor_bytes(name), GGMLType(info.ggml_type), (int(n), int(k)), force_q8=True)
             params[name] = pw.to_device()
             if name == "token_embd.weight":  # dense copy for the row gather
                 params["token_embd.weight@dense"] = jnp.asarray(g.to_float32(name), dtype=dtype)

@@ -1,0 +1,275 @@
+"""GPT-J 6B — the north-star quantized decode config.
+
+Reference: examples/gpt-j/main.cpp — parallel residual (attn and mlp both read
+the SAME post-layernorm activations and add into the residual stream,
+main.cpp:449-565), separate unbiased q/k/v projections (:463-468), interleaved
+RoPE on the first n_rot=64 dims (ggml_rope mode 0, :463-464), biased mlp
+(:539-556) and biased untied lm head (:582-585).
+
+TPU-native points:
+- quantized weights stay packed in HBM as PlanarWeight planes and run through
+  the fused dequant-matmul Pallas kernels (ggml_tpu.kernels.qmatmul);
+- decode_loop runs the WHOLE multi-token generation as one jitted lax.scan —
+  the host never round-trips per token (ggml's zero-alloc steady state, taken
+  one step further because dispatch latency over PCIe/ICI matters on TPU);
+- the KV cache is a donated carry, so XLA updates it in place.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import GGMLType
+from ..gguf import GGUFFile
+
+
+@dataclass(frozen=True)
+class GPTJConfig:
+    n_vocab: int = 50400
+    n_ctx: int = 2048
+    n_embd: int = 4096
+    n_head: int = 16
+    n_layer: int = 28
+    n_rot: int = 64
+    eps: float = 1e-5
+
+    @property
+    def head_dim(self):
+        return self.n_embd // self.n_head
+
+
+def config_from_gguf(g: GGUFFile) -> GPTJConfig:
+    md = g.metadata
+    return GPTJConfig(
+        n_vocab=int(md.get("gptj.vocab_size", 50400)),
+        n_ctx=int(md["gptj.context_length"]),
+        n_embd=int(md["gptj.embedding_length"]),
+        n_head=int(md["gptj.attention.head_count"]),
+        n_layer=int(md["gptj.block_count"]),
+        n_rot=int(md.get("gptj.rope.dimension_count", 64)),
+    )
+
+
+def _layer_norm(x, w, b, eps):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
+    return (x - m) / jnp.sqrt(v + eps) * w + b
+
+
+def _linear(x, w, b=None):
+    from ..quant.planar import PlanarWeight
+
+    if isinstance(w, PlanarWeight):
+        from ..kernels.qmatmul import planar_matmul
+
+        out = planar_matmul(x, w)
+    else:
+        out = jnp.einsum("...k,nk->...n", x, w, precision=jax.lax.Precision.HIGHEST)
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _rope_interleaved(x, positions, n_rot: int, base: float = 10000.0):
+    """ggml rope mode 0 (GPT-J interleaved pairs) on the first n_rot dims.
+    x: (b, t, h, d); positions: (b, t)."""
+    d = x.shape[-1]
+    half = n_rot // 2
+    inv_freq = (base ** (-2.0 * np.arange(half) / n_rot)).astype(np.float32)
+    theta = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]  # (b,t,half)
+    cos = jnp.cos(theta)[:, :, None, :]
+    sin = jnp.sin(theta)[:, :, None, :]
+    rot, rest = x[..., :n_rot], x[..., n_rot:]
+    x0 = rot[..., 0::2]
+    x1 = rot[..., 1::2]
+    o0 = x0 * cos - x1 * sin
+    o1 = x0 * sin + x1 * cos
+    out = jnp.stack([o0, o1], axis=-1).reshape(rot.shape)
+    return jnp.concatenate([out, rest], axis=-1) if rest.shape[-1] else out
+
+
+def init_cache(cfg: GPTJConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
+    shape = (cfg.n_layer, 2, batch, cfg.n_head, max_seq, cfg.head_dim)
+    return jnp.zeros(shape, dtype)
+
+
+def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
+    """tokens (b, t) -> (logits (b, t, n_vocab), new_cache)."""
+    b, t = tokens.shape
+    max_seq = cache.shape[-2]
+    positions = pos_start[:, None] + jnp.arange(t)[None, :]
+    embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
+    x = embd[tokens]
+    compute_dtype = x.dtype
+
+    new_cache = cache
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+    for i in range(cfg.n_layer):
+        pre = f"blk.{i}."
+        h = _layer_norm(x, params[pre + "attn_norm.weight"], params[pre + "attn_norm.bias"], cfg.eps)
+
+        q = _linear(h, params[pre + "attn_q.weight"])
+        k = _linear(h, params[pre + "attn_k.weight"])
+        v = _linear(h, params[pre + "attn_v.weight"])
+
+        def heads(z):
+            return z.reshape(b, t, cfg.n_head, cfg.head_dim)
+
+        q = _rope_interleaved(heads(q), positions, cfg.n_rot).transpose(0, 2, 1, 3)
+        k = _rope_interleaved(heads(k), positions, cfg.n_rot).transpose(0, 2, 1, 3)
+        v = heads(v).transpose(0, 2, 1, 3)
+
+        kc = jax.lax.dynamic_update_slice(new_cache[i, 0], k.astype(new_cache.dtype), (0, 0, cache_len, 0))
+        vc = jax.lax.dynamic_update_slice(new_cache[i, 1], v.astype(new_cache.dtype), (0, 0, cache_len, 0))
+        new_cache = new_cache.at[i, 0].set(kc).at[i, 1].set(vc)
+
+        att = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kc.astype(jnp.float32),
+                         preferred_element_type=jnp.float32) * scale
+        kv_pos = jnp.arange(max_seq)[None, None, None, :]
+        q_pos = positions[:, None, :, None]
+        att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
+        att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, vc)
+        attn_out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd).astype(compute_dtype)
+        attn_out = _linear(attn_out, params[pre + "attn_output.weight"])
+
+        # parallel residual: mlp reads the SAME normed input (main.cpp:538-541)
+        ff = _linear(h, params[pre + "ffn_up.weight"], params[pre + "ffn_up.bias"])
+        ff = 0.5 * ff * (1.0 + jnp.tanh(0.79788456080286535588 * ff * (1.0 + 0.044715 * ff * ff)))
+        ff = _linear(ff, params[pre + "ffn_down.weight"], params[pre + "ffn_down.bias"])
+
+        x = x + attn_out + ff
+
+    x = _layer_norm(x, params["output_norm.weight"], params["output_norm.bias"], cfg.eps)
+    logits = _linear(x, params["output.weight"], params.get("output.bias"))
+    return logits, new_cache
+
+
+class GPTJ:
+    """Inference wrapper: compiled prefill + on-device multi-token decode."""
+
+    def __init__(self, params: dict, cfg: GPTJConfig, max_seq: int = 2048, batch: int = 1):
+        self.params = params
+        self.cfg = cfg
+        self.max_seq = max_seq
+        self.batch = batch
+
+        def step(params, tokens, pos_start, cache, cache_len):
+            return forward(params, cfg, tokens, pos_start, cache, cache_len)
+
+        self._step = jax.jit(step, donate_argnums=(3,))
+
+        def decode_loop(params, cache, first_token, n_past, steps_tokens):
+            """Greedy-decode len(steps_tokens) tokens entirely on device.
+            steps_tokens is a dummy (n,) array fixing the trip count."""
+
+            def body(carry, _):
+                cache, tok, n_past = carry
+                pos0 = jnp.full((tok.shape[0],), n_past, jnp.int32)
+                logits, cache = forward(params, cfg, tok, pos0, cache, n_past)
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+                return (cache, nxt, n_past + 1), nxt[:, 0]
+
+            (cache, tok, n_past), toks = jax.lax.scan(
+                body, (cache, first_token, n_past), steps_tokens
+            )
+            return cache, toks
+
+        self._decode_loop = jax.jit(decode_loop, donate_argnums=(1,))
+
+    @classmethod
+    def from_gguf(cls, path, dtype=jnp.bfloat16, keep_quantized: bool = True, **kw):
+        from .gpt2 import load_params  # same GGUF tensor-naming loader
+
+        g = GGUFFile(path)
+        cfg = config_from_gguf(g)
+        params = load_params(g, dtype, keep_quantized=keep_quantized)
+        return cls(params, cfg, **kw)
+
+    def new_cache(self, dtype=jnp.bfloat16):
+        return init_cache(self.cfg, self.batch, self.max_seq, dtype)
+
+    def prefill(self, cache, tokens: np.ndarray):
+        t = tokens.shape[1]
+        pos0 = jnp.zeros((tokens.shape[0],), jnp.int32)
+        logits, cache = self._step(self.params, jnp.asarray(tokens), pos0, cache, jnp.int32(0))
+        return logits[:, -1, :], cache, t
+
+    def decode_greedy(self, cache, first_token, n_past: int, n_tokens: int):
+        """Generate n_tokens with zero host round-trips. Returns (cache, ids)."""
+        dummy = jnp.zeros((n_tokens,), jnp.int32)
+        cache, toks = self._decode_loop(
+            self.params, cache, jnp.asarray(first_token), jnp.int32(n_past), dummy
+        )
+        return cache, np.asarray(toks)
+
+
+def random_config(scale: str = "6b") -> GPTJConfig:
+    if scale == "6b":
+        return GPTJConfig()
+    if scale == "tiny":
+        return GPTJConfig(n_vocab=512, n_ctx=256, n_embd=256, n_head=4, n_layer=2, n_rot=32)
+    raise ValueError(scale)
+
+
+def synth_quantized_params(
+    cfg: GPTJConfig, ggml_type: GGMLType = GGMLType.Q4_K, seed: int = 0, dtype=jnp.bfloat16
+) -> dict:
+    """Synthesize a full parameter set with weights ALREADY in planar-quantized
+    form (random codes, small scales) — for benchmarking the quantized decode
+    path without a 6B-parameter quantization pass or model download.
+    Values are well-scaled so the forward pass stays finite."""
+    from ..quant.planar import PlanarWeight
+
+    rng = np.random.default_rng(seed)
+    use_q4 = False  # int8 codes feed the MXU GEMV directly — the decode fast path
+    G = 32 if ggml_type not in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q6_K) else 16
+    affine = ggml_type in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q2_K, GGMLType.Q3_K,
+                           GGMLType.Q4_K, GGMLType.Q5_K)
+    s_val = np.float32(0.02 / 8)
+
+    def qweight(n, k):
+        # synthesize the planar layout directly (random codes, constant scales):
+        # decode throughput depends only on layout, never on values
+        npad = -(-n // 128) * 128
+        if use_q4:
+            codes = np.frombuffer(rng.bytes(k // 2 * npad), np.uint8).reshape(k // 2, npad)
+            scales = np.full((2, (k // 2) // G, npad), s_val, np.float32)
+        else:
+            codes = np.frombuffer(rng.bytes(k * npad), np.uint8).reshape(k, npad).view(np.int8)
+            scales = np.full((k // G, npad), s_val, np.float32)
+        offsets = np.full((k // G, npad), -8.0 * s_val, np.float32) if affine else None
+        return PlanarWeight(
+            kind="q4" if use_q4 else "q8", codes=codes, scales=scales,
+            offsets=offsets, group=G, n=n, k=k, orig_type=ggml_type,
+        ).to_device()
+
+    def dense(*shape, s=0.02):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * s, dtype=dtype)
+
+    E = cfg.n_embd
+    p: dict[str, Any] = {
+        "token_embd.weight": dense(cfg.n_vocab, E),
+        "output_norm.weight": jnp.ones((E,), dtype),
+        "output_norm.bias": jnp.zeros((E,), dtype),
+        "output.weight": qweight(cfg.n_vocab, E),
+        "output.bias": jnp.zeros((cfg.n_vocab,), dtype),
+    }
+    for i in range(cfg.n_layer):
+        pre = f"blk.{i}."
+        p[pre + "attn_norm.weight"] = jnp.ones((E,), dtype)
+        p[pre + "attn_norm.bias"] = jnp.zeros((E,), dtype)
+        p[pre + "attn_q.weight"] = qweight(E, E)
+        p[pre + "attn_k.weight"] = qweight(E, E)
+        p[pre + "attn_v.weight"] = qweight(E, E)
+        p[pre + "attn_output.weight"] = qweight(E, E)
+        p[pre + "ffn_up.weight"] = qweight(4 * E, E)
+        p[pre + "ffn_up.bias"] = jnp.zeros((4 * E,), dtype)
+        p[pre + "ffn_down.weight"] = qweight(E, 4 * E)
+        p[pre + "ffn_down.bias"] = jnp.zeros((E,), dtype)
+    return p

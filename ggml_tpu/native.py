@@ -1,0 +1,129 @@
+"""ctypes binding for the native C++ runtime components (csrc/).
+
+The reference's load path is native C++ (src/gguf.cpp + per-backend repack in
+src/ggml-cpu/ggml-cpu-aarch64.cpp, amx/amx.cpp); ours mirrors that split:
+Python orchestrates, multithreaded C++ does the byte work. Compiled lazily
+with g++ on first use and cached under build/; every native path has a NumPy
+fallback (quant.planar) so the library works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_SRC = _ROOT / "csrc" / "repack.cpp"
+_BUILD = _ROOT / "build"
+_LIB = _BUILD / "libggml_tpu_repack.so"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _compile() -> bool:
+    _BUILD.mkdir(exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        str(_SRC), "-o", str(_LIB),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (compiling if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _compile():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            return None
+        lib.gt_repack_supported.restype = ctypes.c_int
+        lib.gt_repack_supported.argtypes = [ctypes.c_int]
+        lib.gt_repack.restype = ctypes.c_int
+        lib.gt_repack.argtypes = [
+            ctypes.c_int,                      # ggml_type
+            ctypes.c_void_p,                   # raw
+            ctypes.c_int64, ctypes.c_int64,    # n, k
+            ctypes.c_int64,                    # npad
+            ctypes.c_void_p,                   # codes
+            ctypes.c_void_p,                   # scales
+            ctypes.c_void_p,                   # offsets (nullable)
+            ctypes.c_int,                      # nthreads
+            ctypes.c_int,                      # force_q8
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_supported(ggml_type: int) -> bool:
+    lib = get_lib()
+    return bool(lib and lib.gt_repack_supported(int(ggml_type)))
+
+
+def native_repack(raw: np.ndarray, ggml_type, shape, n_pad_to: int = 128, force_q8: bool = False):
+    """Multithreaded C++ planar repack. Returns a PlanarWeight or None if the
+    type is unsupported natively (caller falls back to quant.planar.repack)."""
+    from .quant.planar import _Q4_PLANE_TYPES, PlanarWeight
+
+    lib = get_lib()
+    if lib is None or not lib.gt_repack_supported(int(ggml_type)):
+        return None
+    n, k = shape
+    npad = -(-n // n_pad_to) * n_pad_to
+    # mirror quant.planar.repack's layout decisions
+    group = {2: 32, 3: 32, 8: 32, 12: 32, 13: 32, 14: 16}[int(ggml_type)]
+    q4_capable = int(ggml_type) in (2, 3, 12)
+    use_q4 = q4_capable and (k // 2) % group == 0 and not force_q8 and int(ggml_type) in {int(t) for t in _Q4_PLANE_TYPES}
+    affine = int(ggml_type) in (2, 3, 12, 13)
+
+    raw = np.ascontiguousarray(raw.reshape(-1).view(np.uint8))
+    if use_q4:
+        codes = np.empty((k // 2, npad), np.uint8)
+    else:
+        codes = np.empty((k, npad), np.int8)
+    scales = np.empty((k // group, npad), np.float32)
+    offsets = np.empty((k // group, npad), np.float32) if affine else None
+
+    rc = lib.gt_repack(
+        int(ggml_type),
+        raw.ctypes.data_as(ctypes.c_void_p),
+        n, k, npad,
+        codes.ctypes.data_as(ctypes.c_void_p),
+        scales.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p) if offsets is not None else None,
+        os.cpu_count() or 1,
+        0 if use_q4 else 1,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native repack failed rc={rc} for type {ggml_type}")
+    if use_q4:
+        scales = np.ascontiguousarray(scales.reshape(2, (k // 2) // group, npad))
+    from .dtypes import GGMLType
+
+    return PlanarWeight(
+        kind="q4" if use_q4 else "q8",
+        codes=codes,
+        scales=scales,
+        offsets=offsets,
+        group=group,
+        n=n,
+        k=k,
+        orig_type=GGMLType(int(ggml_type)),
+    )

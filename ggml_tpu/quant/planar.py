@@ -396,7 +396,13 @@ except ImportError:  # pragma: no cover - numpy-only usage
     pass
 
 
-def repack(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int], n_pad_to: int = 128) -> PlanarWeight:
+def repack(
+    raw: np.ndarray,
+    ggml_type: GGMLType,
+    shape: tuple[int, int],
+    n_pad_to: int = 128,
+    force_q8: bool = False,
+) -> PlanarWeight:
     """Repack raw ggml-format bytes of a (N, K) weight into planar layout.
 
     raw: uint8 array of the tensor's packed bytes (any shape, row data
@@ -420,7 +426,8 @@ def repack(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int], n_pad_t
         if o is not None:
             o = np.pad(o, ((0, npad - n), (0, 0)))
 
-    use_q4 = ggml_type in _Q4_PLANE_TYPES and (k // 2) % G == 0
+    # q4: half the HBM traffic; q8: feeds the int8 MXU GEMV (decode-optimal)
+    use_q4 = ggml_type in _Q4_PLANE_TYPES and (k // 2) % G == 0 and not force_q8
     scales = np.ascontiguousarray(s.T.astype(F32))  # (K/G, Npad), natural order
     if use_q4:
         qu = q.astype(np.uint8)

@@ -122,3 +122,20 @@ def test_planar_matmul_batched_and_chunked():
     y_ref = x.reshape(-1, k).astype(np.float64) @ w_ref.T.astype(np.float64)
     assert y.shape == (2, 600, n)
     assert _nmse(y_ref, np.asarray(y, np.float64).reshape(-1, n)) < 5e-4
+
+
+def test_int8_gemv_path_matches_dense():
+    """The decode GEMV (int8 activations x int8 codes on the MXU, per-group
+    scale on partial sums) vs fp64 ground truth. Activation quantization adds
+    ~per-row 1/254 relative noise -> gate at the reference's fp16 matmul NMSE."""
+    import jax.numpy as jnp
+
+    n, k = 256, 512
+    raw = _random_quantized(GGMLType.Q4_K, n, k)
+    w_ref = R.dequantize(raw.reshape(n, -1), GGMLType.Q4_K, n * k).reshape(n, k)
+    pw = repack(raw, GGMLType.Q4_K, (n, k), force_q8=True)
+    assert pw.kind == "q8"
+    x = (RNG.standard_normal((1, k)) * 0.5).astype(np.float32)
+    y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
+    y = planar_matmul(jnp.asarray(x), pw)  # m=1 -> GEMV path
+    assert _nmse(y_ref, np.asarray(y, np.float64)) < 5e-4
