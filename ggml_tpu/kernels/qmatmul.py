@@ -184,7 +184,7 @@ def _q8_matmul(x, codes, scales, G: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _q8gemv_kernel(xq, q, s, out, *, G: int):
+def _q8gemv_kernel(xq, q, s, out, *, G: int, ng: int = 8):
     @pl.when(pl.program_id(1) == 0)
     def _():
         out[:] = jnp.zeros_like(out)
@@ -193,7 +193,7 @@ def _q8gemv_kernel(xq, q, s, out, *, G: int):
     qv = q[:]
     sv = s[:]
     acc = out[:]
-    for j in range(8):  # 8 quant groups per k step, statically unrolled
+    for j in range(ng):  # quant groups per k step, statically unrolled
         p = jax.lax.dot_general(
             xv[:, j * G : (j + 1) * G],
             qv[j * G : (j + 1) * G, :],
@@ -204,22 +204,29 @@ def _q8gemv_kernel(xq, q, s, out, *, G: int):
     out[:] = acc
 
 
+import os
+
+_GEMV_BN = tuple(int(v) for v in os.environ.get("GGML_TPU_GEMV_BN", "1024,512,384,256,128").split(","))
+_GEMV_GROUPS = int(os.environ.get("GGML_TPU_GEMV_GROUPS", "16"))  # groups per k step
+
+
 def _q8_gemv(xq, codes, scales, G: int, interpret: bool):
     m, k = xq.shape
     _, npad = codes.shape
-    bn = _pick_tile(npad, (512, 384, 256, 128))
+    bn = _pick_tile(npad, _GEMV_BN)
     n_groups = k // G
-    kt = 8 * G  # 8 groups per step: xq lane-tile 8G >= 128, scale tile 8 rows
+    ng = _GEMV_GROUPS if n_groups % _GEMV_GROUPS == 0 else 8
+    kt = ng * G  # xq lane-tile >= 128, scale tile rows multiple of 8
     assert n_groups % 8 == 0, f"n_groups={n_groups} must be a multiple of 8"
     grid = (npad // bn, k // kt)
 
     return pl.pallas_call(
-        functools.partial(_q8gemv_kernel, G=G),
+        functools.partial(_q8gemv_kernel, G=G, ng=ng),
         grid=grid,
         in_specs=[
             pl.BlockSpec((m, kt), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((kt, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),

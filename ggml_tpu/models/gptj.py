@@ -113,9 +113,13 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
         pre = f"blk.{i}."
         h = _layer_norm(x, params[pre + "attn_norm.weight"], params[pre + "attn_norm.bias"], cfg.eps)
 
-        q = _linear(h, params[pre + "attn_q.weight"])
-        k = _linear(h, params[pre + "attn_k.weight"])
-        v = _linear(h, params[pre + "attn_v.weight"])
+        if pre + "attn_qkv.weight" in params:  # fused projection (fewer, wider kernels)
+            qkv = _linear(h, params[pre + "attn_qkv.weight"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = _linear(h, params[pre + "attn_q.weight"])
+            k = _linear(h, params[pre + "attn_k.weight"])
+            v = _linear(h, params[pre + "attn_v.weight"])
 
         def heads(z):
             return z.reshape(b, t, cfg.n_head, cfg.head_dim)
@@ -218,7 +222,11 @@ def random_config(scale: str = "6b") -> GPTJConfig:
 
 
 def synth_quantized_params(
-    cfg: GPTJConfig, ggml_type: GGMLType = GGMLType.Q4_K, seed: int = 0, dtype=jnp.bfloat16
+    cfg: GPTJConfig,
+    ggml_type: GGMLType = GGMLType.Q4_K,
+    seed: int = 0,
+    dtype=jnp.bfloat16,
+    fuse_qkv: bool = True,
 ) -> dict:
     """Synthesize a full parameter set with weights ALREADY in planar-quantized
     form (random codes, small scales) — for benchmarking the quantized decode
@@ -233,15 +241,23 @@ def synth_quantized_params(
                            GGMLType.Q4_K, GGMLType.Q5_K)
     s_val = np.float32(0.02 / 8)
 
+    # one random megabyte tiled out: distinct HBM buffers (capacity + traffic
+    # are real), byte values repeat (throughput never depends on values)
+    _pool = np.frombuffer(rng.bytes(1 << 20), np.uint8)
+
+    def _fill(nbytes):
+        reps = -(-nbytes // len(_pool))
+        return np.tile(_pool, reps)[:nbytes]
+
     def qweight(n, k):
-        # synthesize the planar layout directly (random codes, constant scales):
-        # decode throughput depends only on layout, never on values
-        npad = -(-n // 128) * 128
+        # 512-multiple pads for wide outputs -> bigger bn tiles in the kernels
+        pad_to = 512 if n > 8192 else 128
+        npad = -(-n // pad_to) * pad_to
         if use_q4:
-            codes = np.frombuffer(rng.bytes(k // 2 * npad), np.uint8).reshape(k // 2, npad)
+            codes = _fill(k // 2 * npad).reshape(k // 2, npad)
             scales = np.full((2, (k // 2) // G, npad), s_val, np.float32)
         else:
-            codes = np.frombuffer(rng.bytes(k * npad), np.uint8).reshape(k, npad).view(np.int8)
+            codes = _fill(k * npad).reshape(k, npad).view(np.int8)
             scales = np.full((k // G, npad), s_val, np.float32)
         offsets = np.full((k // G, npad), -8.0 * s_val, np.float32) if affine else None
         return PlanarWeight(
@@ -264,9 +280,12 @@ def synth_quantized_params(
         pre = f"blk.{i}."
         p[pre + "attn_norm.weight"] = jnp.ones((E,), dtype)
         p[pre + "attn_norm.bias"] = jnp.zeros((E,), dtype)
-        p[pre + "attn_q.weight"] = qweight(E, E)
-        p[pre + "attn_k.weight"] = qweight(E, E)
-        p[pre + "attn_v.weight"] = qweight(E, E)
+        if fuse_qkv:  # fused q|k|v: fewer, wider kernels (single-chip decode)
+            p[pre + "attn_qkv.weight"] = qweight(3 * E, E)
+        else:  # separate projections (column-sharded tensor parallelism)
+            p[pre + "attn_q.weight"] = qweight(E, E)
+            p[pre + "attn_k.weight"] = qweight(E, E)
+            p[pre + "attn_v.weight"] = qweight(E, E)
         p[pre + "attn_output.weight"] = qweight(E, E)
         p[pre + "ffn_up.weight"] = qweight(4 * E, E)
         p[pre + "ffn_up.bias"] = jnp.zeros((4 * E,), dtype)

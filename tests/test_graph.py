@@ -26,7 +26,7 @@ def test_build_and_run_mlp():
     w2v = rng.standard_normal((8, 32), dtype=np.float32)
     (got,) = f(x=xv, w1=w1v, b1=b1v, w2=w2v)
     want = O.mul_mat(w2v, O.gelu(O.add(O.mul_mat(w1v, xv), b1v)))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
 def test_graph_topological_order():

@@ -1,0 +1,78 @@
+"""Text-generation CLI — the analog of the reference's gpt-2/gpt-j example
+binaries (examples/gpt-2/main-backend.cpp:784 main; flags mirror
+examples/common.cpp gpt_params).
+
+Usage:
+  python tools/generate.py model.gguf -p "Hello" -n 64 --top-k 40 --top-p 0.95 --temp 0.8
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model")
+    ap.add_argument("-p", "--prompt", default="Hello")
+    ap.add_argument("-n", "--n-predict", type=int, default=64)
+    ap.add_argument("--arch", choices=["gpt2", "gptj"], default=None)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--temp", type=float, default=0.8)
+    ap.add_argument("--seed", type=int, default=-1)
+    ap.add_argument("--quantized", action="store_true", help="keep weights packed (Pallas kernels)")
+    ap.add_argument("--max-seq", type=int, default=512)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_tpu.gguf import GGUFFile
+    from ggml_tpu.sampling import sample_top_k_top_p
+    from ggml_tpu.tokenizer import BPETokenizer
+
+    g = GGUFFile(args.model)
+    arch = args.arch or g.metadata.get("general.architecture", "gpt2")
+    t_load0 = time.perf_counter()
+    if arch == "gptj":
+        from ggml_tpu.models.gptj import GPTJ as Model
+    else:
+        from ggml_tpu.models.gpt2 import GPT2 as Model
+    m = Model.from_gguf(args.model, keep_quantized=args.quantized, max_seq=args.max_seq, batch=1)
+    t_load = time.perf_counter() - t_load0
+
+    tok = None
+    if "tokenizer.ggml.tokens" in g.metadata:
+        tok = BPETokenizer.from_gguf(g)
+        ids = np.asarray([tok.encode(args.prompt)], np.int32)
+    else:
+        print("(no tokenizer in GGUF; prompt interpreted as space-separated ids)", file=sys.stderr)
+        ids = np.asarray([[int(t) for t in args.prompt.split()]], np.int32)
+
+    key = jax.random.PRNGKey(args.seed if args.seed >= 0 else int(time.time()))
+
+    def sampler(logits, key):
+        return sample_top_k_top_p(
+            logits, key, top_k=args.top_k, top_p=args.top_p, temperature=args.temp
+        )
+
+    t0 = time.perf_counter()
+    out = m.generate(ids, args.n_predict, sampler=sampler, key=key)
+    dt = time.perf_counter() - t0
+
+    text = tok.decode(out) if tok else " ".join(map(str, out))
+    print(args.prompt + text)
+    print(
+        f"\n   load time = {t_load*1000:8.2f} ms\n"
+        f"predict time = {dt*1000:8.2f} ms / {dt*1000/max(1,args.n_predict):.2f} ms per token",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
