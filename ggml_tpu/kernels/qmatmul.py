@@ -207,7 +207,7 @@ def _q8gemv_kernel(xq, q, s, out, *, G: int, ng: int = 8):
 import os
 
 _GEMV_BN = tuple(int(v) for v in os.environ.get("GGML_TPU_GEMV_BN", "1024,512,384,256,128").split(","))
-_GEMV_GROUPS = int(os.environ.get("GGML_TPU_GEMV_GROUPS", "16"))  # groups per k step
+_GEMV_GROUPS = int(os.environ.get("GGML_TPU_GEMV_GROUPS", "32"))  # groups per k step
 
 
 def _q8_gemv(xq, codes, scales, G: int, interpret: bool):

@@ -1,0 +1,195 @@
+"""Llama family (Llama-2/3 style): GQA attention, RMSNorm, SwiGLU MLP,
+rotate-half (NeoX-mode) RoPE.
+
+The reference library provides every op this model needs (RMS_NORM
+include/ggml.h:1127, ROPE NeoX mode :1419, SILU :535, GQA via broadcasted
+mul_mat) and llama.cpp assembles them downstream; this is the equivalent
+assembly on our stack, plus the quantized planar path and an on-device scan
+decode loop (same design as models/gptj.py).
+
+RoPE convention: rotate_half over each head's dims (HF transformers layout).
+GGUF files converted by llama.cpp store q/k weights permuted for its
+interleaved implementation; load those with permute_qk=True to undo it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import GGMLType
+from ..gguf import GGUFFile
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    n_vocab: int = 32000
+    n_ctx: int = 4096
+    n_embd: int = 4096
+    n_head: int = 32
+    n_head_kv: int = 32
+    n_layer: int = 32
+    n_ff: int = 11008
+    rope_base: float = 10000.0
+    rms_eps: float = 1e-5
+
+    @property
+    def head_dim(self):
+        return self.n_embd // self.n_head
+
+
+def config_from_gguf(g: GGUFFile) -> LlamaConfig:
+    md = g.metadata
+    return LlamaConfig(
+        n_vocab=int(md.get("llama.vocab_size", 32000)),
+        n_ctx=int(md["llama.context_length"]),
+        n_embd=int(md["llama.embedding_length"]),
+        n_head=int(md["llama.attention.head_count"]),
+        n_head_kv=int(md.get("llama.attention.head_count_kv", md["llama.attention.head_count"])),
+        n_layer=int(md["llama.block_count"]),
+        n_ff=int(md["llama.feed_forward_length"]),
+        rope_base=float(md.get("llama.rope.freq_base", 10000.0)),
+        rms_eps=float(md.get("llama.attention.layer_norm_rms_epsilon", 1e-5)),
+    )
+
+
+def _rms_norm(x, w, eps):
+    v = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(v + eps)).astype(x.dtype) * w
+
+
+def _linear(x, w):
+    from ..quant.planar import PlanarWeight
+
+    if isinstance(w, PlanarWeight):
+        from ..kernels.qmatmul import planar_matmul
+
+        return planar_matmul(x, w)
+    return jnp.einsum("...k,nk->...n", x, w, precision=jax.lax.Precision.HIGHEST)
+
+
+def _rope_half(x, positions, base: float):
+    """rotate_half RoPE over the full head dim (ggml NeoX mode / HF llama)."""
+    d = x.shape[-1]
+    half = d // 2
+    inv_freq = (base ** (-np.arange(half) / half)).astype(np.float32)
+    theta = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    cos = jnp.cos(theta)[:, :, None, :]
+    sin = jnp.sin(theta)[:, :, None, :]
+    x0, x1 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
+    shape = (cfg.n_layer, 2, batch, cfg.n_head_kv, max_seq, cfg.head_dim)
+    return jnp.zeros(shape, dtype)
+
+
+def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len):
+    b, t = tokens.shape
+    max_seq = cache.shape[-2]
+    positions = pos_start[:, None] + jnp.arange(t)[None, :]
+    embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
+    x = embd[tokens]
+    dt = x.dtype
+    rep = cfg.n_head // cfg.n_head_kv
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+
+    new_cache = cache
+    for i in range(cfg.n_layer):
+        pre = f"blk.{i}."
+        h = _rms_norm(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
+
+        q = _linear(h, params[pre + "attn_q.weight"]).reshape(b, t, cfg.n_head, cfg.head_dim)
+        k = _linear(h, params[pre + "attn_k.weight"]).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
+        v = _linear(h, params[pre + "attn_v.weight"]).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
+
+        q = _rope_half(q, positions, cfg.rope_base).transpose(0, 2, 1, 3)
+        k = _rope_half(k, positions, cfg.rope_base).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        kc = jax.lax.dynamic_update_slice(new_cache[i, 0], k.astype(new_cache.dtype), (0, 0, cache_len, 0))
+        vc = jax.lax.dynamic_update_slice(new_cache[i, 1], v.astype(new_cache.dtype), (0, 0, cache_len, 0))
+        new_cache = new_cache.at[i, 0].set(kc).at[i, 1].set(vc)
+
+        # GQA: each kv head serves n_head/n_head_kv query heads
+        qg = q.reshape(b, cfg.n_head_kv, rep, t, cfg.head_dim)
+        att = jnp.einsum("bgrqd,bgkd->bgrqk", qg.astype(jnp.float32), kc.astype(jnp.float32),
+                         preferred_element_type=jnp.float32) * scale
+        kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
+        q_pos = positions[:, None, None, :, None]
+        att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
+        att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
+        out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
+        out = out.reshape(b, cfg.n_head, t, cfg.head_dim).transpose(0, 2, 1, 3)
+        attn_out = out.reshape(b, t, cfg.n_embd).astype(dt)
+        x = x + _linear(attn_out, params[pre + "attn_output.weight"])
+
+        h = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
+        gate = _linear(h, params[pre + "ffn_gate.weight"])
+        up = _linear(h, params[pre + "ffn_up.weight"])
+        x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
+
+    x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
+    w_out = params.get("output.weight", params["token_embd.weight"])  # tied fallback
+    if "output.weight" not in params and "token_embd.weight@dense" in params:
+        w_out = params["token_embd.weight@dense"]
+    logits = _linear(x, w_out)
+    return logits, new_cache
+
+
+class Llama:
+    """Inference wrapper: compiled step + on-device multi-token decode."""
+
+    def __init__(self, params: dict, cfg: LlamaConfig, max_seq: int = 2048, batch: int = 1):
+        self.params = params
+        self.cfg = cfg
+        self.max_seq = max_seq
+        self.batch = batch
+
+        def step(params, tokens, pos_start, cache, cache_len):
+            return forward(params, cfg, tokens, pos_start, cache, cache_len)
+
+        self._step = jax.jit(step, donate_argnums=(3,))
+
+        def decode_loop(params, cache, first_token, n_past, steps_tokens):
+            def body(carry, _):
+                cache, tok, n_past = carry
+                pos0 = jnp.full((tok.shape[0],), n_past, jnp.int32)
+                logits, cache = forward(params, cfg, tok, pos0, cache, n_past)
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+                return (cache, nxt, n_past + 1), nxt[:, 0]
+
+            (cache, tok, n_past), toks = jax.lax.scan(body, (cache, first_token, n_past), steps_tokens)
+            return cache, toks
+
+        self._decode_loop = jax.jit(decode_loop, donate_argnums=(1,))
+
+    @classmethod
+    def from_gguf(cls, path, dtype=jnp.bfloat16, keep_quantized: bool = True, **kw):
+        from .gpt2 import load_params
+
+        g = GGUFFile(path)
+        cfg = config_from_gguf(g)
+        params = load_params(g, dtype, keep_quantized=keep_quantized)
+        return cls(params, cfg, **kw)
+
+    def new_cache(self, dtype=jnp.bfloat16):
+        return init_cache(self.cfg, self.batch, self.max_seq, dtype)
+
+    def prefill(self, cache, tokens: np.ndarray):
+        t = tokens.shape[1]
+        pos0 = jnp.zeros((tokens.shape[0],), jnp.int32)
+        logits, cache = self._step(self.params, jnp.asarray(tokens), pos0, cache, jnp.int32(0))
+        return logits[:, -1, :], cache, t
+
+    def decode_greedy(self, cache, first_token, n_past: int, n_tokens: int):
+        dummy = jnp.zeros((n_tokens,), jnp.int32)
+        cache, toks = self._decode_loop(
+            self.params, cache, jnp.asarray(first_token), jnp.int32(n_past), dummy
+        )
+        return cache, np.asarray(toks)
