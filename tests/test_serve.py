@@ -1,0 +1,64 @@
+"""Continuous batching: interleaved multi-request generation must produce
+EXACTLY the tokens each request would get generated alone (the correctness
+bar for any batching engine; reference analog: the seq-id KV cache demo in
+examples/gpt-2/main-batched.cpp)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import sys
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+from tools.convert_hf_llama import convert_state_dict
+
+from ggml_tpu.gguf import GGUFFile
+from ggml_tpu.models.gpt2 import load_params
+from ggml_tpu.models.llama import Llama, config_from_gguf
+from ggml_tpu.serve import Engine
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=128,
+        rms_norm_eps=1e-5, attention_dropout=0.0,
+    )
+    torch.manual_seed(23)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("serve") / "m.gguf"
+    convert_state_dict(hf.state_dict(), cfg).write(path)
+    g = GGUFFile(path)
+    return Llama(load_params(g), config_from_gguf(g), max_seq=64, batch=1)
+
+
+def _solo_generate(m, prompt, n):
+    cache = m.new_cache(dtype=jnp.float32)
+    logits, cache, n_past = m.prefill(cache, prompt[None, :])
+    first = np.asarray(jnp.argmax(logits, -1))[:, None].astype(np.int32)
+    cache, toks = m.decode_greedy(cache, first, n_past, n - 1)
+    return [int(first[0, 0])] + [int(t) for t in np.asarray(toks).reshape(-1)]
+
+
+def test_continuous_batching_matches_solo(tiny_model):
+    m = tiny_model
+    rng = np.random.default_rng(4)
+    prompts = [
+        rng.integers(0, 256, 5).astype(np.int32),
+        rng.integers(0, 256, 9).astype(np.int32),
+        rng.integers(0, 256, 3).astype(np.int32),
+    ]
+    lens = [6, 4, 8]
+
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    rids = [eng.submit(p, n) for p, n in zip(prompts, lens)]
+    results = eng.run(bucket=4)
+
+    for rid, p, n in zip(rids, prompts, lens):
+        want = _solo_generate(m, p, n)
+        assert results[rid] == want, (rid, results[rid], want)

@@ -1,0 +1,74 @@
+"""Requantize a GGUF model file — the analog of the reference's per-example
+quantize tools (examples/common-ggml.cpp ggml_common_quantize_0,
+examples/gpt-2/quantize.cpp). 2-D matmul weights whose row length divides the
+block size are converted to the target type; norms/biases/1-D tensors stay
+f32 (same policy as the reference, examples/common-ggml.cpp skip rules).
+
+Usage: python tools/quantize_gguf.py in.gguf out.gguf q4_k
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+import numpy as np
+
+from ggml_tpu.dtypes import GGMLType, get_type_traits
+from ggml_tpu.gguf import GGUFFile, GGUFWriter
+from ggml_tpu.quant import reference as R
+
+FTYPES = {
+    "f16": GGMLType.F16, "q4_0": GGMLType.Q4_0, "q4_1": GGMLType.Q4_1,
+    "q5_0": GGMLType.Q5_0, "q5_1": GGMLType.Q5_1, "q8_0": GGMLType.Q8_0,
+    "q2_k": GGMLType.Q2_K, "q3_k": GGMLType.Q3_K, "q4_k": GGMLType.Q4_K,
+    "q5_k": GGMLType.Q5_K, "q6_k": GGMLType.Q6_K, "tq1_0": GGMLType.TQ1_0,
+    "tq2_0": GGMLType.TQ2_0,
+}
+
+
+def quantize_gguf(src_path, dst_path, ftype: GGMLType, verbose: bool = True):
+    g = GGUFFile(src_path)
+    w = GGUFWriter(alignment=g.alignment)
+    for key, val in g.metadata.items():
+        if key == "general.file_type":
+            continue
+        _copy_kv(w, key, val)
+    total_in = total_out = 0
+    for name, info in g.tensors.items():
+        data = g.to_float32(name)
+        quantizable = (
+            name.endswith(".weight")
+            and data.ndim == 2
+            and "norm" not in name
+            and data.shape[-1] % get_type_traits(ftype).block_size == 0
+            and ftype in set(R.supported_quant_types()) | {GGMLType.F16}
+        )
+        t = ftype if quantizable else GGMLType.F32
+        w.add_tensor(name, data, t)
+        total_in += info.n_bytes
+        from ggml_tpu.dtypes import row_size
+
+        total_out += row_size(t, data.shape[-1]) * int(np.prod(data.shape[:-1]))
+        if verbose:
+            print(f"{name:48s} {str(data.shape):>18} {GGMLType(info.ggml_type).name:>8} -> {t.name}")
+    w.write(dst_path)
+    if verbose:
+        print(f"total: {total_in/1e6:.1f} MB -> {total_out/1e6:.1f} MB")
+    g.close()
+
+
+def _copy_kv(w: GGUFWriter, key, val):
+    if isinstance(val, bool):
+        w.add_bool(key, val)
+    elif isinstance(val, int):
+        w.add_i32(key, val) if abs(val) < 2**31 else w.add_u64(key, val)
+    elif isinstance(val, float):
+        w.add_f32(key, val)
+    elif isinstance(val, str):
+        w.add_string(key, val)
+    elif isinstance(val, (list, tuple, np.ndarray)):
+        w.add_array(key, list(val))
+
+
+if __name__ == "__main__":
+    src, dst, ft = sys.argv[1], sys.argv[2], sys.argv[3]
+    quantize_gguf(src, dst, FTYPES[ft.lower()])
