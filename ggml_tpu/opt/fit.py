@@ -74,9 +74,12 @@ def epoch(
     idata_split: int | None = None,
     callback_train=None,
     callback_eval=None,
+    abort_callback=None,
 ) -> tuple[Result, Result]:
     """Train on batches [0, idata_split), evaluate on the rest.
-    reference: ggml_opt_epoch (include/ggml-opt.h:181-196)."""
+    reference: ggml_opt_epoch (include/ggml-opt.h:181-196). abort_callback:
+    checked between batches, return True to stop (the ggml_abort_callback
+    analog, include/ggml.h:613-615 — cooperative cancellation)."""
     ndata = dataset.ndata
     if idata_split is None:
         idata_split = ndata
@@ -87,6 +90,8 @@ def epoch(
     res_train, res_eval = Result(), Result()
     t0 = time.time()
     for ib in range(nbatches):
+        if abort_callback is not None and abort_callback():
+            break
         x, y = dataset.get_batch(ib, batch_size)
         if ib < split_batch:
             m = opt.step(x, y)

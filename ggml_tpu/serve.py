@@ -87,10 +87,14 @@ class Engine:
         self.queue.append(Request(self._rid, np.asarray(prompt, np.int32).reshape(-1), max_new_tokens))
         return self._rid
 
-    def run(self, bucket: int = 32) -> dict[int, list[int]]:
-        """Drive to completion; returns {rid: generated token ids}."""
+    def run(self, bucket: int = 32, abort_callback=None) -> dict[int, list[int]]:
+        """Drive to completion; returns {rid: generated token ids}.
+        abort_callback: checked per tick, return True to stop early
+        (the ggml_abort_callback analog)."""
         results: dict[int, list[int]] = {}
         while self.queue or any(s is not None for s in self.slots):
+            if abort_callback is not None and abort_callback():
+                break
             self._admit(bucket)
             self._tick()
             for i, s in enumerate(self.slots):
