@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# CI runner — the analog of the reference's ci/run.sh staged pipeline
+# (reference: ci/run.sh — ctest stages then real-model integration runs).
+#
+# Stage 1: full differential test suite on a virtual 8-device CPU mesh
+# Stage 2: multichip dry-run (dp/tp/ep/pp shardings compile + execute)
+# Stage 3: flagship compile check (quantized GPT-J through Pallas kernels)
+# Stage 4 (TPU only, opt-in: CI_TPU=1): end-to-end decode benchmark
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== stage 1: test suite (CPU mesh) =="
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8" \
+    python -m pytest tests/ -q
+
+echo "== stage 2: multichip dryrun =="
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8" \
+    python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+echo "== stage 3: flagship compile check =="
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    python -c "
+from __graft_entry__ import entry
+import jax
+fn, args = entry()
+out = jax.jit(fn)(*args)
+print('entry ok', jax.tree.map(lambda x: x.shape, out)[0])
+"
+
+if [ "${CI_TPU:-0}" = "1" ]; then
+  echo "== stage 4: TPU decode benchmark =="
+  python bench.py
+fi
+echo "CI OK"

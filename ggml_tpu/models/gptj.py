@@ -37,6 +37,9 @@ class GPTJConfig:
     n_layer: int = 28
     n_rot: int = 64
     eps: float = 1e-5
+    # fused Pallas flash attention for multi-token (prefill-from-empty) steps;
+    # bf16 MXU rounding (~1e-5 NMSE) vs the fp32 jnp path
+    use_flash_prefill: bool = False
 
     @property
     def head_dim(self):
@@ -132,14 +135,23 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
         vc = jax.lax.dynamic_update_slice(new_cache[i, 1], v.astype(new_cache.dtype), (0, 0, cache_len, 0))
         new_cache = new_cache.at[i, 0].set(kc).at[i, 1].set(vc)
 
-        att = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kc.astype(jnp.float32),
-                         preferred_element_type=jnp.float32) * scale
-        kv_pos = jnp.arange(max_seq)[None, None, None, :]
-        q_pos = positions[:, None, :, None]
-        att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
-        att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", att, vc)
-        attn_out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd).astype(compute_dtype)
+        if cfg.use_flash_prefill and t > 1:
+            # prefill-from-empty: attend the current tokens only through the
+            # fused Pallas kernel (cache history is empty by contract)
+            from ..kernels.flash_attn import flash_attention
+            from .llama import _causal_mask  # shared static mask helper
+
+            out = flash_attention(q, k, v, mask=_causal_mask(t), scale=scale)
+            attn_out = out.reshape(b, t, cfg.n_embd).astype(compute_dtype)
+        else:
+            att = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kc.astype(jnp.float32),
+                             preferred_element_type=jnp.float32) * scale
+            kv_pos = jnp.arange(max_seq)[None, None, None, :]
+            q_pos = positions[:, None, :, None]
+            att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", att, vc)
+            attn_out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd).astype(compute_dtype)
         attn_out = _linear(attn_out, params[pre + "attn_output.weight"])
 
         # parallel residual: mlp reads the SAME normed input (main.cpp:538-541)

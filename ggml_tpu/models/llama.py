@@ -36,6 +36,8 @@ class LlamaConfig:
     n_ff: int = 11008
     rope_base: float = 10000.0
     rms_eps: float = 1e-5
+    # fused Pallas flash attention for multi-token (prefill-from-empty) steps
+    use_flash_prefill: bool = False
 
     @property
     def head_dim(self):
@@ -89,6 +91,16 @@ def init_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
     return jnp.zeros(shape, dtype)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _causal_mask(t: int):
+    i = np.arange(t)[:, None]
+    j = np.arange(t)[None, :]
+    return jnp.asarray(np.where(j <= i, 0.0, -1e30).astype(np.float32))
+
+
 def _cache_write(cache_layer, kv, cache_len):
     """Write kv (b, h, t, d) into cache_layer (b, h, S, d) at position(s)
     cache_len: scalar (all rows same, the single-sequence path) or (b,) vector
@@ -127,17 +139,23 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len)
         vc = _cache_write(new_cache[i, 1], v.astype(new_cache.dtype), cache_len)
         new_cache = new_cache.at[i, 0].set(kc).at[i, 1].set(vc)
 
-        # GQA: each kv head serves n_head/n_head_kv query heads
-        qg = q.reshape(b, cfg.n_head_kv, rep, t, cfg.head_dim)
-        att = jnp.einsum("bgrqd,bgkd->bgrqk", qg.astype(jnp.float32), kc.astype(jnp.float32),
-                         preferred_element_type=jnp.float32) * scale
-        kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
-        q_pos = positions[:, None, None, :, None]
-        att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
-        att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
-        out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
-        out = out.reshape(b, cfg.n_head, t, cfg.head_dim).transpose(0, 2, 1, 3)
-        attn_out = out.reshape(b, t, cfg.n_embd).astype(dt)
+        if cfg.use_flash_prefill and t > 1:
+            from ..kernels.flash_attn import flash_attention
+
+            out = flash_attention(q, k, v, mask=_causal_mask(t), scale=scale)
+            attn_out = out.reshape(b, t, cfg.n_embd).astype(dt)
+        else:
+            # GQA: each kv head serves n_head/n_head_kv query heads
+            qg = q.reshape(b, cfg.n_head_kv, rep, t, cfg.head_dim)
+            att = jnp.einsum("bgrqd,bgkd->bgrqk", qg.astype(jnp.float32), kc.astype(jnp.float32),
+                             preferred_element_type=jnp.float32) * scale
+            kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
+            q_pos = positions[:, None, None, :, None]
+            att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
+            out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
+            out = out.reshape(b, cfg.n_head, t, cfg.head_dim).transpose(0, 2, 1, 3)
+            attn_out = out.reshape(b, t, cfg.n_embd).astype(dt)
         x = x + _linear(attn_out, params[pre + "attn_output.weight"])
 
         h = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)

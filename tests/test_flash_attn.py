@@ -68,3 +68,23 @@ def test_flash_attention_decode_shape():
     ref = ops.flash_attn_ext(q, k, v, mask=mask, scale=0.125)
     out = flash_attention(q, k, v, mask=mask, scale=0.125)
     assert _nmse(ref, out) < 1e-4
+
+
+def test_flash_prefill_matches_reference_model_path():
+    """Models with use_flash_prefill=True must match the fp32 jnp attention
+    path on a multi-token prefill (bf16 MXU rounding only)."""
+    from dataclasses import replace
+
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models.gptj import GPTJConfig, forward, init_cache, synth_quantized_params
+
+    cfg = GPTJConfig(n_vocab=512, n_ctx=64, n_embd=256, n_head=4, n_layer=2, n_rot=32)
+    params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=2, dtype=jnp.float32)
+    toks = jnp.asarray(RNG.integers(0, 512, (1, 24)).astype(np.int32))
+    cache = init_cache(cfg, 1, 32, jnp.float32)
+
+    ref, _ = forward(params, cfg, toks, jnp.zeros((1,), jnp.int32), cache, jnp.int32(0))
+    cache2 = init_cache(cfg, 1, 32, jnp.float32)
+    out, _ = forward(params, replace(cfg, use_flash_prefill=True), toks,
+                     jnp.zeros((1,), jnp.int32), cache2, jnp.int32(0))
+    assert _nmse(ref, out) < 1e-4
