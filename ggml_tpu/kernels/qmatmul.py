@@ -82,8 +82,8 @@ def _q4_kernel(x_lo, x_hi, qp, s_lo, s_hi, out, *, G: int):
     codes = qp[:].astype(jnp.int32)  # Mosaic: no direct uint8 -> f32 cast
     lo = (codes & 0xF).astype(jnp.float32)
     hi = (codes >> 4).astype(jnp.float32)
-    w_lo = (lo * _expand_groups(s_lo[0], G)).astype(jnp.bfloat16)
-    w_hi = (hi * _expand_groups(s_hi[0], G)).astype(jnp.bfloat16)
+    w_lo = (lo * _expand_groups(s_lo[0].astype(jnp.float32), G)).astype(jnp.bfloat16)
+    w_hi = (hi * _expand_groups(s_hi[0].astype(jnp.float32), G)).astype(jnp.bfloat16)
     acc = jnp.dot(x_lo[:], w_lo, preferred_element_type=jnp.float32)
     acc = acc + jnp.dot(x_hi[:], w_hi, preferred_element_type=jnp.float32)
     out[:] += acc
@@ -133,7 +133,7 @@ def _q8_kernel(x, q, s, out, *, G: int):
     def _():
         out[:] = jnp.zeros_like(out)
 
-    w = (q[:].astype(jnp.int32).astype(jnp.float32) * _expand_groups(s[:], G)).astype(jnp.bfloat16)
+    w = (q[:].astype(jnp.int32).astype(jnp.float32) * _expand_groups(s[:].astype(jnp.float32), G)).astype(jnp.bfloat16)
     out[:] += jnp.dot(x[:], w, preferred_element_type=jnp.float32)
 
 
@@ -191,7 +191,7 @@ def _q8gemv_kernel(xq, q, s, out, *, G: int, ng: int = 8):
 
     xv = xq[:]
     qv = q[:]
-    sv = s[:]
+    sv = s[:].astype(jnp.float32)  # scales may be stored bf16 in HBM
     acc = out[:]
     for j in range(ng):  # quant groups per k step, statically unrolled
         p = jax.lax.dot_general(

@@ -178,9 +178,12 @@ def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len):
             return z.reshape(b, t, cfg.n_head, cfg.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)  # (b, h, t, d)
-        # write into the cache at [.., pos_start:pos_start+t, :] (same start per batch row)
-        kc = jax.lax.dynamic_update_slice(new_cache[i, 0], k.astype(new_cache.dtype), (0, 0, cache_len, 0))
-        vc = jax.lax.dynamic_update_slice(new_cache[i, 1], v.astype(new_cache.dtype), (0, 0, cache_len, 0))
+        # write into the cache (scalar cache_len: same start per batch row;
+        # (b,) vector: per-slot continuous-batching positions)
+        from .common import cache_write
+
+        kc = cache_write(new_cache[i, 0], k.astype(new_cache.dtype), cache_len)
+        vc = cache_write(new_cache[i, 1], v.astype(new_cache.dtype), cache_len)
         new_cache = new_cache.at[i, 0].set(kc).at[i, 1].set(vc)
 
         # attention over the full cache with causal+length mask

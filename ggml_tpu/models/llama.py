@@ -91,25 +91,7 @@ def init_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
     return jnp.zeros(shape, dtype)
 
 
-import functools
-
-
-@functools.lru_cache(maxsize=32)
-def _causal_mask(t: int):
-    i = np.arange(t)[:, None]
-    j = np.arange(t)[None, :]
-    return jnp.asarray(np.where(j <= i, 0.0, -1e30).astype(np.float32))
-
-
-def _cache_write(cache_layer, kv, cache_len):
-    """Write kv (b, h, t, d) into cache_layer (b, h, S, d) at position(s)
-    cache_len: scalar (all rows same, the single-sequence path) or (b,) vector
-    (per-slot positions — the continuous-batching path, vmapped DUS)."""
-    if getattr(cache_len, "ndim", 0) == 0:
-        return jax.lax.dynamic_update_slice(cache_layer, kv, (0, 0, cache_len, 0))
-    return jax.vmap(
-        lambda c, k, p: jax.lax.dynamic_update_slice(c, k, (0, p, 0))
-    )(cache_layer, kv, cache_len)
+from .common import cache_write as _cache_write, causal_mask as _causal_mask  # noqa: E402
 
 
 def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len):

@@ -38,19 +38,25 @@ class Engine:
 
     def __init__(self, model, max_batch: int = 4, max_seq: int = 512, eos_id: int = -1,
                  cache_dtype=jnp.bfloat16):
-        from .models import llama
+        from .models import gpt2, gptj, llama
 
         self.model = model
         self.cfg = model.cfg
         self.max_batch = max_batch
         self.max_seq = max_seq
         self.eos_id = eos_id
-        self._fwd = llama.forward if isinstance(model, llama.Llama) else None
-        if self._fwd is None:
-            raise TypeError("Engine currently drives models/llama.py models")
+        if isinstance(model, llama.Llama):
+            self._fwd = llama.forward
+        elif isinstance(model, gptj.GPTJ):
+            self._fwd = gptj.forward
+        elif isinstance(model, gpt2.GPT2):
+            self._fwd = gpt2.forward
+        else:
+            raise TypeError(f"Engine cannot drive {type(model).__name__}")
 
         cfgv = self.cfg
-        shape = (cfgv.n_layer, 2, max_batch, cfgv.n_head_kv, max_seq, cfgv.head_dim)
+        n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
+        shape = (cfgv.n_layer, 2, max_batch, n_kv, max_seq, cfgv.head_dim)
         self.cache = jnp.zeros(shape, cache_dtype)
 
         def step(params, cache, tokens, n_past, active):
@@ -116,8 +122,9 @@ class Engine:
                     self._prefill_cache[key] = jax.jit(self._prefill_one)
                 toks = np.zeros((1, tb), np.int32)
                 toks[0, :t] = req.prompt
+                n_kv = getattr(self.cfg, "n_head_kv", self.cfg.n_head)
                 slot_cache = jnp.zeros(
-                    (self.cfg.n_layer, 2, 1, self.cfg.n_head_kv, self.max_seq, self.cfg.head_dim),
+                    (self.cfg.n_layer, 2, 1, n_kv, self.max_seq, self.cfg.head_dim),
                     self.cache.dtype,
                 )
                 nxt, slot_cache = self._prefill_cache[key](self.model.params, slot_cache, jnp.asarray(toks))

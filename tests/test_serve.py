@@ -62,3 +62,28 @@ def test_continuous_batching_matches_solo(tiny_model):
     for rid, p, n in zip(rids, prompts, lens):
         want = _solo_generate(m, p, n)
         assert results[rid] == want, (rid, results[rid], want)
+
+
+def test_engine_drives_gptj_too():
+    """Engine generalizes across model families (gptj path)."""
+    import jax.numpy as jnp
+
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models.gptj import GPTJ, GPTJConfig, synth_quantized_params
+
+    cfg = GPTJConfig(n_vocab=512, n_ctx=64, n_embd=128, n_head=4, n_layer=2, n_rot=16)
+    params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=5, dtype=jnp.float32)
+    m = GPTJ(params, cfg, max_seq=64, batch=1)
+
+    prompt = np.arange(4, dtype=np.int32) + 10
+    # solo
+    cache = m.new_cache(dtype=jnp.float32)
+    logits, cache, n_past = m.prefill(cache, prompt[None, :])
+    first = np.asarray(jnp.argmax(logits, -1))[:, None].astype(np.int32)
+    cache, toks = m.decode_greedy(cache, first, n_past, 5)
+    want = [int(first[0, 0])] + [int(t) for t in np.asarray(toks).reshape(-1)]
+
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    rid = eng.submit(prompt, 6)
+    results = eng.run(bucket=4)
+    assert results[rid] == want, (results[rid], want)
