@@ -69,3 +69,48 @@ def test_moe_ep_and_pipeline():
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
     assert "MOE-EP-OK" in r.stdout and "PP-OK" in r.stdout
+
+
+_SP_SCRIPT = r"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+assert jax.device_count() == 8
+from ggml_tpu.parallel.sp import ring_attention
+from ggml_tpu.ops import core as ops
+
+rng = np.random.default_rng(2)
+B, H, S, D = 1, 4, 64, 32  # S sharded 8 ways -> chunk 8
+q = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32) * 0.5)
+k = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32) * 0.5)
+v = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32) * 0.5)
+mesh = Mesh(np.array(jax.devices()), ("sp",))
+
+for causal in (False, True):
+    out = ring_attention(mesh, q, k, v, scale=0.2, causal=causal)
+    mask = None
+    if causal:
+        i = np.arange(S)[:, None]; j = np.arange(S)[None, :]
+        mask = jnp.asarray(np.where(j <= i, 0.0, -np.inf).astype(np.float32))
+    ref = ops.flash_attn_ext(q, k, v, mask=mask, scale=0.2)  # (b, s, h, d)
+    ref = jnp.transpose(ref, (0, 2, 1, 3))
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 1e-5, (causal, err)
+print("RING-ATTN-OK")
+"""
+
+
+def test_ring_attention_sequence_parallel():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    root = pathlib.Path(__file__).resolve().parent.parent
+    r = subprocess.run(
+        [sys.executable, "-c", _SP_SCRIPT], capture_output=True, text=True, env=env,
+        cwd=root, timeout=600,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
+    assert "RING-ATTN-OK" in r.stdout
