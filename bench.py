@@ -88,6 +88,41 @@ def bench_gptj_q4k():
     )
 
 
+def bench_gptj_prefill():
+    """GPT-J-6B Q4_K prefill tokens/s (flash attention + planar matmuls)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models.gptj import GPTJ, GPTJConfig, synth_quantized_params
+
+    _enable_compile_cache()
+    n_prompt = int(os.environ.get("BENCH_TOKENS", "512"))
+    cfg = GPTJConfig(use_flash_prefill=True)
+    params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
+    m = GPTJ(params, cfg, max_seq=max(512, n_prompt), batch=1)
+
+    prompt = np.random.default_rng(0).integers(0, cfg.n_vocab, (1, n_prompt)).astype(np.int32)
+    cache = m.new_cache(jnp.bfloat16)
+    logits, cache, _ = m.prefill(cache, prompt)  # compile
+    _ = np.asarray(logits)
+    cache = m.new_cache(jnp.bfloat16)
+    t0 = time.perf_counter()
+    logits, cache, _ = m.prefill(cache, prompt)
+    _ = np.asarray(logits)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "gptj_6b_q4k_prefill_tokens_per_sec_per_chip",
+                "value": round(n_prompt / dt, 1),
+                "unit": "tokens/s",
+                "vs_baseline": round((n_prompt / dt) / (1000.0 / 124.62), 3),
+            }
+        )
+    )
+
+
 def bench_gpt2():
     import jax
     import jax.numpy as jnp
@@ -131,7 +166,10 @@ def bench_gpt2():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH") == "gpt2":
+    mode = os.environ.get("BENCH", "")
+    if mode == "gpt2":
         bench_gpt2()
+    elif mode == "prefill":
+        bench_gptj_prefill()
     else:
         bench_gptj_q4k()
