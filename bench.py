@@ -46,7 +46,9 @@ def bench_gptj_q4k():
 
     cfg = GPTJConfig()  # 6B: n_embd 4096, n_layer 28, n_head 16
     n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
-    max_seq = 256  # bench window: prompt 32 + decode; KV reads stay small vs weights
+    # bench window: warmup + timed decode must both fit (KV reads stay small
+    # vs weights at this size)
+    max_seq = max(256, -(-(2 * n_tokens + 8) // 128) * 128)
 
     t0 = time.perf_counter()
     params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)

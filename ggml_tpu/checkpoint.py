@@ -24,11 +24,10 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            out.update(_flatten(v, f"{prefix}{k}/" if prefix or True else k))
+            assert "/" not in k, f"checkpoint keys may not contain '/': {k!r}"
+            out.update(_flatten(v, f"{prefix}{k}/"))
         return out
-    # leaf
-    arr = np.asarray(tree)
-    out[prefix[:-1]] = arr
+    out[prefix[:-1]] = np.asarray(tree)
     return out
 
 

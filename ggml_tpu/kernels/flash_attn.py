@@ -89,22 +89,32 @@ def flash_attention(
     _, h_kv, n_kv, d_v = v.shape
     rep = h // h_kv
 
-    bq = _pick_tile(n_q, (256, 128, 64, 32, 16, 8))
-    bkv = _pick_tile(n_kv, (512, 256, 128, 64, 32))
-    if n_q % bq:
-        pad = bq - n_q % bq
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    nq_pad = q.shape[2]
-    assert n_kv % bkv == 0, f"n_kv={n_kv} not divisible by kv tile {bkv}"
+    # Mosaic tiling wants sublane multiples of 8 and lane-friendly kv tiles:
+    # pad ragged q rows (sliced off afterwards) and ragged kv columns (masked
+    # to -inf so they contribute exp(-inf)=0 to the online softmax).
+    nkv_pad = -(-n_kv // 32) * 32
+    bq = _pick_tile(-(-n_q // 8) * 8, (256, 128, 64, 32, 16, 8))
+    bkv = _pick_tile(nkv_pad, (512, 256, 128, 64, 32))
+    nq_pad = -(-n_q // bq) * bq
+    if nq_pad != n_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, nq_pad - n_q), (0, 0)))
+    have_mask = mask is not None or nkv_pad != n_kv
+    if nkv_pad != n_kv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, nkv_pad - n_kv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, nkv_pad - n_kv), (0, 0)))
 
-    have_mask = mask is not None
     if have_mask:
-        mask = mask[..., :n_q, :].astype(jnp.float32)
-        mask = mask.reshape(n_q, n_kv)
-        if nq_pad != n_q:
-            mask = jnp.pad(mask, ((0, nq_pad - n_q), (0, 0)), constant_values=_NEG_INF)
+        m = (
+            mask[..., :n_q, :].astype(jnp.float32).reshape(n_q, n_kv)
+            if mask is not None
+            else jnp.zeros((n_q, n_kv), jnp.float32)
+        )
+        mask = jnp.pad(
+            m, ((0, nq_pad - n_q), (0, nkv_pad - n_kv)), constant_values=_NEG_INF
+        )
     else:
         mask = jnp.zeros((8, 128), jnp.float32)  # dummy, never read
+    n_kv = nkv_pad
     slopes = (
         alibi_slopes(h, max_bias).astype(jnp.float32)
         if max_bias > 0.0

@@ -21,6 +21,48 @@ def cache_write(cache_layer, kv, cache_len):
     )(cache_layer, kv, cache_len)
 
 
+def layer_norm(x, w, b, eps):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
+    return (x - m) / jnp.sqrt(v + eps) * w + b
+
+
+def linear(x, w, b=None):
+    """Dense or planar-quantized matmul: y = x @ W^T (+ b)."""
+    from ..quant.planar import PlanarWeight
+
+    if isinstance(w, PlanarWeight):
+        from ..kernels.qmatmul import planar_matmul
+
+        out = planar_matmul(x, w)
+    else:
+        out = jnp.einsum("...k,nk->...n", x, w, precision=jax.lax.Precision.HIGHEST)
+    if b is not None:
+        out = out + b
+    return out
+
+
+def generate(model, prompt_tokens: np.ndarray, n_tokens: int, sampler=None, key=None,
+             cache_dtype=None):
+    """Host-driven generation loop shared by the model wrappers (greedy when
+    sampler is None). model must expose new_cache/prefill/_step/params.
+    For pure-greedy bulk decoding prefer the on-device decode_greedy loop."""
+    cache = model.new_cache() if cache_dtype is None else model.new_cache(dtype=cache_dtype)
+    logits, cache, n_past = model.prefill(cache, prompt_tokens)
+    out = []
+    for _ in range(n_tokens):
+        if sampler is None:
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            tok, key = sampler(logits, key)
+        out.append(int(tok[0]))
+        pos0 = jnp.full((tok.shape[0],), n_past, jnp.int32)
+        logits, cache = model._step(model.params, tok[:, None], pos0, cache, jnp.int32(n_past))
+        logits = logits[:, -1, :]
+        n_past += 1
+    return out
+
+
 @functools.lru_cache(maxsize=32)
 def causal_mask(t: int):
     """Additive (t, t) causal mask with a finite -inf (flash-kernel safe)."""

@@ -130,24 +130,7 @@ def init_cache(cfg: GPT2Config, batch: int, max_seq: int, dtype=jnp.float32):
     return jnp.zeros(shape, dtype)
 
 
-def _layer_norm(x, w, b, eps):
-    m = jnp.mean(x, axis=-1, keepdims=True)
-    v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
-    return (x - m) / jnp.sqrt(v + eps) * w + b
-
-
-def _linear(x, w, b=None):
-    from ..quant.planar import PlanarWeight
-
-    if isinstance(w, PlanarWeight):
-        from ..kernels.qmatmul import planar_matmul
-
-        out = planar_matmul(x, w)
-    else:
-        out = jnp.einsum("...k,nk->...n", x, w, precision=jax.lax.Precision.HIGHEST)
-    if b is not None:
-        out = out + b
-    return out
+from .common import layer_norm as _layer_norm, linear as _linear  # noqa: E402
 
 
 def _gelu(x):

@@ -58,24 +58,7 @@ def config_from_gguf(g: GGUFFile) -> GPTJConfig:
     )
 
 
-def _layer_norm(x, w, b, eps):
-    m = jnp.mean(x, axis=-1, keepdims=True)
-    v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
-    return (x - m) / jnp.sqrt(v + eps) * w + b
-
-
-def _linear(x, w, b=None):
-    from ..quant.planar import PlanarWeight
-
-    if isinstance(w, PlanarWeight):
-        from ..kernels.qmatmul import planar_matmul
-
-        out = planar_matmul(x, w)
-    else:
-        out = jnp.einsum("...k,nk->...n", x, w, precision=jax.lax.Precision.HIGHEST)
-    if b is not None:
-        out = out + b
-    return out
+from .common import layer_norm as _layer_norm, linear as _linear  # noqa: E402
 
 
 def _rope_interleaved(x, positions, n_rot: int, base: float = 10000.0):
@@ -225,6 +208,11 @@ class GPTJ:
             self.params, cache, jnp.asarray(first_token), jnp.int32(n_past), dummy
         )
         return cache, np.asarray(toks)
+
+    def generate(self, prompt_tokens: np.ndarray, n_tokens: int, sampler=None, key=None):
+        from .common import generate
+
+        return generate(self, prompt_tokens, n_tokens, sampler=sampler, key=key)
 
 
 def random_config(scale: str = "6b") -> GPTJConfig:

@@ -8,8 +8,10 @@ assembly on our stack, plus the quantized planar path and an on-device scan
 decode loop (same design as models/gptj.py).
 
 RoPE convention: rotate_half over each head's dims (HF transformers layout).
-GGUF files converted by llama.cpp store q/k weights permuted for its
-interleaved implementation; load those with permute_qk=True to undo it.
+GGUF files converted by llama.cpp store q/k weights with an extra per-head
+permutation; `Llama.from_gguf(..., llamacpp_permuted=True)` undoes it at load
+(dequantizing q/k to dense in that case — the permutation cannot be applied
+to packed planes).
 """
 
 from __future__ import annotations
@@ -64,14 +66,7 @@ def _rms_norm(x, w, eps):
     return (x.astype(jnp.float32) * jax.lax.rsqrt(v + eps)).astype(x.dtype) * w
 
 
-def _linear(x, w):
-    from ..quant.planar import PlanarWeight
-
-    if isinstance(w, PlanarWeight):
-        from ..kernels.qmatmul import planar_matmul
-
-        return planar_matmul(x, w)
-    return jnp.einsum("...k,nk->...n", x, w, precision=jax.lax.Precision.HIGHEST)
+from .common import linear as _linear  # noqa: E402
 
 
 def _rope_half(x, positions, base: float):
@@ -84,6 +79,20 @@ def _rope_half(x, positions, base: float):
     sin = jnp.sin(theta)[:, :, None, :]
     x0, x1 = x[..., :half], x[..., half:]
     return jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+
+
+def permute_llamacpp_qk(w, n_head: int):
+    """llama.cpp convert-style q/k permutation: rows regrouped per head so the
+    interleaved rope kernel sees rotate-half layout (llama.cpp convert
+    `permute`): (N, K) -> reshape (H, 2, N/H/2, K) -> swap -> (N, K)."""
+    n, k = w.shape
+    return w.reshape(n_head, 2, n // n_head // 2, k).swapaxes(1, 2).reshape(n, k)
+
+
+def unpermute_llamacpp_qk(w, n_head: int):
+    """Inverse of permute_llamacpp_qk."""
+    n, k = w.shape
+    return w.reshape(n_head, n // n_head // 2, 2, k).swapaxes(1, 2).reshape(n, k)
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
@@ -181,12 +190,23 @@ class Llama:
         self._decode_loop = jax.jit(decode_loop, donate_argnums=(1,))
 
     @classmethod
-    def from_gguf(cls, path, dtype=jnp.bfloat16, keep_quantized: bool = True, **kw):
+    def from_gguf(cls, path, dtype=jnp.bfloat16, keep_quantized: bool = True,
+                  llamacpp_permuted: bool = False, **kw):
         from .gpt2 import load_params
 
         g = GGUFFile(path)
         cfg = config_from_gguf(g)
         params = load_params(g, dtype, keep_quantized=keep_quantized)
+        if llamacpp_permuted:
+            # undo llama.cpp's per-head q/k permutation (its converter packs
+            # rotary pairs for the interleaved kernel); must act on dense rows
+            for i in range(cfg.n_layer):
+                for nm, nh in ((f"blk.{i}.attn_q.weight", cfg.n_head),
+                               (f"blk.{i}.attn_k.weight", cfg.n_head_kv)):
+                    w = params[nm]
+                    if not hasattr(w, "ndim"):  # PlanarWeight: reload dense
+                        w = jnp.asarray(g.to_float32(nm), dtype=dtype)
+                    params[nm] = unpermute_llamacpp_qk(w, nh)
         return cls(params, cfg, **kw)
 
     def new_cache(self, dtype=jnp.bfloat16):
@@ -204,3 +224,8 @@ class Llama:
             self.params, cache, jnp.asarray(first_token), jnp.int32(n_past), dummy
         )
         return cache, np.asarray(toks)
+
+    def generate(self, prompt_tokens: np.ndarray, n_tokens: int, sampler=None, key=None):
+        from .common import generate
+
+        return generate(self, prompt_tokens, n_tokens, sampler=sampler, key=key)

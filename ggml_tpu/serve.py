@@ -89,8 +89,13 @@ class Engine:
     # -- public API -------------------------------------------------------------
 
     def submit(self, prompt, max_new_tokens: int) -> int:
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if len(prompt) >= self.max_seq:
+            raise ValueError(
+                f"prompt length {len(prompt)} exceeds engine max_seq {self.max_seq}"
+            )
         self._rid += 1
-        self.queue.append(Request(self._rid, np.asarray(prompt, np.int32).reshape(-1), max_new_tokens))
+        self.queue.append(Request(self._rid, prompt, max_new_tokens))
         return self._rid
 
     def run(self, bucket: int = 32, abort_callback=None) -> dict[int, list[int]]:
@@ -138,6 +143,8 @@ class Engine:
                 if t == tb:
                     self.cur_tok[i] = int(nxt[0])
                     req.out.append(int(nxt[0]))
+                    if int(nxt[0]) == self.eos_id or len(req.out) >= req.max_new_tokens:
+                        req.done = True
                 else:
                     # re-decode the true last prompt token to get position-exact
                     # logits (cache already contains it, attention masks by pos)

@@ -88,3 +88,18 @@ def test_flash_prefill_matches_reference_model_path():
     out, _ = forward(params, replace(cfg, use_flash_prefill=True), toks,
                      jnp.zeros((1,), jnp.int32), cache2, jnp.int32(0))
     assert _nmse(ref, out) < 1e-4
+
+
+def test_flash_attention_ragged_lengths():
+    # odd q and kv lengths exercise the pad+mask path (Mosaic alignment)
+    q, k, v = _make(1, 2, 2, 37, 53, 64)
+    mask = _causal_mask(37, 53, offset=16)
+    ref = ops.flash_attn_ext(q, k, v, mask=mask, scale=0.2)
+    out = flash_attention(q, k, v, mask=mask, scale=0.2)
+    assert out.shape == ref.shape
+    assert _nmse(ref, out) < 1e-4
+
+    # no explicit mask + ragged kv: pad columns must not leak into softmax
+    ref2 = ops.flash_attn_ext(q, k, v, mask=None, scale=0.2)
+    out2 = flash_attention(q, k, v, mask=None, scale=0.2)
+    assert _nmse(ref2, out2) < 1e-4

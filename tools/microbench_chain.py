@@ -17,7 +17,7 @@ from ggml_tpu.kernels.qmatmul import planar_matmul
 
 E = 4096
 cfg = GPTJConfig(n_vocab=512, n_ctx=64, n_embd=E, n_head=16, n_layer=1)
-params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
+params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0, fuse_qkv=False)
 pre = "blk.0."
 wq = params[pre + "attn_q.weight"]
 wk = params[pre + "attn_k.weight"]

@@ -14,7 +14,7 @@ from ggml_tpu.models.gptj import GPTJConfig, synth_quantized_params, init_cache
 from ggml_tpu.kernels.qmatmul import planar_matmul
 
 cfg = GPTJConfig(n_vocab=50400, n_ctx=2048, n_embd=4096, n_head=16, n_layer=2)
-params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
+params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0, fuse_qkv=False)
 E, H, D = cfg.n_embd, cfg.n_head, cfg.head_dim
 MAX_SEQ = 256
 print("synth done", flush=True)
