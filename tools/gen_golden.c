@@ -126,5 +126,15 @@ int main(int argc, char ** argv) {
     // f16 / bf16 casts
     rc |= dump_type(GGML_TYPE_F16, "f16", outdir, 4, 512, 0);
     rc |= dump_type(GGML_TYPE_BF16, "bf16", outdir, 4, 512, 0);
+    // imatrix-weighted quantization paths (quantize_<T> with quant_weights)
+    rc |= dump_type(GGML_TYPE_Q4_0, "q4_0_imat", outdir, 4, 512, 1);
+    rc |= dump_type(GGML_TYPE_Q4_1, "q4_1_imat", outdir, 4, 512, 1);
+    rc |= dump_type(GGML_TYPE_Q5_0, "q5_0_imat", outdir, 4, 512, 1);
+    rc |= dump_type(GGML_TYPE_Q5_1, "q5_1_imat", outdir, 4, 512, 1);
+    rc |= dump_type(GGML_TYPE_Q2_K, "q2_k_imat", outdir, 4, 1024, 1);
+    rc |= dump_type(GGML_TYPE_Q3_K, "q3_k_imat", outdir, 4, 1024, 1);
+    rc |= dump_type(GGML_TYPE_Q4_K, "q4_k_imat", outdir, 4, 1024, 1);
+    rc |= dump_type(GGML_TYPE_Q5_K, "q5_k_imat", outdir, 4, 1024, 1);
+    rc |= dump_type(GGML_TYPE_Q6_K, "q6_k_imat", outdir, 4, 1024, 1);
     return rc;
 }

@@ -25,7 +25,13 @@ FTYPES = {
 }
 
 
-def quantize_gguf(src_path, dst_path, ftype: GGMLType, verbose: bool = True):
+def quantize_gguf(src_path, dst_path, ftype: GGMLType, verbose: bool = True,
+                  imatrix: dict | None = None):
+    """imatrix: optional {tensor_name: (n_per_row,) fp32 importance weights} —
+    switches eligible tensors to the reference's weighted quantizers
+    (quantize_<T> with quant_weights, src/ggml-quants.c)."""
+    from ggml_tpu.quant.imatrix import quantize_with_imatrix, supported_imatrix_types
+
     g = GGUFFile(src_path)
     w = GGUFWriter(alignment=g.alignment)
     for key, val in g.metadata.items():
@@ -43,7 +49,13 @@ def quantize_gguf(src_path, dst_path, ftype: GGMLType, verbose: bool = True):
             and ftype in set(R.supported_quant_types()) | {GGMLType.F16}
         )
         t = ftype if quantizable else GGMLType.F32
-        w.add_tensor(name, data, t)
+        qw = imatrix.get(name) if (imatrix and quantizable) else None
+        if qw is not None and t in supported_imatrix_types():
+            qbytes = quantize_with_imatrix(data.reshape(-1, data.shape[-1]), t, qw)
+            w.add_tensor(name, qbytes.reshape(-1).view(np.uint8), t,
+                         raw_shape_ne=tuple(reversed(data.shape)))
+        else:
+            w.add_tensor(name, data, t)
         total_in += info.n_bytes
         from ggml_tpu.dtypes import row_size
 
