@@ -186,7 +186,96 @@ static void row_q6_k(const uint8_t* src, int64_t k, RowOut out) {
     }
 }
 
-// ---- Q8 of simple blocks etc. can fall back to Python -----------------------
+// ---- Q5_0: {f16 d; u32 qh; u8 qs[16]} --------------------------------------
+static void row_q5_0(const uint8_t* src, int64_t k, RowOut out) {
+    const int64_t nb = k / 32;
+    for (int64_t b = 0; b < nb; ++b) {
+        const uint8_t* blk = src + b * 22;
+        out.s[b] = f16_to_f32(rd16(blk));
+        uint32_t qh = rd32(blk + 2);
+        const uint8_t* qs = blk + 6;
+        for (int j = 0; j < 16; ++j) {
+            int lo = qs[j] & 0xF, hi = qs[j] >> 4;
+            int b0 = ((qh >> j) << 4) & 0x10;
+            int b1 = (qh >> (j + 12)) & 0x10;
+            out.q[b * 32 + j] = (int16_t)((lo | b0) - 16);
+            out.q[b * 32 + 16 + j] = (int16_t)((hi | b1) - 16);
+        }
+    }
+}
+
+// ---- Q5_1: {f16 d; f16 m; u32 qh; u8 qs[16]} -------------------------------
+static void row_q5_1(const uint8_t* src, int64_t k, RowOut out) {
+    const int64_t nb = k / 32;
+    for (int64_t b = 0; b < nb; ++b) {
+        const uint8_t* blk = src + b * 24;
+        out.s[b] = f16_to_f32(rd16(blk));
+        out.o[b] = f16_to_f32(rd16(blk + 2));
+        uint32_t qh = rd32(blk + 4);
+        const uint8_t* qs = blk + 8;
+        for (int j = 0; j < 16; ++j) {
+            int lo = qs[j] & 0xF, hi = qs[j] >> 4;
+            int b0 = ((qh >> j) << 4) & 0x10;
+            int b1 = (qh >> (j + 12)) & 0x10;
+            out.q[b * 32 + j] = (int16_t)(lo | b0);
+            out.q[b * 32 + 16 + j] = (int16_t)(hi | b1);
+        }
+    }
+}
+
+// ---- Q2_K: {u8 scales[16]; u8 qs[64]; f16 d; f16 dmin} ---------------------
+static void row_q2_k(const uint8_t* src, int64_t k, RowOut out) {
+    const int64_t nsb = k / 256;
+    for (int64_t sb = 0; sb < nsb; ++sb) {
+        const uint8_t* blk = src + sb * 84;
+        const uint8_t* scales = blk;
+        const uint8_t* qs = blk + 16;
+        float d = f16_to_f32(rd16(blk + 80));
+        float dmin = f16_to_f32(rd16(blk + 82));
+        for (int g = 0; g < 16; ++g) {
+            out.s[sb * 16 + g] = d * (scales[g] & 0xF);
+            out.o[sb * 16 + g] = -dmin * (scales[g] >> 4);
+        }
+        for (int e = 0; e < 256; ++e) {
+            int g = e / 16, l = e % 16;
+            int qidx = 32 * (g / 8) + 16 * (g % 2) + l;
+            int shift = 2 * ((g % 8) / 2);
+            out.q[sb * 256 + e] = (int16_t)((qs[qidx] >> shift) & 3);
+        }
+    }
+}
+
+// ---- Q3_K: {u8 hmask[32]; u8 qs[64]; u8 scales[12]; f16 d} -----------------
+static void row_q3_k(const uint8_t* src, int64_t k, RowOut out) {
+    const int64_t nsb = k / 256;
+    for (int64_t sb = 0; sb < nsb; ++sb) {
+        const uint8_t* blk = src + sb * 110;
+        const uint8_t* hmask = blk;
+        const uint8_t* qs = blk + 32;
+        const uint8_t* scales = blk + 96;
+        float d = f16_to_f32(rd16(blk + 108));
+        for (int j = 0; j < 16; ++j) {  // 6-bit scales - 32 (kmask decode)
+            int lo = j < 8 ? (scales[j] & 0xF) : (scales[j - 8] >> 4);
+            int hi = (scales[8 + j % 4] >> (2 * (j / 4))) & 3;
+            int sc = (lo | (hi << 4)) - 32;
+            float s = d * sc;
+            out.s[sb * 16 + j] = s;
+            out.o[sb * 16 + j] = -4.0f * s;
+        }
+        for (int e = 0; e < 256; ++e) {
+            int g = e / 16, l = e % 16;
+            int qidx = 32 * (g / 8) + 16 * (g % 2) + l;
+            int shift = 2 * ((g % 8) / 2);
+            int mbit = g / 2;
+            int hidx = 16 * (g % 2) + l;
+            int hm = (hmask[hidx] >> mbit) & 1;
+            int v = ((qs[qidx] >> shift) & 3) - (hm ? 0 : 4);
+            out.q[sb * 256 + e] = (int16_t)(v + 4);  // store code in [0, 7]
+        }
+    }
+}
+
+// ---- other types fall back to Python ---------------------------------------
 
 typedef void (*row_fn)(const uint8_t*, int64_t, RowOut);
 
@@ -203,7 +292,11 @@ static bool type_info(int ggml_type, TypeInfo* ti) {
     switch (ggml_type) {
         case 2:  *ti = {row_q4_0, 18, 32, 32, true, true};  return true;  // Q4_0
         case 3:  *ti = {row_q4_1, 20, 32, 32, true, true};  return true;  // Q4_1
+        case 6:  *ti = {row_q5_0, 22, 32, 32, false, false}; return true; // Q5_0
+        case 7:  *ti = {row_q5_1, 24, 32, 32, true, false}; return true;  // Q5_1
         case 8:  *ti = {row_q8_0, 34, 32, 32, false, false}; return true; // Q8_0
+        case 10: *ti = {row_q2_k, 84, 256, 16, true, true}; return true;  // Q2_K
+        case 11: *ti = {row_q3_k, 110, 256, 16, true, true}; return true; // Q3_K
         case 12: *ti = {row_q4_k, 144, 256, 32, true, true}; return true; // Q4_K
         case 13: *ti = {row_q5_k, 176, 256, 32, true, false}; return true; // Q5_K
         case 14: *ti = {row_q6_k, 210, 256, 16, false, false}; return true; // Q6_K

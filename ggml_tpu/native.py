@@ -88,10 +88,10 @@ def native_repack(raw: np.ndarray, ggml_type, shape, n_pad_to: int = 128, force_
     n, k = shape
     npad = -(-n // n_pad_to) * n_pad_to
     # mirror quant.planar.repack's layout decisions
-    group = {2: 32, 3: 32, 8: 32, 12: 32, 13: 32, 14: 16}[int(ggml_type)]
-    q4_capable = int(ggml_type) in (2, 3, 12)
+    group = {2: 32, 3: 32, 6: 32, 7: 32, 8: 32, 10: 16, 11: 16, 12: 32, 13: 32, 14: 16}[int(ggml_type)]
+    q4_capable = int(ggml_type) in (2, 3, 10, 11, 12)
     use_q4 = q4_capable and (k // 2) % group == 0 and not force_q8 and int(ggml_type) in {int(t) for t in _Q4_PLANE_TYPES}
-    affine = int(ggml_type) in (2, 3, 12, 13)
+    affine = int(ggml_type) in (2, 3, 7, 10, 11, 12, 13)
 
     raw = np.ascontiguousarray(raw.reshape(-1).view(np.uint8))
     if use_q4:

@@ -402,6 +402,28 @@ def repack(
     shape: tuple[int, int],
     n_pad_to: int = 128,
     force_q8: bool = False,
+    backend: str = "auto",
+) -> PlanarWeight:
+    """backend: 'auto' uses the multithreaded C++ repacker when available
+    (csrc/repack.cpp, bit-identical), 'numpy' forces the pure-Python path."""
+    if backend == "auto":
+        try:
+            from ..native import native_repack
+
+            pw = native_repack(raw, ggml_type, shape, n_pad_to=n_pad_to, force_q8=force_q8)
+            if pw is not None:
+                return pw
+        except Exception:
+            pass
+    return _repack_numpy(raw, ggml_type, shape, n_pad_to=n_pad_to, force_q8=force_q8)
+
+
+def _repack_numpy(
+    raw: np.ndarray,
+    ggml_type: GGMLType,
+    shape: tuple[int, int],
+    n_pad_to: int = 128,
+    force_q8: bool = False,
 ) -> PlanarWeight:
     """Repack raw ggml-format bytes of a (N, K) weight into planar layout.
 

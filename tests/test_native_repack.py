@@ -14,7 +14,8 @@ pytestmark = pytest.mark.skipif(get_lib() is None, reason="no native toolchain")
 
 RNG = np.random.default_rng(17)
 
-NATIVE_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K]
+NATIVE_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0,
+                GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K]
 
 
 @pytest.mark.parametrize("ggml_type", NATIVE_TYPES, ids=lambda t: t.name)
@@ -24,7 +25,7 @@ def test_native_matches_numpy(ggml_type, force_q8):
     w = (RNG.standard_normal((n, k)) * 0.5).astype(np.float32)
     raw = R.quantize(w, ggml_type)
 
-    ref = repack(raw, ggml_type, (n, k), force_q8=force_q8)
+    ref = repack(raw, ggml_type, (n, k), force_q8=force_q8, backend="numpy")
     nat = native_repack(raw, ggml_type, (n, k), force_q8=force_q8)
     assert nat is not None
 
