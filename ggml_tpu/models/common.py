@@ -63,6 +63,44 @@ def generate(model, prompt_tokens: np.ndarray, n_tokens: int, sampler=None, key=
     return out
 
 
+def make_sampled_decode(model, forward_fn, cfg):
+    """Build an on-device sampled decode loop (top-k/top-p/temperature inside
+    the lax.scan, PRNG key in the carry — zero host round-trips, the sampled
+    analog of decode_greedy). Returns decode_sampled(cache, first_token,
+    n_past, n_tokens, key, **sampler_kw) -> (cache, token ids)."""
+    from ..sampling import sample_top_k_top_p
+
+    @functools.lru_cache(maxsize=8)
+    def compiled(temperature: float, top_k: int, top_p: float):
+        def loop(params, cache, first_token, n_past, key, steps_tokens):
+            def body(carry, _):
+                cache, tok, n_past, key = carry
+                pos0 = jnp.full((tok.shape[0],), n_past, jnp.int32)
+                logits, cache = forward_fn(params, cfg, tok, pos0, cache, n_past)
+                nxt, key = sample_top_k_top_p(
+                    logits[:, -1, :], key, temperature=temperature, top_k=top_k, top_p=top_p
+                )
+                return (cache, nxt[:, None], n_past + 1, key), nxt
+
+            (cache, tok, n_past, key), toks = jax.lax.scan(
+                body, (cache, first_token, n_past, key), steps_tokens
+            )
+            return cache, toks
+
+        return jax.jit(loop, donate_argnums=(1,))
+
+    def decode_sampled(cache, first_token, n_past, n_tokens, key,
+                       temperature=0.8, top_k=40, top_p=0.95):
+        fn = compiled(float(temperature), int(top_k), float(top_p))
+        cache, toks = fn(
+            model.params, cache, jnp.asarray(first_token), jnp.int32(n_past), key,
+            jnp.zeros((n_tokens,), jnp.int32),
+        )
+        return cache, np.asarray(toks)
+
+    return decode_sampled
+
+
 @functools.lru_cache(maxsize=32)
 def causal_mask(t: int):
     """Additive (t, t) causal mask with a finite -inf (flash-kernel safe)."""

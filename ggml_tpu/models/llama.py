@@ -229,3 +229,11 @@ class Llama:
         from .common import generate
 
         return generate(self, prompt_tokens, n_tokens, sampler=sampler, key=key)
+
+    def decode_sampled(self, cache, first_token, n_past, n_tokens, key, **sampler_kw):
+        """On-device top-k/top-p sampled decode (see common.make_sampled_decode)."""
+        from .common import make_sampled_decode
+
+        if not hasattr(self, "_decode_sampled"):
+            self._decode_sampled = make_sampled_decode(self, forward, self.cfg)
+        return self._decode_sampled(cache, first_token, n_past, n_tokens, key, **sampler_kw)

@@ -87,3 +87,34 @@ def test_engine_drives_gptj_too():
     rid = eng.submit(prompt, 6)
     results = eng.run(bucket=4)
     assert results[rid] == want, (results[rid], want)
+
+
+def test_on_device_sampled_decode(tiny_model):
+    """Sampled decode inside the scan: deterministic per key, varies across
+    keys, and temperature->0 approaches greedy."""
+    import jax
+    import jax.numpy as jnp
+
+    m = tiny_model
+    prompt = np.asarray([[5, 9, 2]], np.int32)
+
+    def run(key, temp):
+        cache = m.new_cache(dtype=jnp.float32)
+        logits, cache, n_past = m.prefill(cache, prompt)
+        first = np.asarray(jnp.argmax(logits, -1))[:, None].astype(np.int32)
+        cache, toks = m.decode_sampled(cache, first, n_past, 8, jax.random.PRNGKey(key),
+                                       temperature=temp, top_k=10, top_p=0.95)
+        return [int(t) for t in np.asarray(toks).reshape(-1)]
+
+    a1 = run(0, 1.0)
+    a2 = run(0, 1.0)
+    b = run(1, 1.0)
+    assert a1 == a2  # same key -> same draw
+    assert len(a1) == 8
+    cold = run(3, 1e-4)  # ~greedy
+
+    cache = m.new_cache(dtype=jnp.float32)
+    logits, cache, n_past = m.prefill(cache, prompt)
+    first = np.asarray(jnp.argmax(logits, -1))[:, None].astype(np.int32)
+    cache, greedy_toks = m.decode_greedy(cache, first, n_past, 8)
+    assert cold == [int(t) for t in np.asarray(greedy_toks).reshape(-1)]
