@@ -66,7 +66,10 @@ def _fa_kernel(slopes, q, k, v, mask, o, m_scr, l_scr, acc, *, scale, softcap, h
     def _():
         l = l_scr[:, :1]
         l = jnp.where(l == 0.0, 1.0, l)
-        o[0, 0] = (acc[:] / l).astype(o.dtype)
+        # fully-masked rows never raised the running max off its -1e30 init:
+        # emit zeros (not sum(v)/l — every p was exp(0) against the sentinel)
+        dead = m_scr[:, :1] <= _NEG_INF * 0.5
+        o[0, 0] = jnp.where(dead, 0.0, acc[:] / l).astype(o.dtype)
 
 
 def flash_attention(
@@ -113,7 +116,7 @@ def flash_attention(
             m, ((0, nq_pad - n_q), (0, nkv_pad - n_kv)), constant_values=_NEG_INF
         )
     else:
-        mask = jnp.zeros((8, 128), jnp.float32)  # dummy, never read
+        mask = jnp.zeros((bq, bkv), jnp.float32)  # dummy block, never read
     n_kv = nkv_pad
     slopes = (
         alibi_slopes(h, max_bias).astype(jnp.float32)
@@ -158,7 +161,7 @@ def flash_attention(
             transcendentals=b * h * nq_pad * n_kv,
         ),
         interpret=interpret,
-    )(slopes, q, k, v, mask if have_mask else jnp.zeros((bq, bkv), jnp.float32))
+    )(slopes, q, k, v, mask)
 
     out = out[:, :, :n_q]
     return jnp.transpose(out, (0, 2, 1, 3))

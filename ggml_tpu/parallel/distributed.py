@@ -67,13 +67,19 @@ def barrier(tag: str = "barrier") -> None:
 
     devs = np.array(jax.devices())
     mesh = Mesh(devs, ("all",))
+    sharding = jax.sharding.NamedSharding(mesh, P("all"))
+    # per-shard construction works across processes (a host-local jnp.ones
+    # cannot be bound to a global mesh when process_count > 1)
+    ones = jax.make_array_from_callback(
+        (len(devs),), sharding, lambda idx: np.ones((1,), np.float32)
+    )
     out = shard_map(
         lambda x: jax.lax.psum(x, "all"),
         mesh=mesh,
         in_specs=P("all"),
         out_specs=P(),
-    )(jnp.ones((len(devs),), jnp.float32))
-    assert int(out.reshape(())[()]) == len(devs), f"{tag}: barrier psum mismatch"
+    )(ones)
+    assert int(np.asarray(out).reshape(-1)[0]) == len(devs), f"{tag}: barrier psum mismatch"
 
 
 def make_global_mesh(axes: dict[str, int]) -> "jax.sharding.Mesh":

@@ -35,6 +35,7 @@ def make_mesh(n_devices: int | None = None, tp: int | None = None) -> Mesh:
             if n % cand == 0:
                 tp = cand
                 break
+    assert n % tp == 0, f"tp={tp} must divide device count {n}"
     dp = n // tp
     arr = np.array(devs).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))

@@ -89,6 +89,20 @@ def gptj_param_specs(params: dict) -> dict:
 
 
 def shard_gptj_params(params: dict, mesh: Mesh) -> dict:
+    for name, v in params.items():
+        if name.endswith("attn_qkv.weight"):
+            raise ValueError(
+                "tensor parallelism needs separate q/k/v projections: load or "
+                "synthesize with fuse_qkv=False (fused [q|k|v] columns would "
+                "shard across the wrong heads)"
+            )
+        if isinstance(v, PlanarWeight) and v.kind == "q4" and _weight_mode(name) == "row":
+            raise ValueError(
+                f"{name}: q4-packed planes cannot be row-sharded — the packed "
+                "byte row r holds elements r and r+K/2, which a contiguous "
+                "K-shard of the activations would misalign. Repack with "
+                "force_q8=True for tensor-parallel row sharding."
+            )
     specs = gptj_param_specs(params)
     return jax.tree.map(
         lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),

@@ -409,12 +409,14 @@ def repack(
     if backend == "auto":
         try:
             from ..native import native_repack
-
+        except ImportError:
+            native_repack = None
+        if native_repack is not None:
+            # real native-path failures (nonzero rc etc.) propagate; only an
+            # unavailable toolchain/library falls back to numpy
             pw = native_repack(raw, ggml_type, shape, n_pad_to=n_pad_to, force_q8=force_q8)
             if pw is not None:
                 return pw
-        except Exception:
-            pass
     return _repack_numpy(raw, ggml_type, shape, n_pad_to=n_pad_to, force_q8=force_q8)
 
 

@@ -103,3 +103,17 @@ def test_flash_attention_ragged_lengths():
     ref2 = ops.flash_attn_ext(q, k, v, mask=None, scale=0.2)
     out2 = flash_attention(q, k, v, mask=None, scale=0.2)
     assert _nmse(ref2, out2) < 1e-4
+
+
+def test_flash_attention_fully_masked_rows_zero():
+    # rows with every kv masked must output exactly 0 (not sum(v)/l)
+    q, k, v = _make(1, 2, 2, 16, 33, 64)  # ragged kv -> pad columns too
+    mask = np.zeros((16, 33), np.float32)
+    mask[4:8, :] = -np.inf  # fully-masked real rows
+    out = flash_attention(q, k, v, mask=jnp.asarray(mask), scale=0.3)
+    o = np.asarray(out)  # (b, nq, h, d)
+    assert np.all(o[:, 4:8] == 0.0)
+    # unmasked rows still match the reference
+    ref = ops.flash_attn_ext(q, k, v, mask=jnp.asarray(mask), scale=0.3)
+    assert _nmse(np.asarray(ref)[:, :4], o[:, :4]) < 1e-4
+    assert _nmse(np.asarray(ref)[:, 8:], o[:, 8:]) < 1e-4
