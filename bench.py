@@ -90,6 +90,45 @@ def bench_gptj_q4k():
     )
 
 
+def bench_gptj_batched():
+    """Aggregate decode throughput at batch > 1 (serving shape): the weight
+    stream amortizes across slots, so tokens/s scales until compute binds.
+    BENCH_BATCH sets the slot count (default 4, within the GEMV M<=8 path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models.gptj import GPTJ, GPTJConfig, synth_quantized_params
+
+    _enable_compile_cache()
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
+    cfg = GPTJConfig()
+    params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
+    max_seq = max(256, -(-(2 * n_tokens + 8) // 128) * 128)
+    m = GPTJ(params, cfg, max_seq=max_seq, batch=batch)
+    cache = m.new_cache(dtype=jnp.bfloat16)
+
+    first = np.full((batch, 1), 11, np.int32)
+    cache, _ = m.decode_greedy(cache, first, 0, n_tokens)  # warm, same trip count
+    t0 = time.perf_counter()
+    cache, toks = m.decode_greedy(cache, first, n_tokens, n_tokens)
+    dt = time.perf_counter() - t0
+
+    agg = batch * n_tokens / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"gptj_6b_q4k_decode_agg_tokens_per_sec_batch{batch}",
+                "value": round(agg, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(agg / (1000.0 / 124.62), 3),
+            }
+        )
+    )
+    print(f"# batch={batch}: {1000*dt/n_tokens:.2f} ms/step, {agg:.1f} tok/s aggregate", file=sys.stderr)
+
+
 def bench_gptj_prefill():
     """GPT-J-6B Q4_K prefill tokens/s (flash attention + planar matmuls)."""
     import jax
@@ -173,5 +212,7 @@ if __name__ == "__main__":
         bench_gpt2()
     elif mode == "prefill":
         bench_gptj_prefill()
+    elif mode == "batch":
+        bench_gptj_batched()
     else:
         bench_gptj_q4k()

@@ -78,3 +78,83 @@ class BPETokenizer:
         text = "".join(self.decoder[int(i)] for i in ids)
         data = bytearray(self.byte_decoder.get(c, ord("?")) for c in text)
         return data.decode("utf-8", errors="replace")
+
+
+class SPMTokenizer:
+    """SentencePiece-style tokenizer for llama-family GGUFs.
+
+    reference analog: llama.cpp's llm_tokenizer_spm (consumes the same
+    tokenizer.ggml.tokens/scores/token_type metadata): text is split into
+    UTF-8 symbols (with ' ' mapped to the U+2581 underline), then adjacent
+    pieces are greedily merged in best-score order; bytes fall back to the
+    <0xNN> byte tokens.
+    """
+
+    SPACE = "▁"
+
+    def __init__(self, tokens: list[str], scores: list[float], add_bos: bool = True, bos_id: int = 1):
+        self.tokens = list(tokens)
+        self.scores = list(scores)
+        self.encoder = {t: i for i, t in enumerate(tokens)}
+        self.add_bos = add_bos
+        self.bos_id = bos_id
+        self.byte_ids = {}
+        for i, t in enumerate(tokens):
+            if len(t) == 6 and t.startswith("<0x") and t.endswith(">"):
+                self.byte_ids[int(t[3:5], 16)] = i
+
+    @classmethod
+    def from_gguf(cls, g):
+        md = g.metadata
+        toks = list(md["tokenizer.ggml.tokens"])
+        scores = list(md.get("tokenizer.ggml.scores", [0.0] * len(toks)))
+        bos = int(md.get("tokenizer.ggml.bos_token_id", 1))
+        return cls(toks, scores, bos_id=bos)
+
+    def encode(self, text: str, add_bos: bool | None = None) -> list[int]:
+        text = self.SPACE + text.replace(" ", self.SPACE)
+        pieces = list(text)
+        # greedy best-score merge of adjacent pieces (llm_tokenizer_spm order)
+        while len(pieces) > 1:
+            best_score, best_i = -1e30, -1
+            for i in range(len(pieces) - 1):
+                cand = pieces[i] + pieces[i + 1]
+                j = self.encoder.get(cand)
+                if j is not None and self.scores[j] > best_score:
+                    best_score, best_i = self.scores[j], i
+            if best_i < 0:
+                break
+            pieces[best_i : best_i + 2] = [pieces[best_i] + pieces[best_i + 1]]
+        ids = []
+        if add_bos if add_bos is not None else self.add_bos:
+            ids.append(self.bos_id)
+        for p in pieces:
+            j = self.encoder.get(p)
+            if j is not None:
+                ids.append(j)
+            else:  # byte fallback
+                for b in p.encode("utf-8"):
+                    ids.append(self.byte_ids.get(b, 0))
+        return ids
+
+    def decode(self, ids) -> str:
+        out = []
+        i = 0
+        ids = [int(v) for v in ids]
+        while i < len(ids):
+            t = self.tokens[ids[i]]
+            if len(t) == 6 and t.startswith("<0x") and t.endswith(">"):
+                bs = bytearray()
+                while i < len(ids):
+                    tt = self.tokens[ids[i]]
+                    if len(tt) == 6 and tt.startswith("<0x") and tt.endswith(">"):
+                        bs.append(int(tt[3:5], 16))
+                        i += 1
+                    else:
+                        break
+                out.append(bs.decode("utf-8", errors="replace"))
+                continue
+            out.append(t.replace(self.SPACE, " "))
+            i += 1
+        s = "".join(out)
+        return s[1:] if s.startswith(" ") else s

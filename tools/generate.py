@@ -34,7 +34,7 @@ def main():
 
     from ggml_tpu.gguf import GGUFFile
     from ggml_tpu.sampling import sample_top_k_top_p
-    from ggml_tpu.tokenizer import BPETokenizer
+    from ggml_tpu.tokenizer import BPETokenizer, SPMTokenizer
 
     g = GGUFFile(args.model)
     arch = args.arch or g.metadata.get("general.architecture", "gpt2")
@@ -48,7 +48,9 @@ def main():
 
     tok = None
     if "tokenizer.ggml.tokens" in g.metadata:
-        tok = BPETokenizer.from_gguf(g)
+        model_kind = (g.metadata.get("tokenizer.ggml.model") or ["gpt2"])
+        model_kind = model_kind[0] if isinstance(model_kind, (list, tuple)) else model_kind
+        tok = SPMTokenizer.from_gguf(g) if model_kind == "llama" else BPETokenizer.from_gguf(g)
         ids = np.asarray([tok.encode(args.prompt)], np.int32)
     else:
         print("(no tokenizer in GGUF; prompt interpreted as space-separated ids)", file=sys.stderr)
