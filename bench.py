@@ -164,6 +164,83 @@ def bench_gptj_prefill():
     )
 
 
+def bench_mnist():
+    """MNIST fc eval throughput (reference: 7.69 us/image on CPU,
+    examples/mnist/README.md:77-78)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_tpu.models import mnist
+
+    _enable_compile_cache()
+    params = mnist.init_fc(0)
+    images = np.random.default_rng(0).random((10000, 28, 28)).astype(np.float32)
+    fwd = jax.jit(mnist.fc_forward)
+    x = jnp.asarray(images)
+    _ = np.asarray(fwd(params, x))  # compile + fetch
+    t0 = time.perf_counter()
+    logits = fwd(params, x)
+    _ = np.asarray(logits)
+    dt = time.perf_counter() - t0
+    us_per_img = dt / 10000 * 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "mnist_fc_eval_us_per_image",
+                "value": round(us_per_img, 3),
+                "unit": "us/image",
+                "vs_baseline": round(7.69 / us_per_img, 2),  # >1 = faster
+            }
+        )
+    )
+
+
+def bench_sam():
+    """SAM ViT-B full pipeline (reference: 2047.5 ms encode+mask on 8 CPU
+    threads, examples/sam/README.md:42,73-74). Random-init weights — timing
+    depends only on shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_tpu.models import sam as jsam
+
+    _enable_compile_cache()
+    cfg = jsam.SamCfg()  # ViT-B defaults: 1024x1024, 12 layers, 768 wide
+    rng = np.random.default_rng(0)
+
+    # random params with the HF state-dict naming the forward expects
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    hf = transformers.SamModel(transformers.SamConfig())
+    params = {k: jnp.asarray(v) for k, v in jsam.params_from_hf(hf).items()}
+    jcfg = jsam.cfg_from_hf(hf.config)
+
+    pixels = jnp.asarray(rng.standard_normal((1, 3, 1024, 1024)).astype(np.float32))
+    points = jnp.asarray(np.array([[[[512.0, 512.0]]]], np.float32))
+    labels = jnp.ones((1, 1, 1), jnp.float32)
+
+    fwd = jax.jit(lambda p, px, pt, lb: jsam.forward(p, jcfg, px, pt, lb))
+    masks, iou = fwd(params, pixels, points, labels)
+    _ = np.asarray(iou)  # compile + fetch
+    t0 = time.perf_counter()
+    masks, iou = fwd(params, pixels, points, labels)
+    _ = np.asarray(iou)
+    _ = np.asarray(masks)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "sam_vitb_encode_plus_mask_ms",
+                "value": round(dt * 1000, 1),
+                "unit": "ms",
+                "vs_baseline": round(2047.5 / (dt * 1000), 2),  # >1 = faster
+            }
+        )
+    )
+
+
 def bench_gpt2():
     import jax
     import jax.numpy as jnp
@@ -214,5 +291,9 @@ if __name__ == "__main__":
         bench_gptj_prefill()
     elif mode == "batch":
         bench_gptj_batched()
+    elif mode == "mnist":
+        bench_mnist()
+    elif mode == "sam":
+        bench_sam()
     else:
         bench_gptj_q4k()
