@@ -292,7 +292,103 @@ class Context:
         ph, pw = (p, p) if isinstance(p, int) else p
         oh = (hh + 2 * ph - kh) // sh + 1
         ow = (ww + 2 * pw - kw) // sw + 1
-        return self._node((n, c, oh, ow), x.dtype, "pool_2d", (x,), op=op, k=(kh, kw), s=(sh, sw), p=(ph, pw))
+        return self._node((n, c, oh, ow), x.dtype, "pool_2d", (x,), pool_op=op, k=(kh, kw), s=(sh, sw), p=(ph, pw))
+
+    def conv_1d(self, x, w, s=1, p=0, d=1):
+        n, c, ll = x.shape
+        oc, _, k = w.shape
+        ol = (ll + 2 * p - d * (k - 1) - 1) // s + 1
+        return self._node((n, oc, ol), x.dtype, "conv_1d", (x, w), s=s, p=p, d=d)
+
+    def conv_transpose_1d(self, x, w, s=1, p=0, d=1):
+        n, c, ll = x.shape
+        _, oc, k = w.shape
+        ol = (ll - 1) * s - 2 * p + d * (k - 1) + 1
+        return self._node((n, oc, ol), x.dtype, "conv_transpose_1d", (x, w), s=s, p=p, d=d)
+
+    def conv_transpose_2d(self, x, w, stride=1):
+        n, c, hh, ww = x.shape
+        _, oc, kh, kw = w.shape
+        return self._node(
+            (n, oc, (hh - 1) * stride + kh, (ww - 1) * stride + kw),
+            x.dtype, "conv_transpose_2d", (x, w), stride=stride,
+        )
+
+    def pool_1d(self, x, op, k, s, p=0):
+        n, c, ll = x.shape
+        ol = (ll + 2 * p - k) // s + 1
+        return self._node((n, c, ol), x.dtype, "pool_1d", (x,), pool_op=op, k=k, s=s, p=p)
+
+    def upscale(self, x, scale_factor):
+        n, c, hh, ww = x.shape
+        return self._node((n, c, hh * scale_factor, ww * scale_factor), x.dtype,
+                          "upscale", (x,), scale_factor=scale_factor)
+
+    def im2col(self, x, w, sw=1, sh=1, pw=0, ph=0, dw=1, dh=1):
+        n, c, hh, ww = x.shape
+        oc, _, kh, kw = w.shape
+        oh = (hh + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+        ow = (ww + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+        return self._node((n, oh, ow, kh * kw * c), x.dtype, "im2col", (x, w),
+                          sw=sw, sh=sh, pw=pw, ph=ph, dw=dw, dh=dh)
+
+    def acc(self, a, b, offset_elems):
+        return self._node(a.shape, a.dtype, "acc", (a, b), offset=offset_elems)
+
+    def set(self, a, b, offset_elems):
+        return self._node(a.shape, a.dtype, "set", (a, b), offset=offset_elems)
+
+    def l2_norm(self, a, eps=1e-12):
+        return self._node(a.shape, a.dtype, "l2_norm", (a,), eps=eps)
+
+    def pad_reflect_1d(self, a, p0, p1):
+        shape = tuple(a.shape[:-1]) + (a.shape[-1] + p0 + p1,)
+        return self._node(shape, a.dtype, "pad_reflect_1d", (a,), p0=p0, p1=p1)
+
+    def arange(self, start, stop, step_):
+        import math as _m
+
+        n = int(_m.ceil((stop - start) / step_))
+        return self._node((n,), jnp.float32, "arange", (), start=start, stop=stop, step=step_)
+
+    def timestep_embedding(self, timesteps, dim, max_period=10000):
+        return self._node((timesteps.shape[0], dim), jnp.float32, "timestep_embedding",
+                          (timesteps,), dim=dim, max_period=max_period)
+
+    # -- state-space / linear-attention ops ----------------------------------
+    def ssm_conv(self, sx, c):
+        n_s, d_inner, total = sx.shape
+        n_t = total - c.shape[1] + 1
+        return self._node((n_s, n_t, d_inner), sx.dtype, "ssm_conv", (sx, c))
+
+    def ssm_scan(self, s, x, dt, A, B, C):
+        return self._node(x.shape, x.dtype, "ssm_scan", (s, x, dt, A, B, C))
+
+    def rwkv_wkv6(self, k, v, r, tf, td, state):
+        T, H, S = k.shape[0], k.shape[1], k.shape[2]
+        return self._node((T, H * S), k.dtype, "rwkv_wkv6", (k, v, r, tf, td, state))
+
+    def gated_linear_attn(self, k, v, q, g, state, scale=1.0):
+        T, H, S = k.shape[0], k.shape[1], k.shape[2]
+        return self._node((T, H * S), k.dtype, "gated_linear_attn", (k, v, q, g, state), scale=scale)
+
+    # -- SAM helpers ---------------------------------------------------------
+    def win_part(self, x, w):
+        c, hh, ww = x.shape[-3], x.shape[-2], x.shape[-1]
+        import math as _m
+
+        npx = _m.ceil(ww / w) * _m.ceil(hh / w)
+        return self._node((npx, c, w, w), x.dtype, "win_part", (x,), w=w)
+
+    def win_unpart(self, x, h, wd, w):
+        c = x.shape[-3]
+        return self._node((c, h, wd), x.dtype, "win_unpart", (x,), h=h, wd=wd, w=w)
+
+    def get_rel_pos(self, rel, qh, kh):
+        return self._node((qh, kh, rel.shape[-1]), rel.dtype, "get_rel_pos", (rel,), qh=qh, kh=kh)
+
+    def add_rel_pos(self, attn, rel_w, rel_h):
+        return self._node(attn.shape, attn.dtype, "add_rel_pos", (attn, rel_w, rel_h))
 
     # -- losses -------------------------------------------------------------------------------
     def cross_entropy_loss(self, logits, labels):
@@ -363,8 +459,28 @@ _EVAL.update(
         t.params["scale"], t.params["max_bias"], t.params["logit_softcap"],
     ),
     conv_2d=lambda t, v: O.conv_2d(v[0], v[1], **t.params),
-    pool_2d=lambda t, v: O.pool_2d(v[0], t.params["op"], t.params["k"], t.params["s"], t.params["p"]),
+    pool_2d=lambda t, v: O.pool_2d(v[0], t.params["pool_op"], t.params["k"], t.params["s"], t.params["p"]),
     cross_entropy_loss=lambda t, v: O.cross_entropy_loss(v[0], v[1]),
+    conv_1d=lambda t, v: O.conv_1d(v[0], v[1], **t.params),
+    conv_transpose_1d=lambda t, v: O.conv_transpose_1d(v[0], v[1], **t.params),
+    conv_transpose_2d=lambda t, v: O.conv_transpose_2d(v[0], v[1], **t.params),
+    pool_1d=lambda t, v: O.pool_1d(v[0], t.params["pool_op"], t.params["k"], t.params["s"], t.params["p"]),
+    upscale=lambda t, v: O.upscale(v[0], t.params["scale_factor"]),
+    im2col=lambda t, v: O.im2col(v[0], v[1], **t.params),
+    acc=lambda t, v: O.acc(v[0], v[1], t.params["offset"]),
+    set=lambda t, v: O.set_(v[0], v[1], t.params["offset"]),
+    l2_norm=lambda t, v: O.l2_norm(v[0], t.params["eps"]),
+    pad_reflect_1d=lambda t, v: O.pad_reflect_1d(v[0], t.params["p0"], t.params["p1"]),
+    arange=lambda t, v: O.arange(t.params["start"], t.params["stop"], t.params["step"]),
+    timestep_embedding=lambda t, v: O.timestep_embedding(v[0], t.params["dim"], t.params["max_period"]),
+    ssm_conv=lambda t, v: O.ssm_conv(v[0], v[1]),
+    ssm_scan=lambda t, v: O.ssm_scan(*v),
+    rwkv_wkv6=lambda t, v: O.rwkv_wkv6(*v),
+    gated_linear_attn=lambda t, v: O.gated_linear_attn(*v, t.params["scale"]),
+    win_part=lambda t, v: O.win_part(v[0], t.params["w"]),
+    win_unpart=lambda t, v: O.win_unpart(v[0], t.params["h"], t.params["wd"], t.params["w"]),
+    get_rel_pos=lambda t, v: O.get_rel_pos(v[0], t.params["qh"], t.params["kh"]),
+    add_rel_pos=lambda t, v: O.add_rel_pos(v[0], v[1], v[2]),
 )
 
 

@@ -83,3 +83,40 @@ def test_graph_print_and_dot(tmp_path):
     g.dump_dot(p)
     txt = p.read_text()
     assert "digraph" in txt and "rms_norm" in txt
+
+
+def test_graph_extended_op_coverage():
+    """The widened builder surface lowers and evaluates (conv/pool/ssm/rwkv/
+    sam-helper ops through the cgraph-analog layer)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ggml_tpu.graph import Context, build_forward
+    from ggml_tpu.ops import core as O
+
+    rng = np.random.default_rng(0)
+    ctx = Context()
+    x = ctx.new_tensor((1, 2, 16), name="x", data=rng.standard_normal((1, 2, 16)).astype(np.float32))
+    w = ctx.new_tensor((3, 2, 3), name="w", data=rng.standard_normal((3, 2, 3)).astype(np.float32))
+    y = ctx.conv_1d(x, w, s=1, p=1)
+    y2 = ctx.pool_1d(y, "max", 2, 2)
+    g = build_forward([y2])
+    out = g.compile()( )
+    ref = O.pool_1d(O.conv_1d(jnp.asarray(x.data), jnp.asarray(w.data), 1, 1), "max", 2, 2, 0)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    # ssm_conv through the graph
+    ctx2 = Context()
+    sx = ctx2.new_tensor((1, 4, 10), name="sx", data=rng.standard_normal((1, 4, 10)).astype(np.float32))
+    c = ctx2.new_tensor((4, 3), name="c", data=rng.standard_normal((4, 3)).astype(np.float32))
+    out2 = build_forward([ctx2.ssm_conv(sx, c)]).compile()()
+    ref2 = O.ssm_conv(jnp.asarray(sx.data), jnp.asarray(c.data))
+    np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(ref2), rtol=1e-5, atol=1e-6)
+
+    # arange + timestep embedding (leaf-less op)
+    ctx3 = Context()
+    ts = ctx3.arange(0.0, 4.0, 1.0)
+    emb = ctx3.timestep_embedding(ts, 8)
+    out3 = build_forward([emb]).compile()()
+    ref3 = O.timestep_embedding(O.arange(0.0, 4.0, 1.0), 8, 10000)
+    np.testing.assert_allclose(np.asarray(out3[0]), np.asarray(ref3), rtol=1e-5, atol=1e-6)
