@@ -535,6 +535,39 @@ class Graph:
             return jax.jit(run)
         return run
 
+    def run_debug(self, callback=None, **leaf_values):
+        """Eager node-by-node execution with a per-node observation hook —
+        the analog of ggml_backend_sched_eval_callback's observe mode
+        (include/ggml-backend.h:282-289) and of
+        ggml_backend_compare_graph_backend's per-node comparison callback
+        (include/ggml-backend.h:342). callback(tensor, value) is invoked after
+        each node with its concrete array; return False to abort (the
+        ggml_abort_callback idiom). Returns the output tuple (or None on abort)."""
+        env: dict[int, Any] = {}
+        for leaf in self.leafs:
+            env[id(leaf)] = jnp.asarray(leaf.data) if leaf.data is not None else jnp.asarray(leaf_values[leaf.name])
+        for node in self.nodes:
+            vals = [env[id(s)] for s in node.srcs]
+            env[id(node)] = _EVAL[node.op](node, vals)
+            if callback is not None and callback(node, env[id(node)]) is False:
+                return None
+        return tuple(env[id(o)] for o in self.outputs)
+
+    def compare(self, other_exec: Callable, **leaf_values) -> list[tuple[str, float]]:
+        """Differential harness analog of ggml_backend_compare_graph_backend:
+        run the graph eagerly and compare each OUTPUT against other_exec's
+        (e.g. the jitted/compiled program). Returns [(name, nmse), ...]."""
+        ref = self.run_debug(**leaf_values)
+        got = other_exec(**leaf_values)
+        out = []
+        for o, a, b in zip(self.outputs, ref, got):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            denom = (a * a).sum()
+            nmse = float(((a - b) ** 2).sum() / denom) if denom else float((b * b).sum())
+            out.append((o.name, nmse))
+        return out
+
     # -- observability (reference: ggml_graph_print src/ggml.c:6147) ------------
     def print(self, file=None):
         print(f"=== graph: {len(self.nodes)} nodes, {len(self.leafs)} leafs ===", file=file)

@@ -120,3 +120,28 @@ def test_graph_extended_op_coverage():
     out3 = build_forward([emb]).compile()()
     ref3 = O.timestep_embedding(O.arange(0.0, 4.0, 1.0), 8, 10000)
     np.testing.assert_allclose(np.asarray(out3[0]), np.asarray(ref3), rtol=1e-5, atol=1e-6)
+
+
+def test_run_debug_and_compare():
+    """Per-node observation hook + differential compare (analogs of
+    ggml_backend_sched_eval_callback and ggml_backend_compare_graph_backend)."""
+    import numpy as np
+
+    from ggml_tpu.graph import Context, build_forward
+
+    rng = np.random.default_rng(1)
+    ctx = Context()
+    a = ctx.new_tensor((4, 8), name="a", data=rng.standard_normal((4, 8)).astype(np.float32))
+    b = ctx.new_tensor((8, 8), name="w", data=rng.standard_normal((8, 8)).astype(np.float32))
+    y = ctx.gelu(ctx.mul_mat(b, a)).set_name("y")
+    g = build_forward([y])
+
+    seen = []
+    out = g.run_debug(lambda t, v: seen.append((t.op, v.shape)))
+    assert out is not None and [op for op, _ in seen] == ["mul_mat", "gelu"]
+
+    aborted = g.run_debug(lambda t, v: False)  # abort after first node
+    assert aborted is None
+
+    cmp = g.compare(g.compile(jit=True))
+    assert len(cmp) == 1 and cmp[0][1] < 1e-10
