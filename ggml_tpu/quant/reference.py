@@ -1062,7 +1062,7 @@ _QUANT = {
 
 
 def supported_quant_types():
-    return sorted(_QUANT.keys())
+    return sorted(set(_QUANT.keys()) | {GGMLType.IQ4_NL, GGMLType.IQ4_XS})
 
 
 def supported_dequant_types():
@@ -1080,6 +1080,13 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
         return x.reshape(-1).astype(np.float16).view(np.uint8).copy()
     if t == GGMLType.BF16:
         return fp32_to_bf16_bits(x.reshape(-1)).view(np.uint8).copy()
+    if t in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):
+        # non-linear LUT quantizers live with the weighted paths
+        from .imatrix import quant_iq4_nl, quant_iq4_xs
+
+        fn = quant_iq4_nl if t == GGMLType.IQ4_NL else quant_iq4_xs
+        blk = get_type_traits(t).block_size
+        return fn(x.reshape(-1, blk) if t == GGMLType.IQ4_NL else x.reshape(-1, QK_K)).reshape(-1)
     tr = get_type_traits(t)
     n = x.size
     assert n % tr.block_size == 0, (t, x.shape)

@@ -71,3 +71,28 @@ def test_quantize_gguf_with_imatrix(tmp_path):
     werr_im = (qw[None, :] * (deq - wmat) ** 2).sum()
     werr_pl = (qw[None, :] * (plain - wmat) ** 2).sum()
     assert werr_im <= werr_pl * 1.02, (werr_im, werr_pl)  # weighted err no worse
+
+
+IQ4_CASES = [
+    ("iq4_nl", GGMLType.IQ4_NL, False),
+    ("iq4_xs", GGMLType.IQ4_XS, False),
+    ("iq4_nl_imat", GGMLType.IQ4_NL, True),
+    ("iq4_xs_imat", GGMLType.IQ4_XS, True),
+]
+
+
+@pytest.mark.parametrize("name,t,weighted", IQ4_CASES, ids=[c[0] for c in IQ4_CASES])
+def test_iq4_quantize_bit_exact(name, t, weighted):
+    from ggml_tpu.quant.imatrix import quant_iq4_nl, quant_iq4_xs
+
+    if not golden_exists(name):
+        pytest.skip("golden not generated")
+    g = load_golden(name, with_imatrix=weighted)
+    x = g["src"].reshape(g["nrow"], g["n_per_row"])
+    qw = g.get("imatrix") if weighted else None
+    fn = quant_iq4_nl if t == GGMLType.IQ4_NL else quant_iq4_xs
+    got = fn(x, qw).reshape(-1)
+    want = g["qbytes"]
+    assert got.nbytes == want.nbytes
+    mismatch = np.nonzero(got != want)[0]
+    assert mismatch.size == 0, f"{name}: {mismatch.size} mismatches, first {mismatch[:5]}"

@@ -136,5 +136,7 @@ int main(int argc, char ** argv) {
     rc |= dump_type(GGML_TYPE_Q4_K, "q4_k_imat", outdir, 4, 1024, 1);
     rc |= dump_type(GGML_TYPE_Q5_K, "q5_k_imat", outdir, 4, 1024, 1);
     rc |= dump_type(GGML_TYPE_Q6_K, "q6_k_imat", outdir, 4, 1024, 1);
+    rc |= dump_type(GGML_TYPE_IQ4_NL, "iq4_nl_imat", outdir, 4, 512, 1);
+    rc |= dump_type(GGML_TYPE_IQ4_XS, "iq4_xs_imat", outdir, 4, 1024, 1);
     return rc;
 }
