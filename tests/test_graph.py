@@ -144,4 +144,4 @@ def test_run_debug_and_compare():
     assert aborted is None
 
     cmp = g.compare(g.compile(jit=True))
-    assert len(cmp) == 1 and cmp[0][1] < 1e-10
+    assert len(cmp) == 1 and cmp[0][1] < 1e-8  # eager vs jit fusion rounding
