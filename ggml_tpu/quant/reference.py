@@ -1062,7 +1062,20 @@ _QUANT = {
 
 
 def supported_quant_types():
-    return sorted(set(_QUANT.keys()) | {GGMLType.IQ4_NL, GGMLType.IQ4_XS})
+    """Types quantize() accepts without an imatrix.  The imatrix-required
+    grid quants (IQ2_XXS/IQ2_XS/IQ1_S) go through
+    quant.imatrix.quantize_with_imatrix."""
+    return sorted(
+        set(_QUANT.keys())
+        | {
+            GGMLType.IQ4_NL,
+            GGMLType.IQ4_XS,
+            GGMLType.IQ2_S,
+            GGMLType.IQ3_XXS,
+            GGMLType.IQ3_S,
+            GGMLType.IQ1_M,
+        }
+    )
 
 
 def supported_dequant_types():
@@ -1087,6 +1100,24 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
         fn = quant_iq4_nl if t == GGMLType.IQ4_NL else quant_iq4_xs
         blk = get_type_traits(t).block_size
         return fn(x.reshape(-1, blk) if t == GGMLType.IQ4_NL else x.reshape(-1, QK_K)).reshape(-1)
+    if t in (GGMLType.IQ2_S, GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_M):
+        # grid-codebook encoders that allow a missing imatrix
+        # (reference: quantize_row_iq*_ref in src/ggml-quants.c)
+        from . import iquant_encode as IE
+
+        fn = {
+            GGMLType.IQ2_S: IE.quant_iq2_s,
+            GGMLType.IQ3_XXS: IE.quant_iq3_xxs,
+            GGMLType.IQ3_S: IE.quant_iq3_s,
+            GGMLType.IQ1_M: IE.quant_iq1_m,
+        }[t]
+        return fn(x.reshape(-1, QK_K), None).reshape(-1)
+    if t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ1_S):
+        raise ValueError(
+            f"{t.name} requires an importance matrix; use "
+            "quant.imatrix.quantize_with_imatrix "
+            "(reference: ggml_quantize_requires_imatrix, include/ggml.h:2119)"
+        )
     tr = get_type_traits(t)
     n = x.size
     assert n % tr.block_size == 0, (t, x.shape)

@@ -17,9 +17,6 @@ from ggml_tpu.quant import reference as R
 from ggml_tpu.quant.planar import dequant_planar, planar_types, repack
 from ggml_tpu.kernels.qmatmul import planar_matmul
 
-RNG = np.random.default_rng(7)
-
-
 # byte offset of the high byte of each block's fp16 scale: pin it to a small
 # finite exponent so random synthetic blocks decode to finite values
 _SCALE_HI_BYTE = {
@@ -35,17 +32,22 @@ _SCALE_HI_BYTE = {
 }
 
 
-def _random_quantized(ggml_type, n, k):
+def _random_quantized(ggml_type, n, k, rng=None):
     """Quantize random data with the reference quantizer when available, else
     synthesize valid random blocks (for grid/codebook types with no simple
-    quantizer)."""
-    if ggml_type in R.supported_quant_types():
-        w = (RNG.standard_normal((n, k)) * 0.5).astype(np.float32)
-        raw = R.quantize(w, ggml_type)
-    else:
-        raw = RNG.integers(0, 256, (n * (k // 256), row_size(ggml_type, 256)), dtype=np.uint8)
+    quantizer).  Synthesis stays the default for the grid types: the encoders
+    exist (quant/iquant_encode.py) but random bytes cover more of the decode
+    space and keep this module fast.  rng defaults to a per-type seed so tests
+    stay independent of execution order."""
+    if rng is None:
+        rng = np.random.default_rng(900 + int(ggml_type))
+    if ggml_type in _SCALE_HI_BYTE:
+        raw = rng.integers(0, 256, (n * (k // 256), row_size(ggml_type, 256)), dtype=np.uint8)
         off = _SCALE_HI_BYTE[ggml_type]
         raw[:, off] = 0x30  # fp16 exponent well inside the finite range
+    else:
+        w = (rng.standard_normal((n, k)) * 0.5).astype(np.float32)
+        raw = R.quantize(w, ggml_type)
     return raw.reshape(n, -1)
 
 
@@ -78,12 +80,13 @@ def _matmul_case(ggml_type, m, interpret):
     import jax.numpy as jnp
 
     n, k = 256, 512
-    raw = _random_quantized(ggml_type, n, k)
+    rng = np.random.default_rng(7000 + 13 * m + int(ggml_type))
+    raw = _random_quantized(ggml_type, n, k, rng)
     w_ref = R.dequantize(raw.reshape(n, -1), ggml_type, n * k).reshape(n, k)
     if not np.isfinite(w_ref).all():
         pytest.skip("random bytes decoded to non-finite scales")
     pw = repack(raw, ggml_type, (n, k))
-    x = (RNG.standard_normal((m, k)) * 0.5).astype(np.float32)
+    x = (rng.standard_normal((m, k)) * 0.5).astype(np.float32)
 
     y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
     y = planar_matmul(jnp.asarray(x), pw, interpret=interpret)
@@ -114,10 +117,11 @@ def test_planar_matmul_batched_and_chunked():
     import jax.numpy as jnp
 
     n, k = 128, 256
-    raw = _random_quantized(GGMLType.Q4_0, n, k)
+    rng = np.random.default_rng(42)
+    raw = _random_quantized(GGMLType.Q4_0, n, k, rng)
     w_ref = R.dequantize(raw.reshape(n, -1), GGMLType.Q4_0, n * k).reshape(n, k)
     pw = repack(raw, GGMLType.Q4_0, (n, k))
-    x = (RNG.standard_normal((2, 600, k)) * 0.5).astype(np.float32)  # forces M-chunking
+    x = (rng.standard_normal((2, 600, k)) * 0.5).astype(np.float32)  # forces M-chunking
     y = planar_matmul(jnp.asarray(x), pw, interpret=True)
     y_ref = x.reshape(-1, k).astype(np.float64) @ w_ref.T.astype(np.float64)
     assert y.shape == (2, 600, n)
@@ -131,11 +135,12 @@ def test_int8_gemv_path_matches_dense():
     import jax.numpy as jnp
 
     n, k = 256, 512
-    raw = _random_quantized(GGMLType.Q4_K, n, k)
+    rng = np.random.default_rng(7)  # seeds the solo-run draws this gate was set on
+    raw = _random_quantized(GGMLType.Q4_K, n, k, rng)
     w_ref = R.dequantize(raw.reshape(n, -1), GGMLType.Q4_K, n * k).reshape(n, k)
     pw = repack(raw, GGMLType.Q4_K, (n, k), force_q8=True)
     assert pw.kind == "q8"
-    x = (RNG.standard_normal((1, k)) * 0.5).astype(np.float32)
+    x = (rng.standard_normal((1, k)) * 0.5).astype(np.float32)
     y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
     y = planar_matmul(jnp.asarray(x), pw)  # m=1 -> GEMV path
     assert _nmse(y_ref, np.asarray(y, np.float64)) < 5e-4

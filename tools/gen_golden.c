@@ -138,5 +138,10 @@ int main(int argc, char ** argv) {
     rc |= dump_type(GGML_TYPE_Q6_K, "q6_k_imat", outdir, 4, 1024, 1);
     rc |= dump_type(GGML_TYPE_IQ4_NL, "iq4_nl_imat", outdir, 4, 512, 1);
     rc |= dump_type(GGML_TYPE_IQ4_XS, "iq4_xs_imat", outdir, 4, 1024, 1);
+    rc |= dump_type(GGML_TYPE_IQ3_XXS, "iq3_xxs_imat", outdir, 4, 1024, 1);
+    rc |= dump_type(GGML_TYPE_IQ3_S, "iq3_s_imat", outdir, 4, 1024, 1);
+    // unweighted variants of the optional-imatrix grid quants
+    rc |= dump_type(GGML_TYPE_IQ2_S, "iq2_s_noimat", outdir, 4, 1024, 0);
+    rc |= dump_type(GGML_TYPE_IQ1_M, "iq1_m_noimat", outdir, 4, 1024, 0);
     return rc;
 }

@@ -21,7 +21,11 @@ FTYPES = {
     "q5_0": GGMLType.Q5_0, "q5_1": GGMLType.Q5_1, "q8_0": GGMLType.Q8_0,
     "q2_k": GGMLType.Q2_K, "q3_k": GGMLType.Q3_K, "q4_k": GGMLType.Q4_K,
     "q5_k": GGMLType.Q5_K, "q6_k": GGMLType.Q6_K, "tq1_0": GGMLType.TQ1_0,
-    "tq2_0": GGMLType.TQ2_0,
+    "tq2_0": GGMLType.TQ2_0, "iq4_nl": GGMLType.IQ4_NL,
+    "iq4_xs": GGMLType.IQ4_XS, "iq2_xxs": GGMLType.IQ2_XXS,
+    "iq2_xs": GGMLType.IQ2_XS, "iq2_s": GGMLType.IQ2_S,
+    "iq3_xxs": GGMLType.IQ3_XXS, "iq3_s": GGMLType.IQ3_S,
+    "iq1_s": GGMLType.IQ1_S, "iq1_m": GGMLType.IQ1_M,
 }
 
 
@@ -30,8 +34,17 @@ def quantize_gguf(src_path, dst_path, ftype: GGMLType, verbose: bool = True,
     """imatrix: optional {tensor_name: (n_per_row,) fp32 importance weights} —
     switches eligible tensors to the reference's weighted quantizers
     (quantize_<T> with quant_weights, src/ggml-quants.c)."""
-    from ggml_tpu.quant.imatrix import quantize_with_imatrix, supported_imatrix_types
+    from ggml_tpu.quant.imatrix import (
+        quantize_with_imatrix,
+        requires_imatrix,
+        supported_imatrix_types,
+    )
 
+    if requires_imatrix(ftype) and not imatrix:
+        raise ValueError(
+            f"{GGMLType(ftype).name} requires an importance matrix "
+            "(reference: ggml_quantize_requires_imatrix)"
+        )
     g = GGUFFile(src_path)
     w = GGUFWriter(alignment=g.alignment)
     for key, val in g.metadata.items():
