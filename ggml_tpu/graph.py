@@ -390,6 +390,28 @@ class Context:
     def add_rel_pos(self, attn, rel_w, rel_h):
         return self._node(attn.shape, attn.dtype, "add_rel_pos", (attn, rel_w, rel_h))
 
+    # -- custom ops ---------------------------------------------------------------------------
+    def map_custom(self, fn, *srcs, shape=None, dtype=None, name=""):
+        """User-defined op on traced arrays (reference: ggml_map_custom1..3,
+        include/ggml.h:1972-2025).  fn(*arrays) -> array must be
+        jax-traceable; it fuses into the compiled program like any other node.
+        The reference's n_tasks/userdata threading knobs are subsumed by XLA
+        (userdata: close over it in fn)."""
+        assert srcs, "map_custom needs at least one source"
+        shape = tuple(shape) if shape is not None else srcs[0].shape
+        dtype = dtype if dtype is not None else srcs[0].dtype
+        return self._node(shape, dtype, "map_custom", srcs, name=name, fn=fn)
+
+    def map_custom_host(self, fn, *srcs, shape=None, dtype=None, name=""):
+        """Host-callback op: fn receives numpy arrays and runs in Python on
+        the host per evaluation (jax.pure_callback) — the full analog of the
+        reference's arbitrary C callback ops for code XLA cannot trace.
+        fn must be pure; results are shipped back to the device."""
+        assert srcs, "map_custom_host needs at least one source"
+        shape = tuple(shape) if shape is not None else srcs[0].shape
+        dtype = dtype if dtype is not None else srcs[0].dtype
+        return self._node(shape, dtype, "map_custom_host", srcs, name=name, fn=fn)
+
     # -- losses -------------------------------------------------------------------------------
     def cross_entropy_loss(self, logits, labels):
         return self._node((1,), jnp.float32, "cross_entropy_loss", (logits, labels))
@@ -481,6 +503,13 @@ _EVAL.update(
     win_unpart=lambda t, v: O.win_unpart(v[0], t.params["h"], t.params["wd"], t.params["w"]),
     get_rel_pos=lambda t, v: O.get_rel_pos(v[0], t.params["qh"], t.params["kh"]),
     add_rel_pos=lambda t, v: O.add_rel_pos(v[0], v[1], v[2]),
+    map_custom=lambda t, v: jnp.asarray(t.params["fn"](*v), t.dtype).reshape(t.shape),
+    map_custom_host=lambda t, v: jax.pure_callback(
+        lambda *a: np.asarray(t.params["fn"](*(np.asarray(x) for x in a)), t.dtype).reshape(t.shape),
+        jax.ShapeDtypeStruct(t.shape, t.dtype),
+        *v,
+        vmap_method="sequential",
+    ),
 )
 
 

@@ -60,6 +60,58 @@ def _localize(pw: PlanarWeight) -> PlanarWeight:
     return replace(pw, n=pw.codes.shape[1], k=k)
 
 
+def _slice_pw_cols(pw: PlanarWeight, a: int, b: int, n_pad_to: int = 128) -> PlanarWeight:
+    """Logical column slice [a, b) of a planar weight.  Planar columns are
+    independent (codes/scales/offsets all carry N as the last axis), so the
+    slice is exact; it is re-padded to the kernel's lane multiple."""
+    width = b - a
+    npad = -(-width // n_pad_to) * n_pad_to
+
+    def cut(plane):
+        s = np.asarray(plane)[..., a:b]
+        if npad != width:
+            s = np.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, npad - width)])
+        return s
+
+    return replace(
+        pw,
+        codes=cut(pw.codes),
+        scales=cut(pw.scales),
+        offsets=None if pw.offsets is None else cut(pw.offsets),
+        n=width,
+    )
+
+
+def unfuse_qkv(params: dict) -> dict:
+    """Split fused attn_qkv projections into attn_q/k/v.
+
+    The fused [q|k|v] column layout is a single-chip decode optimization
+    (fewer, wider kernels); tensor parallelism needs each projection sharded
+    over its own heads, so the TP load path repartitions on entry — the same
+    on-load relayout idea as the reference's repacked CUDA split buffers
+    (src/ggml-cuda/ggml-cuda.cu:750-960)."""
+    out = {}
+    for name, v in params.items():
+        if name.endswith("attn_qkv.weight"):
+            pre = name[: -len("attn_qkv.weight")]
+            if isinstance(v, PlanarWeight):
+                e = v.n // 3
+                for j, s in enumerate("qkv"):
+                    out[pre + f"attn_{s}.weight"] = _slice_pw_cols(v, j * e, (j + 1) * e)
+            else:
+                e = v.shape[0] // 3
+                for j, s in enumerate("qkv"):
+                    out[pre + f"attn_{s}.weight"] = v[j * e : (j + 1) * e]
+        elif name.endswith("attn_qkv.bias"):
+            pre = name[: -len("attn_qkv.bias")]
+            e = v.shape[0] // 3
+            for j, s in enumerate("qkv"):
+                out[pre + f"attn_{s}.bias"] = v[j * e : (j + 1) * e]
+        else:
+            out[name] = v
+    return out
+
+
 def _weight_mode(name: str) -> str:
     if name.endswith(("attn_q.weight", "attn_k.weight", "attn_v.weight", "ffn_up.weight")):
         return "col"
@@ -89,13 +141,9 @@ def gptj_param_specs(params: dict) -> dict:
 
 
 def shard_gptj_params(params: dict, mesh: Mesh) -> dict:
+    if any(name.endswith(("attn_qkv.weight", "attn_qkv.bias")) for name in params):
+        params = unfuse_qkv(params)
     for name, v in params.items():
-        if name.endswith("attn_qkv.weight"):
-            raise ValueError(
-                "tensor parallelism needs separate q/k/v projections: load or "
-                "synthesize with fuse_qkv=False (fused [q|k|v] columns would "
-                "shard across the wrong heads)"
-            )
         if isinstance(v, PlanarWeight) and v.kind == "q4" and _weight_mode(name) == "row":
             raise ValueError(
                 f"{name}: q4-packed planes cannot be row-sharded — the packed "

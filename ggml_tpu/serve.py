@@ -29,6 +29,7 @@ class Request:
     max_new_tokens: int
     out: list = field(default_factory=list)
     done: bool = False
+    on_token: Callable | None = None  # streaming callback (rid, token, done)
 
 
 class Engine:
@@ -88,15 +89,30 @@ class Engine:
 
     # -- public API -------------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int) -> int:
+    def submit(self, prompt, max_new_tokens: int, on_token=None) -> int:
+        """on_token: optional streaming callback (rid, token, done) invoked as
+        each token is produced — tokens arrive before the request completes."""
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) >= self.max_seq:
             raise ValueError(
                 f"prompt length {len(prompt)} exceeds engine max_seq {self.max_seq}"
             )
         self._rid += 1
-        self.queue.append(Request(self._rid, prompt, max_new_tokens))
+        self.queue.append(Request(self._rid, prompt, max_new_tokens, on_token=on_token))
         return self._rid
+
+    def cancel(self, rid: int) -> bool:
+        """Cancel a queued or in-flight request; its slot frees on the next
+        run() sweep.  Returns True if the request was found."""
+        for req in list(self.queue):
+            if req.rid == rid:
+                self.queue.remove(req)
+                return True
+        for s in self.slots:
+            if s is not None and s.rid == rid and not s.done:
+                s.done = True
+                return True
+        return False
 
     def run(self, bucket: int = 32, abort_callback=None) -> dict[int, list[int]]:
         """Drive to completion; returns {rid: generated token ids}.
@@ -141,10 +157,13 @@ class Engine:
                 self.slots[i] = req
                 self.n_past[i] = t
                 if t == tb:
-                    self.cur_tok[i] = int(nxt[0])
-                    req.out.append(int(nxt[0]))
-                    if int(nxt[0]) == self.eos_id or len(req.out) >= req.max_new_tokens:
+                    tok = int(nxt[0])
+                    self.cur_tok[i] = tok
+                    req.out.append(tok)
+                    if tok == self.eos_id or len(req.out) >= req.max_new_tokens:
                         req.done = True
+                    if req.on_token is not None:
+                        req.on_token(req.rid, tok, req.done)
                 else:
                     # re-decode the true last prompt token to get position-exact
                     # logits (cache already contains it, attention masks by pos)
@@ -169,3 +188,5 @@ class Engine:
             self.cur_tok[i] = tok
             if tok == self.eos_id or len(s.out) >= s.max_new_tokens or self.n_past[i] >= self.max_seq - 1:
                 s.done = True
+            if s.on_token is not None:
+                s.on_token(s.rid, tok, s.done)

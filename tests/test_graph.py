@@ -145,3 +145,52 @@ def test_run_debug_and_compare():
 
     cmp = g.compare(g.compile(jit=True))
     assert len(cmp) == 1 and cmp[0][1] < 1e-8  # eager vs jit fusion rounding
+
+
+def test_map_custom_ops():
+    """Custom callback ops (reference: ggml_map_custom1..3, include/ggml.h:1972-2025;
+    test mirror of tests/test-customop.cpp: x2 / elementwise add / a*b+c)."""
+    import jax
+    import jax.numpy as jnp
+
+    ctx = Context()
+    a = ctx.new_tensor((4, 8), name="a")
+    b = ctx.new_tensor((4, 8), name="b")
+    c = ctx.new_tensor((4, 8), name="c")
+    t1 = ctx.map_custom(lambda x: x * 2, a, name="x2")            # custom1
+    t2 = ctx.map_custom(lambda x, y: x + y, t1, b, name="add")    # custom2
+    t3 = ctx.map_custom(lambda x, y, z: x * y + z, t2, b, c)      # custom3
+    g = build_forward([t3])
+    run = g.compile()
+    rng = np.random.default_rng(0)
+    av, bv, cv = (rng.standard_normal((4, 8)).astype(np.float32) for _ in range(3))
+    (out,) = run(a=av, b=bv, c=cv)
+    np.testing.assert_allclose(out, (av * 2 + bv) * bv + cv, rtol=1e-6)
+
+    # traceable custom ops differentiate through jax.grad like any node:
+    # d/da sum((2a+b)*b + c) = 2b
+    loss = ctx.sum(t3)
+    gr = value_and_grad(build_forward([loss]), loss, [a])
+    _, _, grads = gr({"a": av}, {"b": bv, "c": cv})
+    np.testing.assert_allclose(np.asarray(grads["a"]), bv * 2, rtol=1e-5)
+
+
+def test_map_custom_host_callback():
+    """Host-side custom op via pure_callback — arbitrary Python (the
+    reference's C-function-pointer analog), still usable under jit."""
+    import numpy as _np
+
+    calls = []
+
+    def host_fn(x):  # closes over Python state = the userdata analog
+        calls.append(1)
+        return _np.asarray(x) ** 2 + 1.0
+
+    ctx = Context()
+    a = ctx.new_tensor((8,), name="a")
+    t = ctx.map_custom_host(host_fn, a)
+    run = build_forward([t]).compile()
+    av = np.arange(8, dtype=np.float32)
+    (out,) = run(a=av)
+    np.testing.assert_allclose(out, av**2 + 1.0, rtol=1e-6)
+    assert calls  # really ran on the host

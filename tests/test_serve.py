@@ -118,3 +118,38 @@ def test_on_device_sampled_decode(tiny_model):
     first = np.asarray(jnp.argmax(logits, -1))[:, None].astype(np.int32)
     cache, greedy_toks = m.decode_greedy(cache, first, n_past, 8)
     assert cold == [int(t) for t in np.asarray(greedy_toks).reshape(-1)]
+
+
+def test_streaming_and_cancel(tiny_model):
+    """Streaming callbacks deliver tokens incrementally (in order, with the
+    done flag on the last one); cancel() frees queued and in-flight requests."""
+    m = tiny_model
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    streamed: dict[int, list] = {}
+
+    def on_token(rid, tok, done):
+        streamed.setdefault(rid, []).append((tok, done))
+
+    r1 = eng.submit([1, 2, 3], 6, on_token=on_token)
+    r2 = eng.submit([4, 5], 6, on_token=on_token)
+    r3 = eng.submit([6], 6)
+    assert eng.cancel(r3)  # cancelled while queued
+    assert not eng.cancel(9999)
+    res = eng.run()
+    assert r3 not in res
+    for rid in (r1, r2):
+        toks = [t for t, _ in streamed[rid]]
+        assert toks == res[rid]  # streamed == final, same order
+        dones = [d for _, d in streamed[rid]]
+        assert dones[-1] is True and not any(dones[:-1])
+
+
+def test_cancel_in_flight(tiny_model):
+    """Cancelling an admitted request stops its decoding at the next sweep."""
+    m = tiny_model
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    seen = []
+    rid = eng.submit([1, 2, 3], 40, on_token=lambda r, t, d: seen.append(t) or (
+        eng.cancel(r) if len(seen) == 3 else None))
+    res = eng.run()
+    assert 3 <= len(res[rid]) <= 4  # stopped right after the cancel

@@ -56,14 +56,14 @@ print("TP-INFERENCE-OK")
 """
 
 
-def test_tp_matches_single_device():
+def _run_tp_script(script):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # disarm the axon sitecustomize hook
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     root = pathlib.Path(__file__).resolve().parent.parent
     r = subprocess.run(
-        [sys.executable, "-c", _SCRIPT],
+        [sys.executable, "-c", script],
         capture_output=True,
         text=True,
         env=env,
@@ -72,3 +72,14 @@ def test_tp_matches_single_device():
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
     assert "TP-INFERENCE-OK" in r.stdout
+
+
+def test_tp_matches_single_device():
+    _run_tp_script(_SCRIPT)
+
+
+def test_tp_fused_qkv_matches_single_device():
+    """Fused [q|k|v] weights are repartitioned on the TP load path
+    (unfuse_qkv): sharded forward must match the single-device fused
+    forward."""
+    _run_tp_script(_SCRIPT.replace("fuse_qkv=False", "fuse_qkv=True"))

@@ -174,3 +174,14 @@ if __name__ == "__main__":
             bench(K, N, gemv_q4, q4_args(512, 1024), K * N // 2, "q4 kt2=512 bn=1024")
             bench(K, N, gemv_q4, q4_args(1024, 1024), K * N // 2, "q4 kt2=1024 bn=1024")
             bench(K, N, gemv_q4, q4_args(512, 512), K * N // 2, "q4 kt2=512 bn=512")
+
+
+def bench_controls():
+    # q8 at half the bytes = the zero-unpack-cost bound for q4
+    bench(2048, 16384, gemv_q8, q8_args(1024, 1024), 2048 * 16384, "q8 half-K (32MB bound)")
+    bench(4096, 16384, gemv_q4, q4_args(1024, 1024), 4096 * 16384 // 2, "q4 kt2=1024 bn=1024")
+    bench(4096, 16384, gemv_q4, q4_args(512, 512), 4096 * 16384 // 2, "q4 kt2=512 bn=512")
+
+
+if __name__ == "__main__" and sys.argv[1:2] == ["controls"]:
+    bench_controls()
