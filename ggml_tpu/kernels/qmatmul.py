@@ -242,6 +242,76 @@ def _q8_gemv(xq, codes, scales, G: int, interpret: bool):
     )(xq, codes, scales)
 
 
+def _q4gemv_kernel(x_lo, x_hi, qp, s_lo, s_hi, out, *, G: int, ng: int):
+    """Packed-nibble GEMV: the S4 path is broken on this platform, so int4
+    codes ship two per byte (half-plane packing, quant/planar.py) and unpack
+    on the VPU with shift/mask straight into int8 MXU dots.  Measured at the
+    q8-half-bytes bound (tools/microbench_gemv_q4.py): the unpack is free and
+    HBM code traffic halves vs the int8 GEMV."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    codes = qp[:].astype(jnp.int32)
+    lo = (codes & 0xF).astype(jnp.int8)
+    hi = (codes >> 4).astype(jnp.int8)
+    sl = s_lo[0].astype(jnp.float32)
+    sh = s_hi[0].astype(jnp.float32)
+    xl, xh = x_lo[:], x_hi[:]
+    acc = out[:]
+    for j in range(ng):
+        p = jax.lax.dot_general(
+            xl[:, j * G : (j + 1) * G],
+            lo[j * G : (j + 1) * G, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = acc + p.astype(jnp.float32) * sl[j : j + 1, :]
+        p = jax.lax.dot_general(
+            xh[:, j * G : (j + 1) * G],
+            hi[j * G : (j + 1) * G, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = acc + p.astype(jnp.float32) * sh[j : j + 1, :]
+    out[:] = acc
+
+
+def _q4_gemv(xq, packed, scales, G: int, interpret: bool):
+    m, k = xq.shape
+    k2, npad = packed.shape
+    assert k == 2 * k2
+    bn = _pick_tile(npad, _GEMV_BN)
+    kt2 = _pick_k_tile(k2, G, max_tile=1024)
+    ng = kt2 // G
+    n_ktiles = k2 // kt2
+    grid = (npad // bn, n_ktiles)
+
+    return pl.pallas_call(
+        functools.partial(_q4gemv_kernel, G=G, ng=ng),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, kt2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, kt2), lambda i, kk: (0, kk + n_ktiles), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt2, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng, bn), lambda i, kk: (0, kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng, bn), lambda i, kk: (1, kk, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * npad,
+            bytes_accessed=k2 * npad + scales.nbytes + m * k + m * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, xq, packed, scales, scales)
+
+
 def _quantize_activations_per_row(x):
     """Symmetric per-row int8 quantization (the Q8 activation analog)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
@@ -250,7 +320,9 @@ def _quantize_activations_per_row(x):
     return xq, sx
 
 
-_GEMV_MAX_M = 8  # int8 GEMV path for decode-sized row counts
+# int-GEMV path for decode-sized row counts: the weight stream amortizes
+# across slots while each dot stays well inside one MXU pass
+_GEMV_MAX_M = int(os.environ.get("GGML_TPU_GEMV_MAX_M", "32"))
 
 
 # ---------------------------------------------------------------------------
@@ -279,16 +351,19 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
     scales = jnp.asarray(pw.scales)
 
     use_gemv = (
-        pw.kind == "q8"
-        and m <= _GEMV_MAX_M
+        m <= _GEMV_MAX_M
         and pw.group in (16, 32)
-        and (k // pw.group) % 8 == 0
+        and (
+            (pw.kind == "q8" and (k // pw.group) % 8 == 0)
+            or (pw.kind == "q4" and (k // 2) % pw.group == 0 and (k // 2 // pw.group) % 8 == 0)
+        )
     )
 
     def one_chunk(xc):
         if use_gemv:
             xq, sx = _quantize_activations_per_row(xc)
-            y = _q8_gemv(xq, codes, scales, pw.group, interpret) * sx
+            gemv = _q8_gemv if pw.kind == "q8" else _q4_gemv
+            y = gemv(xq, codes, scales, pw.group, interpret) * sx
         elif pw.kind == "q4":
             y = _q4_matmul(xc, codes, scales, pw.group, interpret)
         else:

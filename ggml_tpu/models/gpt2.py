@@ -25,6 +25,8 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import os
+
 import numpy as np
 
 from ..dtypes import GGMLType
@@ -84,8 +86,11 @@ def load_params(g: GGUFFile, dtype=jnp.float32, keep_quantized: bool = False) ->
             and GGMLType(info.ggml_type) in planar_types()
         ):
             n, k = info.shape
-            # int8 codes by default: they feed the MXU int8 GEMV (decode-optimal)
-            pw = repack(g.tensor_bytes(name), GGMLType(info.ggml_type), (int(n), int(k)), force_q8=True)
+            # packed-nibble planes where the format allows (half the HBM code
+            # traffic; the GEMV unpacks for free), int8 codes otherwise.
+            # GGML_TPU_LOAD_Q8=1 forces int8 (needed for TP row sharding).
+            force_q8 = os.environ.get("GGML_TPU_LOAD_Q8", "0") == "1"
+            pw = repack(g.tensor_bytes(name), GGMLType(info.ggml_type), (int(n), int(k)), force_q8=force_q8)
             params[name] = pw.to_device()
             if name == "token_embd.weight":  # dense copy for the row gather
                 params["token_embd.weight@dense"] = jnp.asarray(g.to_float32(name), dtype=dtype)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -237,15 +239,24 @@ def synth_quantized_params(
     seed: int = 0,
     dtype=jnp.bfloat16,
     fuse_qkv: bool = True,
+    use_q4: bool | None = None,
 ) -> dict:
     """Synthesize a full parameter set with weights ALREADY in planar-quantized
     form (random codes, small scales) — for benchmarking the quantized decode
     path without a 6B-parameter quantization pass or model download.
-    Values are well-scaled so the forward pass stays finite."""
-    from ..quant.planar import PlanarWeight
+    Values are well-scaled so the forward pass stays finite.
+
+    use_q4: keep 4-bit formats as packed-nibble planes (half the HBM code
+    traffic; the packed GEMV unpacks for free — tools/microbench_gemv_q4.py).
+    Default on for q4-capable types; GGML_TPU_SYNTH_Q4=0 forces int8 codes."""
+    from ..quant.planar import _Q4_PLANE_TYPES, PlanarWeight
 
     rng = np.random.default_rng(seed)
-    use_q4 = False  # int8 codes feed the MXU GEMV directly — the decode fast path
+    if use_q4 is None:
+        use_q4 = (
+            os.environ.get("GGML_TPU_SYNTH_Q4", "1") != "0"
+            and ggml_type in _Q4_PLANE_TYPES
+        )
     G = 32 if ggml_type not in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q6_K) else 16
     affine = ggml_type in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q2_K, GGMLType.Q3_K,
                            GGMLType.Q4_K, GGMLType.Q5_K)

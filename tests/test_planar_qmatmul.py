@@ -144,3 +144,23 @@ def test_int8_gemv_path_matches_dense():
     y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
     y = planar_matmul(jnp.asarray(x), pw)  # m=1 -> GEMV path
     assert _nmse(y_ref, np.asarray(y, np.float64)) < 5e-4
+
+
+@pytest.mark.parametrize("m", [16, 32])
+@pytest.mark.parametrize("force_q8", [True, False], ids=["q8", "q4"])
+def test_batched_gemv_path_matches_dense(m, force_q8):
+    """Batch-decode GEMV (M>8): int8/packed-nibble codes on the MXU with
+    per-row activation quantization, vs fp64 ground truth."""
+    import jax.numpy as jnp
+    from ggml_tpu.kernels import qmatmul as Q
+
+    n, k = 256, 512
+    rng = np.random.default_rng(31 * m + force_q8)
+    raw = _random_quantized(GGMLType.Q4_K, n, k, rng)
+    w_ref = R.dequantize(raw.reshape(n, -1), GGMLType.Q4_K, n * k).reshape(n, k)
+    pw = repack(raw, GGMLType.Q4_K, (n, k), force_q8=force_q8)
+    x = (rng.standard_normal((m, k)) * 0.5).astype(np.float32)
+    assert m <= Q._GEMV_MAX_M  # the path under test
+    y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
+    y = planar_matmul(jnp.asarray(x), pw, interpret=True)
+    assert _nmse(y_ref, np.asarray(y, np.float64)) < 5e-4

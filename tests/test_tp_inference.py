@@ -25,7 +25,8 @@ from ggml_tpu.parallel.tp_inference import (
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 cfg = GPTJConfig(n_vocab=512, n_ctx=64, n_embd=256, n_head=8, n_layer=2, n_rot=32)
-params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=3, dtype=jnp.float32, fuse_qkv=False)
+params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=3, dtype=jnp.float32, fuse_qkv=False,
+                               use_q4=False)  # row-sharded planes need int8 codes
 
 rng = np.random.default_rng(0)
 tokens = jnp.asarray(rng.integers(0, 512, (1, 8)).astype(np.int32))
