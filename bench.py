@@ -283,6 +283,72 @@ def bench_gpt2():
     )
 
 
+def bench_yolo():
+    """YOLOv3-tiny detection (reference: 0.057 s/image on CPU,
+    examples/yolo/README.md:58). Random-init weights; forward jitted on the
+    chip, box decode + NMS on host like the reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_tpu.models import yolo
+
+    _enable_compile_cache()
+    rng = np.random.default_rng(0)
+    params = {k: jnp.asarray(v) for k, v in yolo.init_random_params(seed=0).items()}
+    img = rng.random((1, 3, yolo.NET_H, yolo.NET_W), np.float32)
+
+    fwd = jax.jit(lambda p, x: yolo.forward(p, x))
+    outs = fwd(params, jnp.asarray(img))
+    _ = [np.asarray(o) for o in outs]  # compile + fetch
+    t0 = time.perf_counter()
+    dets = yolo.detect(params, img, thresh=0.5)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "yolov3_tiny_detect_ms_per_image",
+                "value": round(dt * 1000, 2),
+                "unit": "ms",
+                "vs_baseline": round(57.0 / (dt * 1000), 2),  # >1 = faster
+            }
+        )
+    )
+    print(f"# {len(dets)} detections", file=sys.stderr)
+
+
+def bench_magika():
+    """Magika file-type model (no published reference number; we record
+    images/s for the round log). Batched one-hot features."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_tpu.models import magika
+
+    _enable_compile_cache()
+    rng = np.random.default_rng(0)
+    params = {k: jnp.asarray(v) for k, v in magika.init_random_params(seed=0).items()}
+    batch = 256
+    feats = np.stack(
+        [magika.file_features(rng.bytes(4096)) for _ in range(batch)]
+    )
+    fwd = jax.jit(lambda p, x: magika.forward(p, x))
+    x = jnp.asarray(feats)
+    _ = np.asarray(fwd(params, x))
+    t0 = time.perf_counter()
+    _ = np.asarray(fwd(params, x))
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "magika_files_per_sec",
+                "value": round(batch / dt, 1),
+                "unit": "files/s",
+                "vs_baseline": 1.0,  # reference publishes no number
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     mode = os.environ.get("BENCH", "")
     if mode == "gpt2":
@@ -295,5 +361,9 @@ if __name__ == "__main__":
         bench_mnist()
     elif mode == "sam":
         bench_sam()
+    elif mode == "yolo":
+        bench_yolo()
+    elif mode == "magika":
+        bench_magika()
     else:
         bench_gptj_q4k()

@@ -92,3 +92,33 @@ def make_global_mesh(axes: dict[str, int]) -> "jax.sharding.Mesh":
     shape = tuple(axes.values())
     assert int(np.prod(shape)) == len(devs), (shape, len(devs))
     return Mesh(devs.reshape(shape), tuple(axes))
+
+
+def health_check(timeout_s: float = 30.0) -> dict:
+    """Bounded-time slice health probe: run the liveness barrier on a worker
+    thread with a deadline.  A hung collective (dead host / wedged ICI link)
+    reports unhealthy instead of blocking forever — the detectable failure
+    signal the reference lacks (its RPC client just blocks,
+    src/ggml-rpc/ggml-rpc.cpp:350-420), enabling restart-from-checkpoint
+    (checkpoint.py) in a supervising trainer."""
+    import threading
+    import time
+
+    result: dict = {"healthy": False, "latency_s": None, "error": None}
+    t0 = time.monotonic()
+
+    def probe():
+        try:
+            barrier("health_check")
+            result["healthy"] = True
+        except Exception as e:  # collective failed outright
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        result["error"] = f"barrier did not complete within {timeout_s}s"
+    result["latency_s"] = time.monotonic() - t0
+    result.update(topology_report())
+    return result

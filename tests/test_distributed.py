@@ -29,3 +29,11 @@ def test_distributed_singlehost():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "DIST-OK" in r.stdout
+
+
+def test_health_check_reports_healthy():
+    from ggml_tpu.parallel.distributed import health_check
+
+    r = health_check(timeout_s=60.0)
+    assert r["healthy"] is True and r["error"] is None
+    assert r["latency_s"] < 60.0 and r["process_count"] >= 1
