@@ -295,11 +295,9 @@ def bench_yolo():
     _enable_compile_cache()
     rng = np.random.default_rng(0)
     params = {k: jnp.asarray(v) for k, v in yolo.init_random_params(seed=0).items()}
-    img = rng.random((1, 3, yolo.NET_H, yolo.NET_W), np.float32)
+    img = rng.random((1, yolo.NET_H, yolo.NET_W, 3), np.float32)  # NHWC
 
-    fwd = jax.jit(lambda p, x: yolo.forward(p, x))
-    outs = fwd(params, jnp.asarray(img))
-    _ = [np.asarray(o) for o in outs]  # compile + fetch
+    _ = yolo.detect(params, img, thresh=0.5)  # compile + host decode warmup
     t0 = time.perf_counter()
     dets = yolo.detect(params, img, thresh=0.5)
     dt = time.perf_counter() - t0

@@ -11,6 +11,7 @@ Public surface (lazy imports keep `import ggml_tpu` light):
     ggml_tpu.models.{gpt2,gptj,llama,mnist,sam,yolo,magika}
     ggml_tpu.opt                        Dataset/Optimizer/fit (ggml-opt analog)
     ggml_tpu.serve.Engine               continuous-batching engine
+    ggml_tpu.speculative_generate       lossless draft-and-verify decoding
     ggml_tpu.checkpoint                 GGUF-backed save/resume
     ggml_tpu.parallel                   mesh/tp/pp/ep/distributed
 """
@@ -28,6 +29,8 @@ _LAZY = {
     "planar_matmul": ("ggml_tpu.kernels.qmatmul", "planar_matmul"),
     "flash_attention": ("ggml_tpu.kernels.flash_attn", "flash_attention"),
     "perplexity": ("ggml_tpu.ppl", "perplexity"),
+    "speculative_generate": ("ggml_tpu.speculative", "speculative_generate"),
+    "make_speculative_decoder": ("ggml_tpu.speculative", "make_speculative_decoder"),
 }
 
 
@@ -41,4 +44,4 @@ def __getattr__(name):
 
 
 def __dir__():
-    return sorted(list(_LAZY) + ["models", "opt", "serve", "checkpoint", "parallel", "ops"])
+    return sorted(list(_LAZY) + ["models", "opt", "serve", "checkpoint", "parallel", "ops", "speculative"])

@@ -204,13 +204,40 @@ def _q8gemv_kernel(xq, q, s, out, *, G: int, ng: int = 8):
     out[:] = acc
 
 
+def _q8gemv_off_kernel(xq, q, s, o, out, *, G: int, ng: int = 8):
+    """q8 GEMV with the affine-offset term fused: the group offset multiplies
+    the group's activation sum inside the kernel (y += Σxq_g · o_g; the
+    per-row activation scale applied outside covers both terms), replacing a
+    separate xsum @ offsets pass over the activations + an extra dispatch."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    xv = xq[:]
+    qv = q[:]
+    sv = s[:].astype(jnp.float32)
+    ov = o[:].astype(jnp.float32)
+    acc = out[:]
+    for j in range(ng):
+        xg = xv[:, j * G : (j + 1) * G]
+        p = jax.lax.dot_general(
+            xg, qv[j * G : (j + 1) * G, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        acc = acc + p.astype(jnp.float32) * sv[j : j + 1, :] + xsum * ov[j : j + 1, :]
+    out[:] = acc
+
+
 import os
 
 _GEMV_BN = tuple(int(v) for v in os.environ.get("GGML_TPU_GEMV_BN", "1024,512,384,256,128").split(","))
 _GEMV_GROUPS = int(os.environ.get("GGML_TPU_GEMV_GROUPS", "32"))  # groups per k step
 
 
-def _q8_gemv(xq, codes, scales, G: int, interpret: bool):
+def _q8_gemv(xq, codes, scales, G: int, interpret: bool, offsets=None):
     m, k = xq.shape
     _, npad = codes.shape
     bn = _pick_tile(npad, _GEMV_BN)
@@ -220,14 +247,24 @@ def _q8_gemv(xq, codes, scales, G: int, interpret: bool):
     assert n_groups % 8 == 0, f"n_groups={n_groups} must be a multiple of 8"
     grid = (npad // bn, k // kt)
 
+    in_specs = [
+        pl.BlockSpec((m, kt), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kt, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+    ]
+    args = (xq, codes, scales)
+    kern = functools.partial(_q8gemv_kernel, G=G, ng=ng)
+    extra_bytes = 0
+    if offsets is not None:
+        in_specs.append(pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM))
+        args = (xq, codes, scales, offsets)
+        kern = functools.partial(_q8gemv_off_kernel, G=G, ng=ng)
+        extra_bytes = offsets.nbytes
+
     return pl.pallas_call(
-        functools.partial(_q8gemv_kernel, G=G, ng=ng),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((m, kt), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -235,11 +272,11 @@ def _q8_gemv(xq, codes, scales, G: int, interpret: bool):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * npad,
-            bytes_accessed=k * npad + scales.nbytes + m * k + m * npad * 4,
+            bytes_accessed=k * npad + scales.nbytes + extra_bytes + m * k + m * npad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xq, codes, scales)
+    )(*args)
 
 
 def _q4gemv_kernel(x_lo, x_hi, qp, s_lo, s_hi, out, *, G: int, ng: int):
@@ -278,7 +315,41 @@ def _q4gemv_kernel(x_lo, x_hi, qp, s_lo, s_hi, out, *, G: int, ng: int):
     out[:] = acc
 
 
-def _q4_gemv(xq, packed, scales, G: int, interpret: bool):
+def _q4gemv_off_kernel(x_lo, x_hi, qp, s_lo, s_hi, o_lo, o_hi, out, *, G: int, ng: int):
+    """Packed-nibble GEMV with the affine-offset term fused (see
+    _q8gemv_off_kernel); offsets are stored in logical-k group rows, so the
+    lo/hi halves read rows [0, K/2/G) and [K/2/G, K/G)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    codes = qp[:].astype(jnp.int32)
+    lo = (codes & 0xF).astype(jnp.int8)
+    hi = (codes >> 4).astype(jnp.int8)
+    sl = s_lo[0].astype(jnp.float32)
+    sh = s_hi[0].astype(jnp.float32)
+    ol = o_lo[:].astype(jnp.float32)
+    oh = o_hi[:].astype(jnp.float32)
+    xl, xh = x_lo[:], x_hi[:]
+    acc = out[:]
+    for j in range(ng):
+        xg = xl[:, j * G : (j + 1) * G]
+        p = jax.lax.dot_general(
+            xg, lo[j * G : (j + 1) * G, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        acc = acc + p.astype(jnp.float32) * sl[j : j + 1, :] + xsum * ol[j : j + 1, :]
+        xg = xh[:, j * G : (j + 1) * G]
+        p = jax.lax.dot_general(
+            xg, hi[j * G : (j + 1) * G, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        acc = acc + p.astype(jnp.float32) * sh[j : j + 1, :] + xsum * oh[j : j + 1, :]
+    out[:] = acc
+
+
+def _q4_gemv(xq, packed, scales, G: int, interpret: bool, offsets=None):
     m, k = xq.shape
     k2, npad = packed.shape
     assert k == 2 * k2
@@ -288,16 +359,29 @@ def _q4_gemv(xq, packed, scales, G: int, interpret: bool):
     n_ktiles = k2 // kt2
     grid = (npad // bn, n_ktiles)
 
+    in_specs = [
+        pl.BlockSpec((m, kt2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, kt2), lambda i, kk: (0, kk + n_ktiles), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kt2, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng, bn), lambda i, kk: (0, kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng, bn), lambda i, kk: (1, kk, i), memory_space=pltpu.VMEM),
+    ]
+    args = (xq, xq, packed, scales, scales)
+    kern = functools.partial(_q4gemv_kernel, G=G, ng=ng)
+    extra_bytes = 0
+    if offsets is not None:
+        in_specs += [
+            pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, bn), lambda i, kk: (kk + n_ktiles, i), memory_space=pltpu.VMEM),
+        ]
+        args = (xq, xq, packed, scales, scales, offsets, offsets)
+        kern = functools.partial(_q4gemv_off_kernel, G=G, ng=ng)
+        extra_bytes = offsets.nbytes
+
     return pl.pallas_call(
-        functools.partial(_q4gemv_kernel, G=G, ng=ng),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((m, kt2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, kt2), lambda i, kk: (0, kk + n_ktiles), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt2, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ng, bn), lambda i, kk: (0, kk, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ng, bn), lambda i, kk: (1, kk, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -305,11 +389,11 @@ def _q4_gemv(xq, packed, scales, G: int, interpret: bool):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * npad,
-            bytes_accessed=k2 * npad + scales.nbytes + m * k + m * npad * 4,
+            bytes_accessed=k2 * npad + scales.nbytes + extra_bytes + m * k + m * npad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xq, xq, packed, scales, scales)
+    )(*args)
 
 
 def _quantize_activations_per_row(x):
@@ -359,18 +443,23 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
         )
     )
 
+    offsets = None if pw.offsets is None else jnp.asarray(pw.offsets)
+
     def one_chunk(xc):
         if use_gemv:
             xq, sx = _quantize_activations_per_row(xc)
             gemv = _q8_gemv if pw.kind == "q8" else _q4_gemv
-            y = gemv(xq, codes, scales, pw.group, interpret) * sx
-        elif pw.kind == "q4":
+            # affine offsets are folded into the kernel: the group offset
+            # multiplies the group's int8 activation sum, and the per-row
+            # scale sx outside covers both terms
+            return gemv(xq, codes, scales, pw.group, interpret, offsets=offsets) * sx
+        if pw.kind == "q4":
             y = _q4_matmul(xc, codes, scales, pw.group, interpret)
         else:
             y = _q8_matmul(xc, codes, scales, pw.group, interpret)
-        if pw.offsets is not None:
+        if offsets is not None:
             xsum = xc.astype(jnp.float32).reshape(xc.shape[0], k // pw.group, pw.group).sum(-1)
-            y = y + xsum @ jnp.asarray(pw.offsets)
+            y = y + xsum @ offsets
         return y
 
     if m <= _M_CHUNK:

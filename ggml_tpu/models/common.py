@@ -9,6 +9,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def init_layer_cache(n_layer: int, batch: int, n_kv_head: int, max_seq: int,
+                     head_dim: int, dtype=jnp.bfloat16):
+    """KV cache as a tuple of per-layer (k, v) pairs, each (B, H, S, D).
+
+    A pytree (not one stacked (L,2,B,H,S,D) array) so layer reads/writes are
+    whole-buffer: the stacked layout made XLA materialise a dynamic-slice
+    copy of every layer's K and V each step (~1.8 GB/s of pure copy traffic
+    at GPT-J-6B decode scale) and re-insert them with
+    dynamic-update-slices.  With per-layer leaves the donated buffers update
+    in place — the zero-alloc steady state at pytree granularity."""
+    mk = lambda: jnp.zeros((batch, n_kv_head, max_seq, head_dim), dtype)
+    return tuple((mk(), mk()) for _ in range(n_layer))
+
+
+def cache_leaf(cache):
+    """First K buffer — carries the cache dtype/shape metadata."""
+    return cache[0][0]
+
+
+def cache_slot(cache, i: int, width: int = 1):
+    """Per-slot view for continuous batching: slice the batch axis of every
+    leaf (analog of the seq-id slot views in examples/gpt-2/main-batched.cpp)."""
+    return jax.tree.map(lambda a: a[i : i + width], cache)
+
+
+def cache_set_slot(cache, slot_cache, i: int):
+    return jax.tree.map(lambda a, s: a.at[i : i + s.shape[0]].set(s), cache, slot_cache)
+
+
 def cache_write(cache_layer, kv, cache_len):
     """Write kv (b, h, t, d) into cache_layer (b, h, S, d) at position(s)
     cache_len: scalar (all rows share one position — the single-sequence

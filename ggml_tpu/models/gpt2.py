@@ -130,9 +130,10 @@ def init_random_params(cfg: GPT2Config, seed: int = 0, dtype=jnp.float32) -> dic
 
 
 def init_cache(cfg: GPT2Config, batch: int, max_seq: int, dtype=jnp.float32):
-    """KV cache pytree: per layer K and V of (batch, n_head, max_seq, head_dim)."""
-    shape = (cfg.n_layer, 2, batch, cfg.n_head, max_seq, cfg.head_dim)
-    return jnp.zeros(shape, dtype)
+    """KV cache pytree: per layer (k, v), each (batch, n_head, max_seq, head_dim)."""
+    from .common import init_layer_cache
+
+    return init_layer_cache(cfg.n_layer, batch, cfg.n_head, max_seq, cfg.head_dim, dtype)
 
 
 from .common import layer_norm as _layer_norm, linear as _linear  # noqa: E402
@@ -149,12 +150,13 @@ def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len):
     shapes; cache_len = positions already in cache for attention masking).
     """
     b, t = tokens.shape
-    max_seq = cache.shape[-2]
+    max_seq = cache[0][0].shape[-2]
     positions = pos_start[:, None] + jnp.arange(t)[None, :]
     embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
     x = embd[tokens] + params["position_embd.weight"][positions]
 
-    new_cache = cache
+    cache_dtype = cache[0][0].dtype
+    new_cache = list(cache)
     scale = 1.0 / np.sqrt(cfg.head_dim)
     for i in range(cfg.n_layer):
         pre = f"blk.{i}."
@@ -170,9 +172,9 @@ def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len):
         # (b,) vector: per-slot continuous-batching positions)
         from .common import cache_write
 
-        kc = cache_write(new_cache[i, 0], k.astype(new_cache.dtype), cache_len)
-        vc = cache_write(new_cache[i, 1], v.astype(new_cache.dtype), cache_len)
-        new_cache = new_cache.at[i, 0].set(kc).at[i, 1].set(vc)
+        kc = cache_write(new_cache[i][0], k.astype(cache_dtype), cache_len)
+        vc = cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
+        new_cache[i] = (kc, vc)
 
         # attention over the full cache with causal+length mask
         att = jnp.einsum("bhqd,bhkd->bhqk", q, kc, precision=jax.lax.Precision.HIGHEST,
@@ -192,7 +194,7 @@ def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len):
 
     x = _layer_norm(x, params["output_norm.weight"], params["output_norm.bias"], cfg.eps)
     logits = _linear(x, params["token_embd.weight"])  # tied lm head
-    return logits, new_cache
+    return logits, tuple(new_cache)
 
 
 class GPT2:

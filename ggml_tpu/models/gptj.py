@@ -82,20 +82,22 @@ def _rope_interleaved(x, positions, n_rot: int, base: float = 10000.0):
 
 
 def init_cache(cfg: GPTJConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
-    shape = (cfg.n_layer, 2, batch, cfg.n_head, max_seq, cfg.head_dim)
-    return jnp.zeros(shape, dtype)
+    from .common import init_layer_cache
+
+    return init_layer_cache(cfg.n_layer, batch, cfg.n_head, max_seq, cfg.head_dim, dtype)
 
 
 def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
     """tokens (b, t) -> (logits (b, t, n_vocab), new_cache)."""
     b, t = tokens.shape
-    max_seq = cache.shape[-2]
+    max_seq = cache[0][0].shape[-2]
     positions = pos_start[:, None] + jnp.arange(t)[None, :]
     embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
     x = embd[tokens]
     compute_dtype = x.dtype
 
-    new_cache = cache
+    cache_dtype = cache[0][0].dtype
+    new_cache = list(cache)
     scale = 1.0 / np.sqrt(cfg.head_dim)
     for i in range(cfg.n_layer):
         pre = f"blk.{i}."
@@ -118,9 +120,9 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
 
         from .common import cache_write, causal_mask
 
-        kc = cache_write(new_cache[i, 0], k.astype(new_cache.dtype), cache_len)
-        vc = cache_write(new_cache[i, 1], v.astype(new_cache.dtype), cache_len)
-        new_cache = new_cache.at[i, 0].set(kc).at[i, 1].set(vc)
+        kc = cache_write(new_cache[i][0], k.astype(cache_dtype), cache_len)
+        vc = cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
+        new_cache[i] = (kc, vc)
 
         if cfg.use_flash_prefill and t > 1:
             # prefill-from-empty: attend the current tokens only through the
@@ -150,7 +152,7 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
 
     x = _layer_norm(x, params["output_norm.weight"], params["output_norm.bias"], cfg.eps)
     logits = _linear(x, params["output.weight"], params.get("output.bias"))
-    return logits, new_cache
+    return logits, tuple(new_cache)
 
 
 class GPTJ:

@@ -96,8 +96,9 @@ def unpermute_llamacpp_qk(w, n_head: int):
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
-    shape = (cfg.n_layer, 2, batch, cfg.n_head_kv, max_seq, cfg.head_dim)
-    return jnp.zeros(shape, dtype)
+    from .common import init_layer_cache
+
+    return init_layer_cache(cfg.n_layer, batch, cfg.n_head_kv, max_seq, cfg.head_dim, dtype)
 
 
 from .common import cache_write as _cache_write, causal_mask as _causal_mask  # noqa: E402
@@ -105,7 +106,7 @@ from .common import cache_write as _cache_write, causal_mask as _causal_mask  # 
 
 def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len):
     b, t = tokens.shape
-    max_seq = cache.shape[-2]
+    max_seq = cache[0][0].shape[-2]
     positions = pos_start[:, None] + jnp.arange(t)[None, :]
     embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
     x = embd[tokens]
@@ -113,7 +114,8 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len)
     rep = cfg.n_head // cfg.n_head_kv
     scale = 1.0 / np.sqrt(cfg.head_dim)
 
-    new_cache = cache
+    cache_dtype = cache[0][0].dtype
+    new_cache = list(cache)
     for i in range(cfg.n_layer):
         pre = f"blk.{i}."
         h = _rms_norm(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
@@ -126,9 +128,9 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len)
         k = _rope_half(k, positions, cfg.rope_base).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        kc = _cache_write(new_cache[i, 0], k.astype(new_cache.dtype), cache_len)
-        vc = _cache_write(new_cache[i, 1], v.astype(new_cache.dtype), cache_len)
-        new_cache = new_cache.at[i, 0].set(kc).at[i, 1].set(vc)
+        kc = _cache_write(new_cache[i][0], k.astype(cache_dtype), cache_len)
+        vc = _cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
+        new_cache[i] = (kc, vc)
 
         if cfg.use_flash_prefill and t > 1:
             from ..kernels.flash_attn import flash_attention
@@ -159,7 +161,7 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len)
     if "output.weight" not in params and "token_embd.weight@dense" in params:
         w_out = params["token_embd.weight@dense"]
     logits = _linear(x, w_out)
-    return logits, new_cache
+    return logits, tuple(new_cache)
 
 
 class Llama:

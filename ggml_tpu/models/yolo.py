@@ -162,8 +162,14 @@ def nms(dets: list, thresh=0.45):
     return dets
 
 
+_forward_jit = None
+
+
 def detect(params, images: np.ndarray, thresh=0.5, nms_thresh=0.45):
-    h16, h23 = jax.jit(forward)(params, jnp.asarray(images))
+    global _forward_jit
+    if _forward_jit is None:  # one persistent jit wrapper: no per-call retrace
+        _forward_jit = jax.jit(forward)
+    h16, h23 = _forward_jit(params, jnp.asarray(images))
     out = []
     for b in range(images.shape[0]):
         dets = decode_head(np.asarray(h16)[b], MASK16, thresh)

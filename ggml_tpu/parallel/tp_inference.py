@@ -160,7 +160,7 @@ def shard_gptj_params(params: dict, mesh: Mesh) -> dict:
     )
 
 
-CACHE_SPEC = P(None, None, None, "tp", None, None)  # heads sharded
+CACHE_SPEC = P(None, "tp", None, None)  # per-leaf (B, H, S, D): heads sharded
 
 
 def _linear_local(x, w, b=None):
@@ -175,7 +175,7 @@ def _forward_tp_body(params, tokens, pos_start, cache, cache_len, *, cfg):
     tp = jax.lax.axis_size("tp")
     h_local = cfg.n_head // tp
     d = cfg.head_dim
-    max_seq = cache.shape[-2]
+    max_seq = cache[0][0].shape[-2]
     positions = pos_start[:, None] + jnp.arange(t)[None, :]
     embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
     x = embd[tokens]
@@ -183,7 +183,7 @@ def _forward_tp_body(params, tokens, pos_start, cache, cache_len, *, cfg):
 
     from ..models.gptj import _layer_norm, _rope_interleaved
 
-    new_cache = cache
+    new_cache = list(cache)
     scale = 1.0 / np.sqrt(d)
     for i in range(cfg.n_layer):
         pre = f"blk.{i}."
@@ -200,9 +200,10 @@ def _forward_tp_body(params, tokens, pos_start, cache, cache_len, *, cfg):
         k = _rope_interleaved(heads(k), positions, cfg.n_rot).transpose(0, 2, 1, 3)
         v = heads(v).transpose(0, 2, 1, 3)
 
-        kc = jax.lax.dynamic_update_slice(new_cache[i, 0], k.astype(new_cache.dtype), (0, 0, cache_len, 0))
-        vc = jax.lax.dynamic_update_slice(new_cache[i, 1], v.astype(new_cache.dtype), (0, 0, cache_len, 0))
-        new_cache = new_cache.at[i, 0].set(kc).at[i, 1].set(vc)
+        cdt = cache[0][0].dtype
+        kc = jax.lax.dynamic_update_slice(new_cache[i][0], k.astype(cdt), (0, 0, cache_len, 0))
+        vc = jax.lax.dynamic_update_slice(new_cache[i][1], v.astype(cdt), (0, 0, cache_len, 0))
+        new_cache[i] = (kc, vc)
 
         att = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kc.astype(jnp.float32),
                          preferred_element_type=jnp.float32) * scale
@@ -226,7 +227,7 @@ def _forward_tp_body(params, tokens, pos_start, cache, cache_len, *, cfg):
     # vocab-sharded lm head; the (replicated) bias is added after the gather
     # because the planar pad columns live only on the last shard
     logits_local = _linear_local(x, params["output.weight"])
-    return logits_local, new_cache
+    return logits_local, tuple(new_cache)
 
 
 def make_tp_forward(cfg, mesh: Mesh):

@@ -57,8 +57,12 @@ class Engine:
 
         cfgv = self.cfg
         n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
-        shape = (cfgv.n_layer, 2, max_batch, n_kv, max_seq, cfgv.head_dim)
-        self.cache = jnp.zeros(shape, cache_dtype)
+        from .models.common import init_layer_cache
+
+        self.cache = init_layer_cache(
+            cfgv.n_layer, max_batch, n_kv, max_seq, cfgv.head_dim, cache_dtype
+        )
+        self._cache_dtype = cache_dtype
 
         def step(params, cache, tokens, n_past, active):
             """tokens (B,1); n_past (B,) per-slot positions; active (B,) bool.
@@ -144,16 +148,20 @@ class Engine:
                 toks = np.zeros((1, tb), np.int32)
                 toks[0, :t] = req.prompt
                 n_kv = getattr(self.cfg, "n_head_kv", self.cfg.n_head)
-                slot_cache = jnp.zeros(
-                    (self.cfg.n_layer, 2, 1, n_kv, self.max_seq, self.cfg.head_dim),
-                    self.cache.dtype,
+                from .models.common import init_layer_cache
+
+                slot_cache = init_layer_cache(
+                    self.cfg.n_layer, 1, n_kv, self.max_seq, self.cfg.head_dim,
+                    self._cache_dtype,
                 )
                 nxt, slot_cache = self._prefill_cache[key](self.model.params, slot_cache, jnp.asarray(toks))
                 # bucket padding wrote junk past t; positions beyond t are never
                 # attended (mask is per-row position based), but the argmax must
                 # come from position t-1: redo logits for exact prompts shorter
                 # than the bucket by a 1-token correction pass below
-                self.cache = self.cache.at[:, :, i : i + 1].set(slot_cache)
+                from .models.common import cache_set_slot
+
+                self.cache = cache_set_slot(self.cache, slot_cache, i)
                 self.slots[i] = req
                 self.n_past[i] = t
                 if t == tb:
