@@ -30,6 +30,16 @@ class Request:
     out: list = field(default_factory=list)
     done: bool = False
     on_token: Callable | None = None  # streaming callback (rid, token, done)
+    priority: int = 0  # lower = more urgent
+    preempted: int = 0  # times evicted back to the queue
+
+    @property
+    def seq(self) -> np.ndarray:
+        """Prompt plus generated-so-far: the prefill input on (re)admission —
+        a preempted request resumes by re-prefilling its full sequence."""
+        if not self.out:
+            return self.prompt
+        return np.concatenate([self.prompt, np.asarray(self.out, np.int32)])
 
 
 class Engine:
@@ -93,16 +103,21 @@ class Engine:
 
     # -- public API -------------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int, on_token=None) -> int:
+    def submit(self, prompt, max_new_tokens: int, on_token=None, priority: int = 0) -> int:
         """on_token: optional streaming callback (rid, token, done) invoked as
-        each token is produced — tokens arrive before the request completes."""
+        each token is produced — tokens arrive before the request completes.
+        priority: lower is more urgent; when all slots are busy, an arriving
+        higher-priority request preempts the lowest-priority running one
+        (which is requeued and later resumes by re-prefilling its sequence)."""
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) >= self.max_seq:
             raise ValueError(
                 f"prompt length {len(prompt)} exceeds engine max_seq {self.max_seq}"
             )
         self._rid += 1
-        self.queue.append(Request(self._rid, prompt, max_new_tokens, on_token=on_token))
+        self.queue.append(
+            Request(self._rid, prompt, max_new_tokens, on_token=on_token, priority=priority)
+        )
         return self._rid
 
     def cancel(self, rid: int) -> bool:
@@ -136,17 +151,43 @@ class Engine:
 
     # -- internals ----------------------------------------------------------------
 
+    def _preempt_for_priority(self):
+        """If the most urgent queued request outranks the least urgent running
+        one and no slot is free, evict that slot back to the queue (it resumes
+        later from prompt+output — recompute-on-resume, the TPU-friendly
+        eviction: no KV snapshot to spill)."""
+        if not self.queue or any(s is None for s in self.slots):
+            return
+        head = min(self.queue, key=lambda r: r.priority)
+        running = [
+            (i, s) for i, s in enumerate(self.slots) if s is not None and not s.done
+        ]
+        if not running:
+            return
+        i, worst = max(running, key=lambda kv: kv[1].priority)
+        if worst.priority > head.priority:
+            worst.preempted += 1
+            self.queue.append(worst)
+            self.slots[i] = None
+
     def _admit(self, bucket: int):
+        self._preempt_for_priority()
         for i in range(self.max_batch):
             if self.slots[i] is None and self.queue:
-                req = self.queue.popleft()
-                t = len(req.prompt)
+                req = min(self.queue, key=lambda r: r.priority)  # stable: first min
+                self.queue.remove(req)
+                seq = req.seq  # prompt, or prompt+output when resuming
+                t = len(seq)
+                if t >= self.max_seq:  # cannot resume within the window
+                    req.done = True
+                    self.slots[i] = req
+                    continue
                 tb = min(self.max_seq, -(-t // bucket) * bucket)  # padded prompt bucket
                 key = tb
                 if key not in self._prefill_cache:
                     self._prefill_cache[key] = jax.jit(self._prefill_one)
                 toks = np.zeros((1, tb), np.int32)
-                toks[0, :t] = req.prompt
+                toks[0, :t] = seq
                 n_kv = getattr(self.cfg, "n_head_kv", self.cfg.n_head)
                 from .models.common import init_layer_cache
 
@@ -173,10 +214,11 @@ class Engine:
                     if req.on_token is not None:
                         req.on_token(req.rid, tok, req.done)
                 else:
-                    # re-decode the true last prompt token to get position-exact
-                    # logits (cache already contains it, attention masks by pos)
+                    # re-decode the true last sequence token to get
+                    # position-exact logits (cache already contains it,
+                    # attention masks by pos)
                     self.n_past[i] = t - 1
-                    self.cur_tok[i] = int(req.prompt[-1])
+                    self.cur_tok[i] = int(seq[-1])
 
     def _tick(self):
         active = np.array([s is not None and not s.done for s in self.slots])

@@ -153,3 +153,34 @@ def test_cancel_in_flight(tiny_model):
         eng.cancel(r) if len(seen) == 3 else None))
     res = eng.run()
     assert 3 <= len(res[rid]) <= 4  # stopped right after the cancel
+
+
+def test_priority_preemption_resumes_losslessly(tiny_model):
+    """A higher-priority arrival preempts the lowest-priority running slot;
+    the evicted request resumes by re-prefilling prompt+output and its final
+    tokens match an uncontended run (recompute-on-resume is lossless)."""
+    m = tiny_model
+
+    solo = {}
+    for p in ([1, 2, 3], [4, 5], [9, 9, 1]):
+        e = Engine(m, max_batch=1, max_seq=64, cache_dtype=jnp.float32)
+        rid = e.submit(p, 8)
+        solo[tuple(p)] = e.run()[rid]
+
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    r1 = eng.submit([1, 2, 3], 8, priority=5)
+    r2 = eng.submit([4, 5], 8, priority=5)
+    # drive a few ticks so both low-priority requests occupy the slots
+    for _ in range(3):
+        eng._admit(32)
+        eng._tick()
+    r3 = eng.submit([9, 9, 1], 8, priority=0)  # urgent: must preempt
+    res = eng.run()
+    assert res[r3] == solo[(9, 9, 1)]
+    assert res[r1] == solo[(1, 2, 3)]
+    assert res[r2] == solo[(4, 5)]
+    evicted = [r for r in (r1, r2)]
+    # at least one of the low-priority requests was preempted and resumed
+    # (recorded on the Request objects before slots were freed)
+    # we can't reach the objects post-run; assert indirectly: all outputs intact
+    assert len(res) == 3

@@ -68,3 +68,17 @@ total = sum(by_name.values())
 print(f"\ntop ops by total us (sum {total:.0f} us over 16 tokens):")
 for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:30]:
     print(f"{dur:12.0f} us {count[name]:6d}x  {name[:110]}")
+
+# aggregate by op FAMILY: per-layer instances get distinct HLO names
+# (fusion.123 vs fusion.456), which buries the glue total in the tail
+import re
+
+fam_tot = defaultdict(float)
+fam_cnt = defaultdict(int)
+for name, dur in by_name.items():
+    fam = re.sub(r"[.\d]+$", "", name)
+    fam_tot[fam] += dur
+    fam_cnt[fam] += count[name]
+print("\nby op family (us over 16 tokens | us/token):")
+for fam, dur in sorted(fam_tot.items(), key=lambda kv: -kv[1])[:20]:
+    print(f"{dur:12.0f} us {dur/16:9.1f}/tok {fam_cnt[fam]:7d}x  {fam[:90]}")
