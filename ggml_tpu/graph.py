@@ -251,6 +251,12 @@ class Context:
     def diag_mask_inf(self, a, n_past):
         return self._node(a.shape, a.dtype, "diag_mask_inf", (a,), n_past=n_past)
 
+    def diag_mask_zero(self, a, n_past):
+        return self._node(a.shape, a.dtype, "diag_mask_zero", (a,), n_past=n_past)
+
+    def soft_max(self, a):
+        return self._node(a.shape, a.dtype, "soft_max", (a,))
+
     def argsort(self, a, descending=False):
         return self._node(a.shape, jnp.int32, "argsort", (a,), descending=descending)
 
@@ -467,6 +473,8 @@ _EVAL.update(
     out_prod=lambda t, v: O.out_prod(v[0], v[1]),
     get_rows=lambda t, v: O.get_rows(v[0], v[1]),
     diag_mask_inf=lambda t, v: O.diag_mask_inf(v[0], t.params["n_past"]),
+    diag_mask_zero=lambda t, v: O.diag_mask_zero(v[0], t.params["n_past"]),
+    soft_max=lambda t, v: O.soft_max(v[0]),
     argsort=lambda t, v: O.argsort(v[0], t.params["descending"]),
     top_k=lambda t, v: O.top_k(v[0], t.params["k"]),
     soft_max_ext=lambda t, v: O.soft_max_ext(

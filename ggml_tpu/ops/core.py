@@ -304,6 +304,19 @@ def diag_mask_inf(x, n_past: int):
     return jnp.where(mask, jnp.asarray(-jnp.inf, dtype=x.dtype), x)
 
 
+def diag_mask_zero(x, n_past: int):
+    """Like diag_mask_inf but writes 0 (reference: ggml_diag_mask_zero)."""
+    n_r, n_c = x.shape[-2], x.shape[-1]
+    mask = jnp.arange(n_c)[None, :] > (n_past + jnp.arange(n_r)[:, None])
+    return jnp.where(mask, jnp.zeros((), x.dtype), x)
+
+
+def soft_max(x):
+    """Plain row softmax (reference: ggml_soft_max; the fused
+    scale/mask/ALiBi form is soft_max_ext)."""
+    return jax.nn.softmax(x.astype(jnp.float32), axis=-1).astype(x.dtype)
+
+
 # -- norms (reference: ggml_norm/ggml_rms_norm/ggml_group_norm) ---------------
 
 

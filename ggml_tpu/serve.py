@@ -23,6 +23,17 @@ import numpy as np
 
 
 @dataclass
+class _PrefillShare:
+    """Lazily-computed shared prefill for forked requests (the shared-prefix
+    batching of examples/gpt-2/main-batched.cpp:81-145: one prompt evaluated
+    once, its KV cache copied into every sequence's slot)."""
+
+    logits: Any = None  # (1, vocab) last-position logits
+    cache: Any = None  # single-slot cache pytree
+    t: int = 0
+
+
+@dataclass
 class Request:
     rid: int
     prompt: np.ndarray  # (t,) int32
@@ -32,6 +43,7 @@ class Request:
     on_token: Callable | None = None  # streaming callback (rid, token, done)
     priority: int = 0  # lower = more urgent
     preempted: int = 0  # times evicted back to the queue
+    share: "_PrefillShare | None" = None  # forked-generation prefill share
 
     @property
     def seq(self) -> np.ndarray:
@@ -48,7 +60,10 @@ class Engine:
     (models/llama.py). max_batch slots share one cache."""
 
     def __init__(self, model, max_batch: int = 4, max_seq: int = 512, eos_id: int = -1,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, sampler: dict | None = None, seed: int = 0):
+        """sampler: None = greedy argmax; or kwargs for
+        sampling.sample_top_k_top_p (temperature/top_k/top_p) applied
+        per-slot on device with an engine-owned PRNG key."""
         from .models import gpt2, gptj, llama
 
         self.model = model
@@ -74,23 +89,35 @@ class Engine:
         )
         self._cache_dtype = cache_dtype
 
-        def step(params, cache, tokens, n_past, active):
+        self.sampler = dict(sampler) if sampler else None
+        self._key = jax.random.PRNGKey(seed)
+
+        def pick(logits2d, key):
+            """(B, vocab) logits -> (B,) tokens; greedy or sampled."""
+            if self.sampler is None:
+                return jnp.argmax(logits2d, axis=-1).astype(jnp.int32), key
+            from .sampling import sample_top_k_top_p
+
+            return sample_top_k_top_p(logits2d, key, **self.sampler)
+
+        self._pick = pick
+
+        def step(params, cache, tokens, n_past, active, key):
             """tokens (B,1); n_past (B,) per-slot positions; active (B,) bool.
-            Returns (next_token (B,), cache)."""
+            Returns (next_token (B,), cache, key)."""
             logits, cache = self._fwd(params, cfgv, tokens, n_past, cache, n_past)
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            nxt, key = pick(logits[:, -1, :], key)
             nxt = jnp.where(active, nxt, 0)
-            return nxt, cache
+            return nxt, cache, key
 
         self._step = jax.jit(step, donate_argnums=(1,))
 
         def prefill_one(params, cache_slot, tokens):
-            """tokens (1, t) into an empty single-slot cache (L,2,1,H,S,D)."""
+            """tokens (1, t) into an empty single-slot cache pytree."""
             logits, cache_slot = self._fwd(
                 params, cfgv, tokens, jnp.zeros((1,), jnp.int32), cache_slot, jnp.int32(0)
             )
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-            return nxt, cache_slot
+            return logits[:, -1, :], cache_slot
 
         self._prefill_cache = {}  # per prompt-length compiled prefill
 
@@ -100,6 +127,7 @@ class Engine:
         self.queue: collections.deque[Request] = collections.deque()
         self._rid = 0
         self._prefill_one = prefill_one
+        self.prefill_count = 0  # observability (and shared-prefill tests)
 
     # -- public API -------------------------------------------------------------
 
@@ -119,6 +147,28 @@ class Engine:
             Request(self._rid, prompt, max_new_tokens, on_token=on_token, priority=priority)
         )
         return self._rid
+
+    def submit_many(self, prompt, n: int, max_new_tokens: int, on_token=None,
+                    priority: int = 0) -> list[int]:
+        """Fork n sampled continuations of ONE prompt: the prompt is prefilled
+        once and its KV cache copied into every sequence's slot — the
+        shared-prefix batching of examples/gpt-2/main-batched.cpp:81-145.
+        Meaningful with a sampler configured (greedy forks are identical)."""
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if len(prompt) >= self.max_seq:
+            raise ValueError(
+                f"prompt length {len(prompt)} exceeds engine max_seq {self.max_seq}"
+            )
+        share = _PrefillShare()
+        rids = []
+        for _ in range(n):
+            self._rid += 1
+            self.queue.append(
+                Request(self._rid, prompt, max_new_tokens, on_token=on_token,
+                        priority=priority, share=share)
+            )
+            rids.append(self._rid)
+        return rids
 
     def cancel(self, rid: int) -> bool:
         """Cancel a queued or in-flight request; its slot frees on the next
@@ -170,7 +220,43 @@ class Engine:
             self.queue.append(worst)
             self.slots[i] = None
 
+    def _prefill(self, seq, bucket: int):
+        """Run (cached, bucketed) prefill; returns (last logits|None, cache, t, tb).
+        logits is None when the bucket padded past t (the caller re-decodes
+        the true last token for position-exact logits)."""
+        t = len(seq)
+        tb = min(self.max_seq, -(-t // bucket) * bucket)  # padded prompt bucket
+        if tb not in self._prefill_cache:
+            self._prefill_cache[tb] = jax.jit(self._prefill_one)
+        toks = np.zeros((1, tb), np.int32)
+        toks[0, :t] = seq
+        n_kv = getattr(self.cfg, "n_head_kv", self.cfg.n_head)
+        from .models.common import init_layer_cache
+
+        slot_cache = init_layer_cache(
+            self.cfg.n_layer, 1, n_kv, self.max_seq, self.cfg.head_dim,
+            self._cache_dtype,
+        )
+        self.prefill_count += 1
+        logits, slot_cache = self._prefill_cache[tb](
+            self.model.params, slot_cache, jnp.asarray(toks)
+        )
+        return (logits if t == tb else None), slot_cache, t, tb
+
+    def _emit_first(self, req: Request, i: int, logits):
+        """Sample/argmax the first post-prefill token for slot i."""
+        tok_arr, self._key = self._pick(logits, self._key)
+        tok = int(np.asarray(tok_arr)[0])
+        self.cur_tok[i] = tok
+        req.out.append(tok)
+        if tok == self.eos_id or len(req.out) >= req.max_new_tokens:
+            req.done = True
+        if req.on_token is not None:
+            req.on_token(req.rid, tok, req.done)
+
     def _admit(self, bucket: int):
+        from .models.common import cache_set_slot
+
         self._preempt_for_priority()
         for i in range(self.max_batch):
             if self.slots[i] is None and self.queue:
@@ -182,41 +268,23 @@ class Engine:
                     req.done = True
                     self.slots[i] = req
                     continue
-                tb = min(self.max_seq, -(-t // bucket) * bucket)  # padded prompt bucket
-                key = tb
-                if key not in self._prefill_cache:
-                    self._prefill_cache[key] = jax.jit(self._prefill_one)
-                toks = np.zeros((1, tb), np.int32)
-                toks[0, :t] = seq
-                n_kv = getattr(self.cfg, "n_head_kv", self.cfg.n_head)
-                from .models.common import init_layer_cache
-
-                slot_cache = init_layer_cache(
-                    self.cfg.n_layer, 1, n_kv, self.max_seq, self.cfg.head_dim,
-                    self._cache_dtype,
-                )
-                nxt, slot_cache = self._prefill_cache[key](self.model.params, slot_cache, jnp.asarray(toks))
-                # bucket padding wrote junk past t; positions beyond t are never
-                # attended (mask is per-row position based), but the argmax must
-                # come from position t-1: redo logits for exact prompts shorter
-                # than the bucket by a 1-token correction pass below
-                from .models.common import cache_set_slot
-
+                if req.share is not None and not req.out:
+                    if req.share.cache is None:  # first of the fork group
+                        req.share.logits, req.share.cache, req.share.t, _ = (
+                            self._prefill(seq, bucket)
+                        )
+                    logits, slot_cache, t = req.share.logits, req.share.cache, req.share.t
+                else:
+                    logits, slot_cache, t, _ = self._prefill(seq, bucket)
                 self.cache = cache_set_slot(self.cache, slot_cache, i)
                 self.slots[i] = req
                 self.n_past[i] = t
-                if t == tb:
-                    tok = int(nxt[0])
-                    self.cur_tok[i] = tok
-                    req.out.append(tok)
-                    if tok == self.eos_id or len(req.out) >= req.max_new_tokens:
-                        req.done = True
-                    if req.on_token is not None:
-                        req.on_token(req.rid, tok, req.done)
+                if logits is not None:
+                    self._emit_first(req, i, logits)
                 else:
-                    # re-decode the true last sequence token to get
-                    # position-exact logits (cache already contains it,
-                    # attention masks by pos)
+                    # bucket padding wrote junk past t: re-decode the true
+                    # last sequence token for position-exact logits (cache
+                    # already contains it, attention masks by pos)
                     self.n_past[i] = t - 1
                     self.cur_tok[i] = int(seq[-1])
 
@@ -225,8 +293,9 @@ class Engine:
         if not active.any():
             return
         toks = jnp.asarray(self.cur_tok.reshape(-1, 1))
-        nxt, self.cache = self._step(
-            self.model.params, self.cache, toks, jnp.asarray(self.n_past), jnp.asarray(active)
+        nxt, self.cache, self._key = self._step(
+            self.model.params, self.cache, toks, jnp.asarray(self.n_past),
+            jnp.asarray(active), self._key,
         )
         nxt = np.asarray(nxt)
         for i, s in enumerate(self.slots):

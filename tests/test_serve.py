@@ -184,3 +184,29 @@ def test_priority_preemption_resumes_losslessly(tiny_model):
     # (recorded on the Request objects before slots were freed)
     # we can't reach the objects post-run; assert indirectly: all outputs intact
     assert len(res) == 3
+
+
+def test_shared_prefix_fork(tiny_model):
+    """submit_many prefills the shared prompt ONCE and forks n sampled
+    continuations (main-batched.cpp shared-prefix batching analog)."""
+    m = tiny_model
+    eng = Engine(m, max_batch=4, max_seq=64, cache_dtype=jnp.float32,
+                 sampler={"temperature": 1.0, "top_k": 40, "top_p": 0.95}, seed=3)
+    rids = eng.submit_many([2, 7, 1], 6, 6)
+    res = eng.run()
+    assert eng.prefill_count == 1  # one prefill for the whole fork group
+    outs = [tuple(res[r]) for r in rids]
+    assert all(len(o) == 6 for o in outs)
+    assert len(set(outs)) > 1  # sampled forks diverge
+
+
+def test_sampled_engine_deterministic_per_seed(tiny_model):
+    m = tiny_model
+
+    def run_once():
+        eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                     sampler={"temperature": 0.8, "top_k": 20, "top_p": 0.9}, seed=11)
+        r = eng.submit([5, 1, 4], 7)
+        return eng.run()[r]
+
+    assert run_once() == run_once()
