@@ -1,0 +1,194 @@
+"""Paged KV cache — physical page pool + logical page tables, TPU style.
+
+The engine's dense cache reserves max_batch × max_seq KV per slot.  Paging
+decouples capacity from the worst case: a shared pool of fixed-size pages is
+allocated to sequences on demand, so total KV memory follows the SUM of live
+context lengths instead of the product of worst cases (the reference has no
+analog; the design point is vLLM's PagedAttention re-expressed for XLA's
+static shapes).
+
+TPU adaptation:
+- the page POOL and page TABLES have static shapes; allocation is host-side
+  (a free list) and reaches the device only as int32 table entries — the
+  jitted step never recompiles as pages move;
+- the decode step gathers each slot's pages (`pool[table[b]]`) into its
+  logical KV window and runs standard masked attention over it — the gather
+  reads exactly the window the dense cache would, so decode HBM traffic is
+  unchanged; only CAPACITY is pooled;
+- writes scatter one (page, offset) row per slot via advanced indexing (one
+  XLA scatter per layer).
+
+Equivalence gate (tests/test_paged_kv.py): logits from the paged decode ==
+the dense-cache decode for the same tokens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class PagedConfig:
+    n_pages: int  # pool size (shared by all slots, per layer)
+    page_size: int  # tokens per page; multiple of 8 keeps sublane tiling clean
+    max_pages_per_seq: int  # logical window = page_size * max_pages_per_seq
+
+
+class PagedKVManager:
+    """Host-side allocator + device-side pools for one model.
+
+    Pools: per layer (k_pool, v_pool) of (n_pages, n_kv_heads, page_size, d).
+    Tables: (max_batch, max_pages_per_seq) int32 — page ids; unallocated
+    entries hold 0 but are masked out by per-slot lengths.
+    """
+
+    def __init__(self, n_layer: int, n_kv_heads: int, head_dim: int,
+                 max_batch: int, pcfg: PagedConfig, dtype=jnp.bfloat16):
+        self.pcfg = pcfg
+        # one extra TRASH page absorbs the scatter rows of inactive slots (a
+        # batched scatter always writes every row; pointing dead rows at a
+        # never-allocated page keeps them harmless)
+        mk = lambda: jnp.zeros(
+            (pcfg.n_pages + 1, n_kv_heads, pcfg.page_size, head_dim), dtype
+        )
+        self.trash_page = pcfg.n_pages
+        self.pools = tuple((mk(), mk()) for _ in range(n_layer))
+        self.tables = np.zeros((max_batch, pcfg.max_pages_per_seq), np.int32)
+        self.lengths = np.zeros((max_batch,), np.int32)
+        self._free = list(range(pcfg.n_pages - 1, -1, -1))  # pop() -> page 0 first
+        self._owned: list[list[int]] = [[] for _ in range(max_batch)]
+
+    def step_coords(self, active: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(wpage, woff) for EVERY batch row: live rows get their next
+        position's coordinates, inactive rows get the trash page."""
+        b = len(active)
+        wpage = np.full((b,), self.trash_page, np.int32)
+        woff = np.zeros((b,), np.int32)
+        ps = self.pcfg.page_size
+        for i in range(b):
+            if active[i]:
+                pos = int(self.lengths[i])
+                wpage[i] = self.tables[i, pos // ps]
+                woff[i] = pos % ps
+        return wpage, woff
+
+    # -- host-side allocation ---------------------------------------------------
+
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def ensure_capacity(self, slot: int, n_tokens: int) -> bool:
+        """Grow slot's page list to cover n_tokens positions.  Returns False
+        (allocating nothing) if the pool cannot satisfy the request — the
+        caller should evict or queue."""
+        ps = self.pcfg.page_size
+        need = -(-n_tokens // ps)
+        if need > self.pcfg.max_pages_per_seq:
+            raise ValueError(
+                f"{n_tokens} tokens exceed the logical window "
+                f"({self.pcfg.max_pages_per_seq} pages x {ps})"
+            )
+        have = len(self._owned[slot])
+        if need - have > len(self._free):
+            return False
+        for j in range(have, need):
+            pg = self._free.pop()
+            self._owned[slot].append(pg)
+            self.tables[slot, j] = pg
+        return True
+
+    def release(self, slot: int):
+        for pg in self._owned[slot]:
+            self._free.append(pg)
+        self._owned[slot] = []
+        self.tables[slot] = 0
+        self.lengths[slot] = 0
+
+
+
+def paged_write(pool_kv, kv, page_ids, offsets):
+    """Scatter one token per slot into the pool.
+
+    pool_kv: (n_pages, H, ps, D); kv: (B, H, D) this step's K or V rows;
+    page_ids/offsets: (B,) int32.  Duplicate (page, offset) pairs cannot
+    occur (each live slot owns its pages)."""
+    return pool_kv.at[page_ids, :, offsets, :].set(kv)
+
+
+def paged_gather(pool_kv, table_row):
+    """(max_pages, H, ps, D) -> (H, max_pages*ps, D) logical window for one
+    slot (rows beyond the slot's length are garbage the mask removes)."""
+    g = pool_kv[table_row]  # (P, H, ps, D)
+    p, h, ps, d = g.shape
+    return g.transpose(1, 0, 2, 3).reshape(h, p * ps, d)
+
+
+def make_paged_decode_step(model, pcfg: PagedConfig):
+    """Jitted one-token decode step over paged KV for a Llama-family model.
+
+    Returns step(params, pools, tokens (B,1), lengths (B,), tables (B,P),
+    write_pages (B,), write_offs (B,), active (B,)) ->
+    (logits (B, vocab), pools).  Works for any batch of slots at distinct
+    positions (continuous batching)."""
+    from .models.llama import _linear, _rms_norm, _rope_half
+
+    cfg = model.cfg
+    rep = cfg.n_head // cfg.n_head_kv
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+    window = pcfg.max_pages_per_seq * pcfg.page_size
+
+    def step(params, pools, tokens, lengths, tables, wpage, woff, active):
+        b, t = tokens.shape
+        assert t == 1
+        positions = lengths[:, None]
+        embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
+        x = embd[tokens]
+        dt = x.dtype
+        new_pools = list(pools)
+        for i in range(cfg.n_layer):
+            pre = f"blk.{i}."
+            h = _rms_norm(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
+            q = _linear(h, params[pre + "attn_q.weight"]).reshape(b, 1, cfg.n_head, cfg.head_dim)
+            k = _linear(h, params[pre + "attn_k.weight"]).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
+            v = _linear(h, params[pre + "attn_v.weight"]).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
+            q = _rope_half(q, positions, cfg.rope_base)[:, 0]  # (B, Hq, D)
+            k = _rope_half(k, positions, cfg.rope_base)[:, 0]  # (B, Hkv, D)
+
+            kp, vp = new_pools[i]
+            cdt = kp.dtype
+            kp = paged_write(kp, k.astype(cdt), wpage, woff)
+            vp = paged_write(vp, v[:, 0].astype(cdt), wpage, woff)
+            new_pools[i] = (kp, vp)
+
+            kwin = jax.vmap(lambda tr: paged_gather(kp, tr))(tables)  # (B,Hkv,W,D)
+            vwin = jax.vmap(lambda tr: paged_gather(vp, tr))(tables)
+
+            qh = q.reshape(b, cfg.n_head_kv, rep, cfg.head_dim)
+            att = jnp.einsum(
+                "bgrd,bgkd->bgrk", qh.astype(jnp.float32), kwin.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            kv_pos = jnp.arange(window)[None, None, None, :]
+            att = jnp.where(kv_pos <= lengths[:, None, None, None], att, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1).astype(vwin.dtype)
+            out = jnp.einsum("bgrk,bgkd->bgrd", att, vwin)
+            attn_out = out.reshape(b, 1, cfg.n_embd).astype(dt)
+            x = x + _linear(attn_out, params[pre + "attn_output.weight"])
+
+            h2 = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
+            gate = _linear(h2, params[pre + "ffn_gate.weight"])
+            up = _linear(h2, params[pre + "ffn_up.weight"])
+            x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
+
+        x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
+        w_out = params.get("output.weight", params.get("token_embd.weight@dense",
+                                                       params["token_embd.weight"]))
+        logits = _linear(x, w_out)[:, 0]
+        logits = jnp.where(active[:, None], logits, 0.0)
+        return logits, tuple(new_pools)
+
+    return jax.jit(step, donate_argnums=(1,))
