@@ -37,6 +37,11 @@ class LlamaConfig:
     n_layer: int = 32
     n_ff: int = 11008
     rope_base: float = 10000.0
+    # context-extension rope scaling (reference: ggml_rope_ext YaRN params,
+    # include/ggml.h:1424-1437; GGUF llama.rope.scaling.* keys)
+    rope_scaling: str = "none"  # none | linear | yarn
+    rope_scale: float = 1.0  # scaling factor (freq_scale = 1/factor)
+    n_ctx_orig: int = 0  # original context length (YaRN ramp)
     rms_eps: float = 1e-5
     # fused Pallas flash attention for multi-token (prefill-from-empty) steps
     use_flash_prefill: bool = False
@@ -57,6 +62,9 @@ def config_from_gguf(g: GGUFFile) -> LlamaConfig:
         n_layer=int(md["llama.block_count"]),
         n_ff=int(md["llama.feed_forward_length"]),
         rope_base=float(md.get("llama.rope.freq_base", 10000.0)),
+        rope_scaling=str(md.get("llama.rope.scaling.type", "none")),
+        rope_scale=float(md.get("llama.rope.scaling.factor", 1.0)),
+        n_ctx_orig=int(md.get("llama.rope.scaling.original_context_length", 0)),
         rms_eps=float(md.get("llama.attention.layer_norm_rms_epsilon", 1e-5)),
     )
 
@@ -77,6 +85,38 @@ def _rope_half(x, positions, base: float):
     theta = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
     cos = jnp.cos(theta)[:, :, None, :]
     sin = jnp.sin(theta)[:, :, None, :]
+    x0, x1 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+
+
+def _rope_half_scaled(x, positions, cfg):
+    """_rope_half with context-extension scaling: linear position
+    interpolation or YaRN per-dim ramp + magnitude correction, reusing the
+    op-level rope machinery (ops.core._rope_cos_sin, the ggml_rope_ext
+    semantics)."""
+    if cfg.rope_scaling in ("none", "") or (
+        cfg.rope_scaling == "linear" and cfg.rope_scale == 1.0
+    ):
+        return _rope_half(x, positions, cfg.rope_base)
+    from ..ops.core import _rope_cos_sin, rope_yarn_corr_dims
+
+    d = x.shape[-1]
+    b, t = positions.shape
+    freq_scale = 1.0 / cfg.rope_scale if cfg.rope_scale else 1.0
+    if cfg.rope_scaling == "yarn":
+        n_ctx_orig = cfg.n_ctx_orig or cfg.n_ctx
+        corr = rope_yarn_corr_dims(d, n_ctx_orig, cfg.rope_base, 32.0, 1.0)
+        ext_factor, attn_factor = 1.0, 1.0
+    else:  # linear
+        corr = (0.0, d - 1.0)
+        ext_factor, attn_factor = 0.0, 1.0
+    cos, sin = _rope_cos_sin(
+        positions.reshape(-1), d, cfg.rope_base, freq_scale, ext_factor,
+        attn_factor, corr, None,
+    )
+    cos = cos.reshape(b, t, 1, d // 2)
+    sin = sin.reshape(b, t, 1, d // 2)
+    half = d // 2
     x0, x1 = x[..., :half], x[..., half:]
     return jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
 
@@ -124,8 +164,8 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len)
         k = _linear(h, params[pre + "attn_k.weight"]).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
         v = _linear(h, params[pre + "attn_v.weight"]).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
 
-        q = _rope_half(q, positions, cfg.rope_base).transpose(0, 2, 1, 3)
-        k = _rope_half(k, positions, cfg.rope_base).transpose(0, 2, 1, 3)
+        q = _rope_half_scaled(q, positions, cfg).transpose(0, 2, 1, 3)
+        k = _rope_half_scaled(k, positions, cfg).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
         kc = _cache_write(new_cache[i][0], k.astype(cache_dtype), cache_len)

@@ -70,3 +70,43 @@ def test_llama_decode_loop(tiny_llama):
         ).numpy()[0, 3:]
     ours = [int(first[0, 0])] + [int(t) for t in np.asarray(toks).reshape(-1)]
     assert ours == list(hf), (ours, list(hf))
+
+
+def test_rope_linear_scaling_equals_fractional_positions():
+    """Linear rope scaling by factor f == plain rope at positions/f
+    (ggml_rope_ext freq_scale semantics)."""
+    import jax.numpy as jnp
+    from dataclasses import replace as dc_replace
+
+    from ggml_tpu.models.llama import LlamaConfig, _rope_half, _rope_half_scaled
+
+    cfg = LlamaConfig(n_vocab=32, n_ctx=64, n_embd=32, n_head=2, n_head_kv=2,
+                      n_layer=1, n_ff=64, rope_scaling="linear", rope_scale=4.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 5, 2, 16)).astype(np.float32))
+    pos = jnp.asarray(np.arange(8, 13)[None, :])
+    got = _rope_half_scaled(x, pos, cfg)
+    want = _rope_half(x, pos / 4.0, cfg.rope_base)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_rope_scaling_metadata_roundtrip(tmp_path):
+    """HF rope_scaling config -> GGUF scaling keys -> LlamaConfig."""
+    import torch
+    import transformers
+
+    from tools.convert_hf_llama import convert_state_dict
+    from ggml_tpu.gguf import GGUFFile
+    from ggml_tpu.models.llama import config_from_gguf
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48, num_hidden_layers=1,
+        num_attention_heads=2, num_key_value_heads=2, max_position_embeddings=64,
+        rope_scaling={"rope_type": "linear", "factor": 2.0},
+    )
+    torch.manual_seed(0)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    path = tmp_path / "scaled.gguf"
+    convert_state_dict(hf.state_dict(), cfg).write(path)
+    jcfg = config_from_gguf(GGUFFile(path))
+    assert jcfg.rope_scaling == "linear" and jcfg.rope_scale == 2.0

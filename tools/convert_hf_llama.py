@@ -26,6 +26,13 @@ def convert_state_dict(sd: dict, cfg, ftype: GGMLType = GGMLType.F32) -> GGUFWri
     w.add_u32("llama.vocab_size", cfg.vocab_size)
     w.add_f32("llama.attention.layer_norm_rms_epsilon", cfg.rms_norm_eps)
     w.add_f32("llama.rope.freq_base", getattr(cfg, "rope_theta", 10000.0))
+    rs = getattr(cfg, "rope_scaling", None)
+    if rs:  # HF rope_scaling dict -> GGUF scaling keys (llama.cpp convention)
+        w.add_string("llama.rope.scaling.type", str(rs.get("rope_type", rs.get("type", "linear"))))
+        w.add_f32("llama.rope.scaling.factor", float(rs.get("factor", 1.0)))
+        if rs.get("original_max_position_embeddings"):
+            w.add_u32("llama.rope.scaling.original_context_length",
+                      int(rs["original_max_position_embeddings"]))
 
     def np_(t):
         return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
