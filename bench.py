@@ -144,14 +144,30 @@ def bench_gptj_prefill():
     m = GPTJ(params, cfg, max_seq=max(512, n_prompt), batch=1)
 
     prompt = np.random.default_rng(0).integers(0, cfg.n_vocab, (1, n_prompt)).astype(np.int32)
+    # time ITERS chained prefills inside ONE jitted scan: a single dispatch
+    # over the relay carries ~150 ms of round-trip noise, larger than the
+    # prefill itself (see the decode bench's warmup note)
+    from ggml_tpu.models.gptj import forward as _fwd
+
+    iters = int(os.environ.get("BENCH_PREFILL_ITERS", "8"))
+
+    @jax.jit
+    def loop(params, cache, prompt):
+        def body(carry, _):
+            cache, p = carry
+            logits, cache = _fwd(params, cfg, p, jnp.zeros((1,), jnp.int32), cache, jnp.int32(0))
+            nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)  # data dep
+            p = p.at[:, 0].set(nxt)
+            return (cache, p), logits[0, 0, 0]
+        (cache, _), outs = jax.lax.scan(body, (cache, jnp.asarray(prompt)), jnp.zeros((iters,), jnp.int32))
+        return outs
+
     cache = m.new_cache(jnp.bfloat16)
-    logits, cache, _ = m.prefill(cache, prompt)  # compile
-    _ = np.asarray(logits)
+    _ = np.asarray(loop(m.params, cache, prompt))  # compile + run + fetch
     cache = m.new_cache(jnp.bfloat16)
     t0 = time.perf_counter()
-    logits, cache, _ = m.prefill(cache, prompt)
-    _ = np.asarray(logits)
-    dt = time.perf_counter() - t0
+    _ = np.asarray(loop(m.params, cache, prompt))
+    dt = (time.perf_counter() - t0) / iters
     print(
         json.dumps(
             {
@@ -297,10 +313,41 @@ def bench_yolo():
     params = {k: jnp.asarray(v) for k, v in yolo.init_random_params(seed=0).items()}
     img = rng.random((1, yolo.NET_H, yolo.NET_W, 3), np.float32)  # NHWC
 
-    _ = yolo.detect(params, img, thresh=0.5)  # compile + host decode warmup
+    # device forward: ITERS chained inside one jit (single dispatches over
+    # the relay carry ~150 ms of round-trip noise); host box decode timed
+    # separately on the fetched heads
+    iters = 16
+
+    @jax.jit
+    def loop(p, x):
+        def body(carry, _):
+            h16, h23 = yolo.forward(p, carry)
+            nx = carry + h16[0, 0, 0, 0] * 1e-30  # data dependency, value-neutral
+            return nx, (h16[0, 0, 0, 0], h23[0, 0, 0, 0])
+        _, outs = jax.lax.scan(body, x, jnp.zeros((iters,), jnp.int32))
+        return outs
+
+    xj = jnp.asarray(img)
+    _ = np.asarray(loop(params, xj)[0])  # compile + fetch
     t0 = time.perf_counter()
-    dets = yolo.detect(params, img, thresh=0.5)
-    dt = time.perf_counter() - t0
+    _ = np.asarray(loop(params, xj)[0])
+    dt_fwd = (time.perf_counter() - t0) / iters
+
+    h16, h23 = yolo.forward(params, xj)
+    h16, h23 = np.asarray(h16), np.asarray(h23)
+    # random-init weights make sigmoid(obj) pass a 0.5 threshold for ~half
+    # the anchors; calibrate the bench threshold to a trained-model-like
+    # detection count (~30 boxes) so host decode work is representative
+    objs = np.concatenate([
+        1.0 / (1.0 + np.exp(-h16[0].reshape(13, 13, 3, 85)[..., 4].ravel())),
+        1.0 / (1.0 + np.exp(-h23[0].reshape(26, 26, 3, 85)[..., 4].ravel())),
+    ])
+    thresh = float(np.quantile(objs, 1.0 - 30.0 / len(objs)))
+    t0 = time.perf_counter()
+    dets16 = yolo.decode_head(h16[0], yolo.MASK16, thresh)
+    dets23 = yolo.decode_head(h23[0], yolo.MASK23, thresh)
+    dets = [yolo.nms(dets16 + dets23, 0.45)]
+    dt = dt_fwd + (time.perf_counter() - t0)
     print(
         json.dumps(
             {

@@ -111,26 +111,33 @@ class Detection:
 
 
 def decode_head(pred: np.ndarray, mask, thresh=0.5, net_w=NET_W, net_h=NET_H):
-    """pred (h, w, 255) one image -> detections. reference: apply_yolo +
-    get_yolo_detections (yolov3-tiny.cpp:221-294)."""
+    """pred (h, w, 255) one image -> detections, vectorized over the grid
+    (the reference iterates cells in C: apply_yolo + get_yolo_detections,
+    yolov3-tiny.cpp:221-294; a Python per-cell loop costs seconds)."""
     h, w, _ = pred.shape
-    pred = pred.reshape(h, w, len(mask), 4 + 1 + N_CLASSES)
+    na = len(mask)
+    v = pred.reshape(h, w, na, 4 + 1 + N_CLASSES).astype(np.float32)
+    sig = lambda z: 1.0 / (1.0 + np.exp(-z))
+    obj = sig(v[..., 4])  # (h, w, na)
+    rows, cols, ns = np.nonzero(obj > thresh)
     dets = []
-    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
-    for row in range(h):
-        for col in range(w):
-            for n, m in enumerate(mask):
-                v = pred[row, col, n]
-                obj = sig(v[4])
-                if obj <= thresh:
-                    continue
-                bx = (col + sig(v[0])) / w
-                by = (row + sig(v[1])) / h
-                bw = np.exp(v[2]) * ANCHORS[2 * m] / net_w
-                bh = np.exp(v[3]) * ANCHORS[2 * m + 1] / net_h
-                probs = obj * sig(v[5:])
-                probs[probs <= thresh] = 0.0
-                dets.append(Detection((bx, by, bw, bh), float(obj), probs))
+    if len(rows) == 0:
+        return dets
+    sel = v[rows, cols, ns]  # (K, 85)
+    anchors_w = np.array([ANCHORS[2 * m] for m in mask], np.float32)[ns]
+    anchors_h = np.array([ANCHORS[2 * m + 1] for m in mask], np.float32)[ns]
+    bx = (cols + sig(sel[:, 0])) / w
+    by = (rows + sig(sel[:, 1])) / h
+    bw = np.exp(sel[:, 2]) * anchors_w / net_w
+    bh = np.exp(sel[:, 3]) * anchors_h / net_h
+    objs = obj[rows, cols, ns]
+    probs = objs[:, None] * sig(sel[:, 5:])
+    probs[probs <= thresh] = 0.0
+    for i in range(len(rows)):
+        dets.append(
+            Detection((float(bx[i]), float(by[i]), float(bw[i]), float(bh[i])),
+                      float(objs[i]), probs[i])
+        )
     return dets
 
 
@@ -149,16 +156,39 @@ def _iou(a, b):
     return inter / union if union > 0 else 0.0
 
 
+def _iou_vec(a, boxes):
+    """IoU of box a (4,) against boxes (K, 4), center format."""
+    w = np.minimum(a[0] + a[2] / 2, boxes[:, 0] + boxes[:, 2] / 2) - np.maximum(
+        a[0] - a[2] / 2, boxes[:, 0] - boxes[:, 2] / 2
+    )
+    h = np.minimum(a[1] + a[3] / 2, boxes[:, 1] + boxes[:, 3] / 2) - np.maximum(
+        a[1] - a[3] / 2, boxes[:, 1] - boxes[:, 3] / 2
+    )
+    inter = np.where((w < 0) | (h < 0), 0.0, w * h)
+    union = a[2] * a[3] + boxes[:, 2] * boxes[:, 3] - inter
+    return np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
+
+
 def nms(dets: list, thresh=0.45):
-    """reference: do_nms_sort (yolov3-tiny.cpp:325-345)."""
+    """reference: do_nms_sort (yolov3-tiny.cpp:325-345) — same greedy
+    class-wise suppression, with the inner IoU row vectorized (the per-pair
+    Python loop is quadratic in detections)."""
+    if not dets:
+        return dets
+    boxes = np.array([d.box for d in dets], np.float32)
+    probs = np.stack([d.prob for d in dets]).astype(np.float32)
     for k in range(N_CLASSES):
-        order = sorted(range(len(dets)), key=lambda i: -dets[i].prob[k])
+        order = np.argsort(-probs[:, k], kind="stable")
         for ii, i in enumerate(order):
-            if dets[i].prob[k] == 0:
+            if probs[i, k] == 0:
                 continue
-            for j in order[ii + 1 :]:
-                if _iou(dets[i].box, dets[j].box) > thresh:
-                    dets[j].prob[k] = 0.0
+            rest = order[ii + 1 :]
+            if len(rest) == 0:
+                continue
+            kill = rest[_iou_vec(boxes[i], boxes[rest]) > thresh]
+            probs[kill, k] = 0.0
+    for d, p in zip(dets, probs):
+        d.prob = p
     return dets
 
 

@@ -56,6 +56,24 @@ def topology_report() -> dict:
     }
 
 
+def device_memory(device=None) -> dict:
+    """Per-device memory introspection (the ggml_backend_dev_memory analog,
+    include/ggml-backend.h:163): bytes in use / limit where the platform
+    reports them, else zeros (CPU devices report nothing)."""
+    dev = device or jax.local_devices()[0]
+    stats = {}
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        pass
+    return {
+        "bytes_in_use": int(stats.get("bytes_in_use", 0)),
+        "bytes_limit": int(stats.get("bytes_limit", 0)),
+        "peak_bytes_in_use": int(stats.get("peak_bytes_in_use", 0)),
+        "device": str(dev),
+    }
+
+
 def barrier(tag: str = "barrier") -> None:
     """Cross-host liveness check: a tiny psum over all devices. Hangs -> a
     host is gone; the surrounding deployment should treat that as fatal and

@@ -67,6 +67,8 @@ class _Lattice:
     def __init__(self, codes: np.ndarray, kmap_size: int, nwant: int, shift: int):
         self.L = codes.astype(np.int8)  # (ngrid, dim) integer codes l
         self.pos = (2 * codes + 1).astype(np.int8)  # the kgrid byte values
+        self.posf = self.pos.astype(F32)  # pre-cast: the hot gather in the
+        # neighbour search then skips a per-call astype over (B, maxn, dim)
         self.dim = codes.shape[1]
         self.shift = shift  # bits per code field in the packed index
         self.nwant = nwant
@@ -179,11 +181,14 @@ def _best_neighbours(lat, us, xval, w, scales):
     B = len(us)
     cm = _gather_candidates(lat, us)
     maxn = cm.shape[1]
-    q = lat.pos[cm].astype(F32)  # (B, maxn, dim)
+    q = lat.posf[cm]  # (B, maxn, dim) f32
     acc = np.zeros((B, maxn), F32)
     for i in range(lat.dim):
-        diff = scales[:, None] * q[:, :, i] - xval[:, i, None]
-        acc = acc + (w[:, i, None] * diff) * diff
+        diff = scales[:, None] * q[:, :, i]
+        np.subtract(diff, xval[:, i, None], out=diff)
+        t = np.multiply(w[:, i, None], diff)
+        np.multiply(t, diff, out=t)
+        np.add(acc, t, out=acc)
     return cm[np.arange(B), np.argmin(acc, axis=1)]
 
 

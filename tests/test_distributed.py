@@ -37,3 +37,11 @@ def test_health_check_reports_healthy():
     r = health_check(timeout_s=60.0)
     assert r["healthy"] is True and r["error"] is None
     assert r["latency_s"] < 60.0 and r["process_count"] >= 1
+
+
+def test_device_memory_introspection():
+    from ggml_tpu.parallel.distributed import device_memory
+
+    r = device_memory()
+    assert set(r) >= {"bytes_in_use", "bytes_limit", "device"}
+    assert r["bytes_in_use"] >= 0
