@@ -101,6 +101,23 @@ class PagedKVManager:
             self.tables[slot, j] = pg
         return True
 
+    def install_prefill(self, slot: int, slot_cache, t: int):
+        """Copy a dense single-slot prefill cache (tuple of (k, v) with
+        (1, H, S, D) leaves) into this slot's pages — prefill runs through
+        the ordinary dense forward, then pages take over for decode."""
+        ps = self.pcfg.page_size
+        npg = -(-t // ps)
+        new_pools = list(self.pools)
+        for li, (kc, vc) in enumerate(slot_cache):
+            kp, vp = new_pools[li]
+            for j in range(npg):
+                pg = int(self.tables[slot, j])
+                kp = kp.at[pg].set(kc[0, :, j * ps : (j + 1) * ps, :])
+                vp = vp.at[pg].set(vc[0, :, j * ps : (j + 1) * ps, :])
+            new_pools[li] = (kp, vp)
+        self.pools = tuple(new_pools)
+        self.lengths[slot] = t
+
     def release(self, slot: int):
         for pg in self._owned[slot]:
             self._free.append(pg)

@@ -60,10 +60,16 @@ class Engine:
     (models/llama.py). max_batch slots share one cache."""
 
     def __init__(self, model, max_batch: int = 4, max_seq: int = 512, eos_id: int = -1,
-                 cache_dtype=jnp.bfloat16, sampler: dict | None = None, seed: int = 0):
+                 cache_dtype=jnp.bfloat16, sampler: dict | None = None, seed: int = 0,
+                 paged=None):
         """sampler: None = greedy argmax; or kwargs for
         sampling.sample_top_k_top_p (temperature/top_k/top_p) applied
-        per-slot on device with an engine-owned PRNG key."""
+        per-slot on device with an engine-owned PRNG key.
+
+        paged: optional paged_kv.PagedConfig — KV memory becomes a shared
+        page pool (capacity = sum of live contexts, not max_batch x max_seq);
+        slots that run out of pages evict the lowest-priority running
+        request back to the queue.  Llama-family models only."""
         from .models import gpt2, gptj, llama
 
         self.model = model
@@ -84,9 +90,24 @@ class Engine:
         n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
         from .models.common import init_layer_cache
 
-        self.cache = init_layer_cache(
-            cfgv.n_layer, max_batch, n_kv, max_seq, cfgv.head_dim, cache_dtype
-        )
+        self.paged = paged
+        if paged is not None:
+            from .models import llama as _llama
+            from .paged_kv import PagedKVManager, make_paged_decode_step
+
+            if not isinstance(model, _llama.Llama):
+                raise TypeError("paged KV currently drives Llama-family models")
+            if paged.page_size * paged.max_pages_per_seq < max_seq:
+                raise ValueError("paged logical window smaller than max_seq")
+            self.mgr = PagedKVManager(
+                cfgv.n_layer, n_kv, cfgv.head_dim, max_batch, paged, cache_dtype
+            )
+            self._paged_step = make_paged_decode_step(model, paged)
+            self.cache = None
+        else:
+            self.cache = init_layer_cache(
+                cfgv.n_layer, max_batch, n_kv, max_seq, cfgv.head_dim, cache_dtype
+            )
         self._cache_dtype = cache_dtype
 
         self.sampler = dict(sampler) if sampler else None
@@ -101,6 +122,7 @@ class Engine:
             return sample_top_k_top_p(logits2d, key, **self.sampler)
 
         self._pick = pick
+        self._pick_jit = jax.jit(pick)
 
         def step(params, cache, tokens, n_past, active, key):
             """tokens (B,1); n_past (B,) per-slot positions; active (B,) bool.
@@ -197,6 +219,8 @@ class Engine:
                 if s is not None and s.done:
                     results[s.rid] = s.out
                     self.slots[i] = None  # free the slot
+                    if self.paged is not None:
+                        self.mgr.release(i)
         return results
 
     # -- internals ----------------------------------------------------------------
@@ -219,6 +243,8 @@ class Engine:
             worst.preempted += 1
             self.queue.append(worst)
             self.slots[i] = None
+            if self.paged is not None:
+                self.mgr.release(i)
 
     def _prefill(self, seq, bucket: int):
         """Run (cached, bucketed) prefill; returns (last logits|None, cache, t, tb).
@@ -276,7 +302,20 @@ class Engine:
                     logits, slot_cache, t = req.share.logits, req.share.cache, req.share.t
                 else:
                     logits, slot_cache, t, _ = self._prefill(seq, bucket)
-                self.cache = cache_set_slot(self.cache, slot_cache, i)
+                if self.paged is not None:
+                    # reserve prompt + one decode step so a fresh admission
+                    # cannot immediately trigger eviction ping-pong
+                    if not self.mgr.ensure_capacity(i, t + 1):
+                        if self.mgr.free_pages() == self.paged.n_pages:
+                            raise ValueError(
+                                f"request of {t} tokens cannot fit an empty "
+                                f"page pool ({self.paged.n_pages} pages)"
+                            )
+                        self.queue.append(req)  # wait for pages
+                        continue
+                    self.mgr.install_prefill(i, slot_cache, t)
+                else:
+                    self.cache = cache_set_slot(self.cache, slot_cache, i)
                 self.slots[i] = req
                 self.n_past[i] = t
                 if logits is not None:
@@ -287,17 +326,58 @@ class Engine:
                     # already contains it, attention masks by pos)
                     self.n_past[i] = t - 1
                     self.cur_tok[i] = int(seq[-1])
+                if self.paged is not None:
+                    self.mgr.lengths[i] = self.n_past[i]
+
+    def _evict_for_pages(self, need_slot: int) -> bool:
+        """Free pages by preempting the lowest-priority OTHER running slot
+        (eviction under memory pressure; recompute-on-resume)."""
+        victims = [
+            (j, s) for j, s in enumerate(self.slots)
+            if s is not None and not s.done and j != need_slot
+        ]
+        if not victims:
+            return False
+        j, worst = max(victims, key=lambda kv: kv[1].priority)
+        worst.preempted += 1
+        self.queue.append(worst)
+        self.slots[j] = None
+        self.mgr.release(j)
+        return True
 
     def _tick(self):
         active = np.array([s is not None and not s.done for s in self.slots])
+        if self.paged is not None:
+            for i in np.nonzero(active)[0]:
+                while not self.mgr.ensure_capacity(int(i), int(self.mgr.lengths[i]) + 1):
+                    if not self._evict_for_pages(int(i)):
+                        # nothing left to evict: requeue this request too
+                        req = self.slots[int(i)]
+                        req.preempted += 1
+                        self.queue.append(req)
+                        self.slots[int(i)] = None
+                        self.mgr.release(int(i))
+                        active[i] = False
+                        break
         if not active.any():
             return
         toks = jnp.asarray(self.cur_tok.reshape(-1, 1))
-        nxt, self.cache, self._key = self._step(
-            self.model.params, self.cache, toks, jnp.asarray(self.n_past),
-            jnp.asarray(active), self._key,
-        )
-        nxt = np.asarray(nxt)
+        if self.paged is not None:
+            wpage, woff = self.mgr.step_coords(active)
+            logits, self.mgr.pools = self._paged_step(
+                self.model.params, self.mgr.pools, toks,
+                jnp.asarray(self.mgr.lengths), jnp.asarray(self.mgr.tables),
+                jnp.asarray(wpage), jnp.asarray(woff), jnp.asarray(active),
+            )
+            nxt_arr, self._key = self._pick_jit(logits, self._key)
+            nxt = np.where(active, np.asarray(nxt_arr), 0)
+            self.mgr.lengths[active] += 1
+        else:
+            nxt, self.cache, self._key = self._step(
+                self.model.params, self.cache, toks, jnp.asarray(self.n_past),
+                jnp.asarray(active), self._key,
+            )
+            nxt = np.asarray(nxt)
         for i, s in enumerate(self.slots):
             if s is None or s.done:
                 continue

@@ -164,3 +164,25 @@ def test_batched_gemv_path_matches_dense(m, force_q8):
     y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
     y = planar_matmul(jnp.asarray(x), pw, interpret=True)
     assert _nmse(y_ref, np.asarray(y, np.float64)) < 5e-4
+
+
+def test_prefill_sized_gemv_accuracy():
+    """M=512 through the int-GEMV path (the MMQ prefill experiment,
+    GGML_TPU_GEMV_MAX_M=512): per-row activation quantization must stay
+    inside the reference matmul gate at prompt scale."""
+    import jax.numpy as jnp
+    from ggml_tpu.kernels.qmatmul import _q4_gemv, _quantize_activations_per_row
+
+    n, k, m = 256, 512, 512
+    rng = np.random.default_rng(77)
+    raw = _random_quantized(GGMLType.Q4_K, n, k, rng)
+    w_ref = R.dequantize(raw.reshape(n, -1), GGMLType.Q4_K, n * k).reshape(n, k)
+    pw = repack(raw, GGMLType.Q4_K, (n, k))
+    assert pw.kind == "q4"
+    x = (rng.standard_normal((m, k)) * 0.5).astype(np.float32)
+    xq, sx = _quantize_activations_per_row(jnp.asarray(x))
+    y = _q4_gemv(xq, jnp.asarray(pw.codes), jnp.asarray(pw.scales), pw.group,
+                 True, offsets=jnp.asarray(pw.offsets)) * sx
+    y = np.asarray(y)[:, : pw.n]
+    y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
+    assert _nmse(y_ref, y) < 5e-4

@@ -210,3 +210,43 @@ def test_sampled_engine_deterministic_per_seed(tiny_model):
         return eng.run()[r]
 
     assert run_once() == run_once()
+
+
+def test_paged_engine_matches_dense(tiny_model):
+    """Engine(paged=...) produces the same greedy outputs as the dense-cache
+    engine, including when page pressure forces preempt-and-resume."""
+    from ggml_tpu.paged_kv import PagedConfig
+
+    m = tiny_model
+    prompts = [[1, 2, 3], [4, 5], [9, 9, 1, 7]]
+    dense = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    rids = [dense.submit(p, 6) for p in prompts]
+    dres = dense.run()
+    want = {tuple(p): dres[r] for p, r in zip(prompts, rids)}
+
+    eng = Engine(m, max_batch=2, max_seq=32, cache_dtype=jnp.float32,
+                 paged=PagedConfig(n_pages=6, page_size=8, max_pages_per_seq=4))
+    rids = [eng.submit(p, 6) for p in prompts]
+    res = eng.run()
+    for p, r in zip(prompts, rids):
+        assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
+    assert eng.mgr.free_pages() == 6  # all pages recycled
+
+
+def test_paged_engine_page_pressure_eviction(tiny_model):
+    """A pool too small for all slots at once still completes every request
+    via preempt-and-resume, losslessly."""
+    from ggml_tpu.paged_kv import PagedConfig
+
+    m = tiny_model
+    dense = Engine(m, max_batch=1, max_seq=64, cache_dtype=jnp.float32)
+    r = dense.submit([1, 2, 3], 12)
+    want = dense.run()[r]
+
+    # 3 pages of 8 = barely two short sequences; force contention
+    eng = Engine(m, max_batch=2, max_seq=30, cache_dtype=jnp.float32,
+                 paged=PagedConfig(n_pages=3, page_size=8, max_pages_per_seq=4))
+    r1 = eng.submit([1, 2, 3], 12)
+    r2 = eng.submit([1, 2, 3], 12)
+    res = eng.run()
+    assert res[r1] == want and res[r2] == want
