@@ -42,6 +42,40 @@ def init_random_params(seed: int = 0, n_label: int = N_LABEL):
     }
 
 
+def load_gguf(path):
+    """Load a magika GGUF with the reference tensor naming
+    ('dense/kernel:0' etc.; reference loader examples/magika/main.cpp:92-137,
+    converter examples/magika/convert.py writes Keras h5 variables).  Kernels
+    are stored ne-(out, in) = numpy (in, out), matching our x @ W layout."""
+    from ..gguf import GGUFFile
+
+    g = GGUFFile(path)
+
+    def vec(name, n):
+        return jnp.asarray(g.to_float32(name + ":0").reshape(n))
+
+    def ker(name, cin, cout):
+        # the reference converter stores Keras kernels TRANSPOSED (out, in)
+        # C-order (convert.py: add_tensor(weight.name, weight_data.T))
+        return jnp.asarray(g.to_float32(name + ":0").reshape(cout, cin).T.copy())
+
+    n_label = g.to_float32("target_label/bias:0").size
+    return {
+        "dense/kernel": ker("dense/kernel", N_SYM, 128),
+        "dense/bias": vec("dense/bias", 128),
+        "layer_norm/gamma": vec("layer_normalization/gamma", 384),
+        "layer_norm/beta": vec("layer_normalization/beta", 384),
+        "dense_1/kernel": ker("dense_1/kernel", 512, 256),
+        "dense_1/bias": vec("dense_1/bias", 256),
+        "dense_2/kernel": ker("dense_2/kernel", 256, 256),
+        "dense_2/bias": vec("dense_2/bias", 256),
+        "layer_norm_1/gamma": vec("layer_normalization_1/gamma", 256),
+        "layer_norm_1/beta": vec("layer_normalization_1/beta", 256),
+        "target_label/kernel": ker("target_label/kernel", 256, n_label),
+        "target_label/bias": vec("target_label/bias", n_label),
+    }
+
+
 def _ln(x, g, b, eps=1e-12):
     m = jnp.mean(x, axis=-1, keepdims=True)
     v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)

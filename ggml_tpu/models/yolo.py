@@ -52,6 +52,27 @@ def init_random_params(seed: int = 0):
     return p
 
 
+def load_gguf(path):
+    """Load a yolov3-tiny GGUF (reference tensor naming: l{i}_weights OIHW
+    f16, l{i}_biases / _scales / _rolling_mean / _rolling_variance;
+    reference loader examples/yolo/yolov3-tiny.cpp:84-160 and converter
+    convert-yolov3-tiny.py).  Files produced by tools/convert_darknet_yolo.py
+    or the reference converter both load."""
+    from ..gguf import GGUFFile
+
+    g = GGUFFile(path)
+    p = {}
+    for i, (cout, k, bn) in enumerate(_CONVS):
+        wt = g.to_float32(f"l{i}_weights").reshape(cout, _CIN[i], k, k)
+        p[f"l{i}_weights"] = jnp.asarray(wt.transpose(2, 3, 1, 0))  # OIHW -> HWIO
+        p[f"l{i}_biases"] = jnp.asarray(g.to_float32(f"l{i}_biases").reshape(cout))
+        if bn:
+            p[f"l{i}_scales"] = jnp.asarray(g.to_float32(f"l{i}_scales").reshape(cout))
+            p[f"l{i}_mean"] = jnp.asarray(g.to_float32(f"l{i}_rolling_mean").reshape(cout))
+            p[f"l{i}_var"] = jnp.asarray(g.to_float32(f"l{i}_rolling_variance").reshape(cout))
+    return p
+
+
 def _conv(x, p, i, padding="SAME"):
     cout, k, bn = _CONVS[i]
     y = jax.lax.conv_general_dilated(
