@@ -81,6 +81,70 @@ def cnn_forward(params, images):
     return x @ params["dense_w"] + params["dense_b"]
 
 
+def save_gguf(params, path, arch=None):
+    """Write reference-format mnist GGUF (tensor naming and layouts of
+    examples/mnist/mnist-common.cpp:147-210: fc1.weight ne (784, 500) i.e.
+    numpy (out, in); conv kernels OIHW; the cnn dense input dim uses ggml's
+    channel-major flatten order)."""
+    from ..gguf import GGUFWriter
+
+    w = GGUFWriter()
+    is_fc = "fc1_w" in params
+    w.add_string("general.architecture", arch or ("mnist-fc" if is_fc else "mnist-cnn"))
+    if is_fc:
+        w.add_tensor("fc1.weight", np.asarray(params["fc1_w"]).T.copy())
+        w.add_tensor("fc1.bias", np.asarray(params["fc1_b"]))
+        w.add_tensor("fc2.weight", np.asarray(params["fc2_w"]).T.copy())
+        w.add_tensor("fc2.bias", np.asarray(params["fc2_b"]))
+    else:
+        w.add_tensor("conv1.kernel", np.asarray(params["conv1_k"]).transpose(3, 2, 0, 1).copy())
+        w.add_tensor("conv1.bias", np.asarray(params["conv1_b"]).reshape(NCB, 1, 1))
+        w.add_tensor("conv2.kernel", np.asarray(params["conv2_k"]).transpose(3, 2, 0, 1).copy())
+        w.add_tensor("conv2.bias", np.asarray(params["conv2_b"]).reshape(NCB * 2, 1, 1))
+        dw = np.asarray(params["dense_w"])  # rows in our NHWC flatten order
+        w.add_tensor("dense.weight", dw[_cnn_flat_perm()].T.copy())
+        w.add_tensor("dense.bias", np.asarray(params["dense_b"]))
+    w.write(path)
+    return path
+
+
+def _cnn_flat_perm():
+    """Index map from ggml's channel-major pooled-feature flatten (c, y, x)
+    to our NHWC flatten (y, x, c): perm[ggml_index] = our_index."""
+    s = HW // 4
+    c = NCB * 2
+    idx = np.arange(s * s * c).reshape(s, s, c)  # our (y, x, c) order
+    return idx.transpose(2, 0, 1).reshape(-1)  # walk in (c, y, x) order
+
+
+def load_gguf(path):
+    """Load a reference-format mnist GGUF (fc or cnn) into our param layout."""
+    from ..gguf import GGUFFile
+
+    g = GGUFFile(path)
+    arch = g.metadata.get("general.architecture", "mnist-fc")
+    if arch == "mnist-fc":
+        return {
+            "fc1_w": jnp.asarray(g.to_float32("fc1.weight").reshape(NHIDDEN, NINPUT).T.copy()),
+            "fc1_b": jnp.asarray(g.to_float32("fc1.bias").reshape(NHIDDEN)),
+            "fc2_w": jnp.asarray(g.to_float32("fc2.weight").reshape(NCLASSES, NHIDDEN).T.copy()),
+            "fc2_b": jnp.asarray(g.to_float32("fc2.bias").reshape(NCLASSES)),
+        }
+    s = HW // 4
+    perm = _cnn_flat_perm()
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    dw = g.to_float32("dense.weight").reshape(NCLASSES, s * s * NCB * 2).T
+    return {
+        "conv1_k": jnp.asarray(g.to_float32("conv1.kernel").reshape(NCB, 1, 3, 3).transpose(2, 3, 1, 0)),
+        "conv1_b": jnp.asarray(g.to_float32("conv1.bias").reshape(NCB)),
+        "conv2_k": jnp.asarray(g.to_float32("conv2.kernel").reshape(NCB * 2, NCB, 3, 3).transpose(2, 3, 1, 0)),
+        "conv2_b": jnp.asarray(g.to_float32("conv2.bias").reshape(NCB * 2)),
+        "dense_w": jnp.asarray(np.ascontiguousarray(dw[inv])),
+        "dense_b": jnp.asarray(g.to_float32("dense.bias").reshape(NCLASSES)),
+    }
+
+
 def synthetic_mnist(n: int, seed: int = 0):
     """Structured synthetic stand-in for the MNIST files (no network egress in
     this environment): each class is a fixed smooth prototype plus noise,
