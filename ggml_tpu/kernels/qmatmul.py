@@ -233,6 +233,16 @@ def _q8gemv_off_kernel(xq, q, s, o, out, *, G: int, ng: int = 8):
 
 import os
 
+_GEMV_VMEM = int(os.environ.get("GGML_TPU_GEMV_VMEM_MB", "0"))  # 0 = Mosaic default
+
+
+def _gemv_compiler_params():
+    kw = dict(dimension_semantics=("parallel", "arbitrary"))
+    if _GEMV_VMEM:
+        kw["vmem_limit_bytes"] = _GEMV_VMEM * 1024 * 1024
+    return pltpu.CompilerParams(**kw)
+
+
 _GEMV_BN = tuple(int(v) for v in os.environ.get("GGML_TPU_GEMV_BN", "2048,1024,512,384,256,128").split(","))
 _GEMV_GROUPS = int(os.environ.get("GGML_TPU_GEMV_GROUPS", "32"))  # groups per k step
 
@@ -267,9 +277,7 @@ def _q8_gemv(xq, codes, scales, G: int, interpret: bool, offsets=None):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=_gemv_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * npad,
             bytes_accessed=k * npad + scales.nbytes + extra_bytes + m * k + m * npad * 4,
@@ -384,9 +392,7 @@ def _q4_gemv(xq, packed, scales, G: int, interpret: bool, offsets=None):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=_gemv_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * npad,
             bytes_accessed=k2 * npad + scales.nbytes + extra_bytes + m * k + m * npad * 4,

@@ -61,7 +61,7 @@ class Engine:
 
     def __init__(self, model, max_batch: int = 4, max_seq: int = 512, eos_id: int = -1,
                  cache_dtype=jnp.bfloat16, sampler: dict | None = None, seed: int = 0,
-                 paged=None):
+                 paged=None, draft=None, draft_k: int = 4):
         """sampler: None = greedy argmax; or kwargs for
         sampling.sample_top_k_top_p (temperature/top_k/top_p) applied
         per-slot on device with an engine-owned PRNG key.
@@ -69,7 +69,12 @@ class Engine:
         paged: optional paged_kv.PagedConfig — KV memory becomes a shared
         page pool (capacity = sum of live contexts, not max_batch x max_seq);
         slots that run out of pages evict the lowest-priority running
-        request back to the queue.  Llama-family models only."""
+        request back to the queue.  Llama-family models only.
+
+        draft: optional smaller model of the same family — every tick runs
+        draft_k speculative tokens per slot and ONE (B, k+1) target verify
+        (lossless for greedy: emitted tokens equal plain decoding; see
+        speculative.py).  Greedy engines only; incompatible with paged."""
         from .models import gpt2, gptj, llama
 
         self.model = model
@@ -142,6 +147,45 @@ class Engine:
             return logits[:, -1, :], cache_slot
 
         self._prefill_cache = {}  # per prompt-length compiled prefill
+
+        self.draft = draft
+        self.draft_k = draft_k
+        if draft is not None:
+            if paged is not None or sampler is not None:
+                raise ValueError("speculative engine mode is greedy + dense-cache only")
+            dfwd = (llama.forward if isinstance(draft, llama.Llama)
+                    else gptj.forward if isinstance(draft, gptj.GPTJ)
+                    else gpt2.forward)
+            dcfg = draft.cfg
+            d_kv = getattr(dcfg, "n_head_kv", dcfg.n_head)
+            self.draft_cache = init_layer_cache(
+                dcfg.n_layer, max_batch, d_kv, max_seq, dcfg.head_dim, cache_dtype
+            )
+            kk = draft_k
+
+            def spec_tick(params, dparams, cache, dcache, tokens, n_past, active):
+                """One speculative tick for all slots: draft kk tokens each,
+                verify with one (B, kk+1) target forward.  Returns per-slot
+                draft tokens, target greedy tokens, caches."""
+
+                # draft autoregressively with per-slot positions
+                dc = dcache
+                tok = tokens
+                drafts = []
+                for j in range(kk):
+                    lg, dc = dfwd(dparams, dcfg, tok, n_past + j, dc, n_past + j)
+                    tok = jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32)[:, None]
+                    drafts.append(tok[:, 0])
+                drafts = jnp.stack(drafts, 1)  # (B, kk)
+                seq = jnp.concatenate([tokens, drafts], 1)  # (B, kk+1)
+                tlg, cache = self._fwd(params, cfgv, seq, n_past, cache, n_past)
+                greedy = jnp.argmax(tlg, -1).astype(jnp.int32)  # (B, kk+1)
+                return drafts, greedy, cache, dc
+
+            self._spec_tick = jax.jit(spec_tick, donate_argnums=(2, 3))
+            self._draft_prefill = jax.jit(
+                lambda dp, dc, toks: dfwd(dp, dcfg, toks, jnp.zeros((toks.shape[0],), jnp.int32), dc, jnp.int32(0))[1]
+            )
 
         self.slots: list[Request | None] = [None] * max_batch
         self.n_past = np.zeros(max_batch, np.int32)
@@ -267,6 +311,15 @@ class Engine:
         logits, slot_cache = self._prefill_cache[tb](
             self.model.params, slot_cache, jnp.asarray(toks)
         )
+        if self.draft is not None:  # mirror the prefix into the draft's cache
+            dcfg = self.draft.cfg
+            d_kv = getattr(dcfg, "n_head_kv", dcfg.n_head)
+            dslot = init_layer_cache(
+                dcfg.n_layer, 1, d_kv, self.max_seq, dcfg.head_dim,
+                self._cache_dtype,
+            )
+            dslot = self._draft_prefill(self.draft.params, dslot, jnp.asarray(toks))
+            self._pending_draft_slot = dslot
         return (logits if t == tb else None), slot_cache, t, tb
 
     def _emit_first(self, req: Request, i: int, logits):
@@ -316,6 +369,10 @@ class Engine:
                     self.mgr.install_prefill(i, slot_cache, t)
                 else:
                     self.cache = cache_set_slot(self.cache, slot_cache, i)
+                if self.draft is not None:
+                    self.draft_cache = cache_set_slot(
+                        self.draft_cache, self._pending_draft_slot, i
+                    )
                 self.slots[i] = req
                 self.n_past[i] = t
                 if logits is not None:
@@ -362,6 +419,34 @@ class Engine:
         if not active.any():
             return
         toks = jnp.asarray(self.cur_tok.reshape(-1, 1))
+        if self.draft is not None:
+            drafts, greedy, self.cache, self.draft_cache = self._spec_tick(
+                self.model.params, self.draft.params, self.cache,
+                self.draft_cache, toks, jnp.asarray(self.n_past),
+                jnp.asarray(active),
+            )
+            drafts, greedy = np.asarray(drafts), np.asarray(greedy)
+            kk = self.draft_k
+            for i, sl in enumerate(self.slots):
+                if sl is None or sl.done or not active[i]:
+                    continue
+                n_acc = 0
+                while n_acc < kk and drafts[i, n_acc] == greedy[i, n_acc]:
+                    n_acc += 1
+                emitted = list(drafts[i, :n_acc]) + [int(greedy[i, n_acc])]
+                for tok in emitted:
+                    if sl.done:
+                        break
+                    tok = int(tok)
+                    self.n_past[i] += 1
+                    sl.out.append(tok)
+                    self.cur_tok[i] = tok
+                    if (tok == self.eos_id or len(sl.out) >= sl.max_new_tokens
+                            or self.n_past[i] >= self.max_seq - kk - 2):
+                        sl.done = True
+                    if sl.on_token is not None:
+                        sl.on_token(sl.rid, tok, sl.done)
+            return
         if self.paged is not None:
             wpage, woff = self.mgr.step_coords(active)
             logits, self.mgr.pools = self._paged_step(

@@ -250,3 +250,36 @@ def test_paged_engine_page_pressure_eviction(tiny_model):
     r2 = eng.submit([1, 2, 3], 12)
     res = eng.run()
     assert res[r1] == want and res[r2] == want
+
+
+def test_speculative_engine_lossless(tiny_model, tmp_path_factory):
+    """Engine(draft=...) speculative continuous batching: outputs equal the
+    plain greedy engine for any draft (perfect or unrelated), across
+    interleaved slots."""
+    m = tiny_model
+    # an unrelated draft of the same family/vocab
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, num_key_value_heads=2, max_position_embeddings=128,
+        rms_norm_eps=1e-5, attention_dropout=0.0,
+    )
+    torch.manual_seed(99)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    dpath = tmp_path_factory.mktemp("spec_engine") / "draft.gguf"
+    convert_state_dict(hf.state_dict(), cfg).write(dpath)
+    g = GGUFFile(dpath)
+    draft = Llama(load_params(g), config_from_gguf(g), max_seq=64, batch=1)
+
+    prompts = [[1, 2, 3], [4, 5], [7, 8, 9, 2]]
+    plain = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    rids = [plain.submit(p, 7) for p in prompts]
+    pres = plain.run()
+    want = {tuple(p): pres[r] for p, r in zip(prompts, rids)}
+
+    for d in (m, draft):  # perfect draft, then unrelated draft
+        eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                     draft=d, draft_k=3)
+        rids = [eng.submit(p, 7) for p in prompts]
+        res = eng.run()
+        for p, r in zip(prompts, rids):
+            assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
