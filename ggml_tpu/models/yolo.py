@@ -162,21 +162,6 @@ def decode_head(pred: np.ndarray, mask, thresh=0.5, net_w=NET_W, net_h=NET_H):
     return dets
 
 
-def _iou(a, b):
-    def overlap(x1, w1, x2, w2):
-        left = max(x1 - w1 / 2, x2 - w2 / 2)
-        right = min(x1 + w1 / 2, x2 + w2 / 2)
-        return right - left
-
-    w = overlap(a[0], a[2], b[0], b[2])
-    h = overlap(a[1], a[3], b[1], b[3])
-    if w < 0 or h < 0:
-        return 0.0
-    inter = w * h
-    union = a[2] * a[3] + b[2] * b[3] - inter
-    return inter / union if union > 0 else 0.0
-
-
 def _iou_vec(a, boxes):
     """IoU of box a (4,) against boxes (K, 4), center format."""
     w = np.minimum(a[0] + a[2] / 2, boxes[:, 0] + boxes[:, 2] / 2) - np.maximum(
