@@ -451,7 +451,29 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
 
     offsets = None if pw.offsets is None else jnp.asarray(pw.offsets)
 
+    def dense_fallback(xc):
+        """Shapes too small for legal Mosaic lane tiling (q4 half-planes need
+        K/2 % 128 == 0): dequantize in jnp and matmul — XLA handles tiny
+        models fine; the kernels exist for the big ones."""
+        g = pw.group
+        sc = scales.astype(jnp.float32)
+        if pw.kind == "q4":
+            lo = (codes & 0xF).astype(jnp.float32)
+            hi = (codes >> 4).astype(jnp.float32)
+            w = jnp.concatenate(
+                [lo * jnp.repeat(sc[0], g, axis=0), hi * jnp.repeat(sc[1], g, axis=0)], 0
+            )
+        else:
+            w = codes.astype(jnp.float32) * jnp.repeat(sc, g, axis=0)
+        if offsets is not None:
+            w = w + jnp.repeat(offsets.astype(jnp.float32), g, axis=0)
+        return xc.astype(jnp.float32) @ w
+
+    q4_tileable = pw.kind != "q4" or (k // 2) % 128 == 0
+
     def one_chunk(xc):
+        if not interpret and not q4_tileable:
+            return dense_fallback(xc)
         if use_gemv:
             xq, sx = _quantize_activations_per_row(xc)
             gemv = _q8_gemv if pw.kind == "q8" else _q4_gemv
