@@ -93,3 +93,47 @@ def test_reference_parser_reads_our_file(tmp_path):
     assert "tensor t0 type=0" in out.stdout
     assert "tensor t1 type=2" in out.stdout
     assert "n_kv=2" in out.stdout
+
+
+def test_strict_validation_rejects_corrupt_files(tmp_path):
+    """The reader's strict-validation paths (reference: gguf_init_from_file_impl
+    rejects bad magic/version/dims/offsets, src/gguf.cpp:319-560)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ggml_tpu.gguf import GGUFFile, GGUFWriter
+
+    good = tmp_path / "good.gguf"
+    w = GGUFWriter()
+    w.add_string("general.architecture", "test")
+    w.add_tensor("t", np.arange(8, dtype=np.float32))
+    w.write(good)
+    blob = bytearray(good.read_bytes())
+
+    def variant(name, mutate):
+        b = bytearray(blob)
+        mutate(b)
+        p = tmp_path / name
+        p.write_bytes(bytes(b))
+        return p
+
+    bad_magic = variant("magic.gguf", lambda b: b.__setitem__(slice(0, 4), b"XXXX"))
+    with pytest.raises(ValueError):
+        GGUFFile(bad_magic)
+
+    bad_version = variant("ver.gguf", lambda b: b.__setitem__(slice(4, 8), struct.pack("<I", 99)))
+    with pytest.raises(ValueError):
+        GGUFFile(bad_version)
+
+    truncated = tmp_path / "trunc.gguf"
+    truncated.write_bytes(bytes(blob[: len(blob) // 3]))
+    with pytest.raises((EOFError, ValueError)):
+        GGUFFile(truncated)
+
+    # tensor data sliced off the end -> extends-past-EOF rejection
+    sliced = tmp_path / "sliced.gguf"
+    sliced.write_bytes(bytes(blob[:-16]))
+    with pytest.raises((EOFError, ValueError)):
+        GGUFFile(sliced)
