@@ -103,7 +103,11 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
         pre = f"blk.{i}."
         h = _layer_norm(x, params[pre + "attn_norm.weight"], params[pre + "attn_norm.bias"], cfg.eps)
 
-        if pre + "attn_qkv.weight" in params:  # fused projection (fewer, wider kernels)
+        ff_pre = None
+        if pre + "attn_qkvup.weight" in params:  # qkv + ffn_up in ONE kernel
+            fused = _linear(h, params[pre + "attn_qkvup.weight"])
+            q, k, v, ff_pre = jnp.split(fused, [cfg.n_embd, 2 * cfg.n_embd, 3 * cfg.n_embd], axis=-1)
+        elif pre + "attn_qkv.weight" in params:  # fused projection (fewer, wider kernels)
             qkv = _linear(h, params[pre + "attn_qkv.weight"])
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
@@ -144,7 +148,10 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
         attn_out = _linear(attn_out, params[pre + "attn_output.weight"])
 
         # parallel residual: mlp reads the SAME normed input (main.cpp:538-541)
-        ff = _linear(h, params[pre + "ffn_up.weight"], params[pre + "ffn_up.bias"])
+        if ff_pre is not None:
+            ff = ff_pre + params[pre + "ffn_up.bias"]
+        else:
+            ff = _linear(h, params[pre + "ffn_up.weight"], params[pre + "ffn_up.bias"])
         ff = 0.5 * ff * (1.0 + jnp.tanh(0.79788456080286535588 * ff * (1.0 + 0.044715 * ff * ff)))
         ff = _linear(ff, params[pre + "ffn_down.weight"], params[pre + "ffn_down.bias"])
 
@@ -310,14 +317,19 @@ def synth_quantized_params(
         pre = f"blk.{i}."
         p[pre + "attn_norm.weight"] = jnp.ones((E,), dtype)
         p[pre + "attn_norm.bias"] = jnp.zeros((E,), dtype)
-        if fuse_qkv:  # fused q|k|v: fewer, wider kernels (single-chip decode)
+        fuse_up = fuse_qkv and os.environ.get("GGML_TPU_FUSE_QKVUP", "0") == "1"
+        if fuse_up:  # parallel residual: qkv AND ffn_up read the same h ->
+            # one widest kernel per layer (N = 7E), one fewer ramp
+            p[pre + "attn_qkvup.weight"] = qweight(7 * E, E)
+        elif fuse_qkv:  # fused q|k|v: fewer, wider kernels (single-chip decode)
             p[pre + "attn_qkv.weight"] = qweight(3 * E, E)
         else:  # separate projections (column-sharded tensor parallelism)
             p[pre + "attn_q.weight"] = qweight(E, E)
             p[pre + "attn_k.weight"] = qweight(E, E)
             p[pre + "attn_v.weight"] = qweight(E, E)
         p[pre + "attn_output.weight"] = qweight(E, E)
-        p[pre + "ffn_up.weight"] = qweight(4 * E, E)
+        if not fuse_up:
+            p[pre + "ffn_up.weight"] = qweight(4 * E, E)
         p[pre + "ffn_up.bias"] = jnp.zeros((4 * E,), dtype)
         p[pre + "ffn_down.weight"] = qweight(E, 4 * E)
         p[pre + "ffn_down.bias"] = jnp.zeros((E,), dtype)

@@ -79,3 +79,41 @@ def test_gptj_decode_loop_matches_stepwise(tiny_gptj):
     first = np.asarray(jnp.argmax(logits2, -1))[:, None].astype(np.int32)
     _, toks = m.decode_greedy(cache2, first, n_past2, 8)
     assert seq == list(toks.reshape(-1)), (seq, toks)
+
+
+def test_fused_qkvup_matches_unfused():
+    """The qkv+ffn_up single-kernel fusion (parallel residual: both read the
+    same normed input) is numerically identical to separate projections —
+    the planes are the same bytes, concatenated along N."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models.gptj import GPTJConfig, forward, init_cache, synth_quantized_params
+    from ggml_tpu.quant.planar import PlanarWeight
+
+    cfg = GPTJConfig(n_vocab=512, n_ctx=64, n_embd=256, n_head=4, n_layer=2, n_rot=32)
+    params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=3, dtype=jnp.float32, fuse_qkv=False)
+    fused = dict(params)
+    for i in range(cfg.n_layer):
+        pre = f"blk.{i}."
+        names = ("attn_q.weight", "attn_k.weight", "attn_v.weight", "ffn_up.weight")
+        pws = [params[pre + n] for n in names]
+        cat = lambda f: jnp.concatenate([getattr(w, f) for w in pws], axis=-1)
+        fused[pre + "attn_qkvup.weight"] = PlanarWeight(
+            kind=pws[0].kind, codes=cat("codes"), scales=cat("scales"),
+            offsets=None if pws[0].offsets is None else cat("offsets"),
+            group=pws[0].group, n=sum(w.n for w in pws), k=pws[0].k,
+            orig_type=pws[0].orig_type,
+        )
+        for n in names:
+            del fused[pre + n]
+
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 512, (1, 5)).astype(np.int32))
+    z = jnp.zeros((1,), jnp.int32)
+    l1, _ = jax.jit(forward, static_argnums=1)(
+        params, cfg, toks, z, init_cache(cfg, 1, 16, jnp.float32), jnp.int32(0))
+    l2, _ = jax.jit(forward, static_argnums=1)(
+        fused, cfg, toks, z, init_cache(cfg, 1, 16, jnp.float32), jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6, atol=1e-6)
