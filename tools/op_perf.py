@@ -27,7 +27,10 @@ def _r(*shape, s=0.5):
     return jnp.asarray((RNG.standard_normal(shape) * s).astype(np.float32))
 
 
-def bench(name, fn, x0, flops=0.0, bytes_=0.0):
+_FLOOR = None  # per-iteration fixed cost of the chain harness itself
+
+
+def _measure(fn, x0):
     @jax.jit
     def run(x):
         def body(x, _):
@@ -40,8 +43,25 @@ def bench(name, fn, x0, flops=0.0, bytes_=0.0):
     np.asarray(run(x0))  # compile + warmup
     t0 = time.perf_counter()
     np.asarray(run(x0))
-    dt = (time.perf_counter() - t0) / ITERS
-    msg = f"{name:36s} {dt*1e6:10.1f} us"
+    return (time.perf_counter() - t0) / ITERS
+
+
+def harness_floor():
+    """Per-iteration fixed cost (scan step + chain + dispatch): measured with
+    a near-empty op and subtracted from every case — the axon relay's floor
+    is hundreds of us and would otherwise bury small ops."""
+    global _FLOOR
+    if _FLOOR is None:
+        tiny = _r(8, 128)
+        _FLOOR = _measure(lambda x: x * 1.000001, tiny)
+        print(f"# harness floor {_FLOOR*1e6:.1f} us/iter (subtracted)", flush=True)
+    return _FLOOR
+
+
+def bench(name, fn, x0, flops=0.0, bytes_=0.0):
+    dt_raw = _measure(fn, x0)
+    dt = max(dt_raw - harness_floor(), 1e-9)
+    msg = f"{name:36s} {dt*1e6:10.1f} us (+floor {1e6*harness_floor():.0f})"
     if flops:
         msg += f" {flops/dt/1e12:8.2f} TFLOP/s"
     if bytes_:
