@@ -139,7 +139,9 @@ def bench_gptj_prefill():
 
     _enable_compile_cache()
     n_prompt = int(os.environ.get("BENCH_TOKENS", "512"))
-    cfg = GPTJConfig(use_flash_prefill=True)
+    # XLA's fused attention beats the Pallas flash kernel ~2x at this size
+    # (docs/kernels.md "per-op perf snapshot"): 11.0k vs 7.6k tok/s e2e
+    cfg = GPTJConfig(use_flash_prefill=os.environ.get("BENCH_FLASH", "0") == "1")
     params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
     m = GPTJ(params, cfg, max_seq=max(512, n_prompt), batch=1)
 

@@ -318,3 +318,50 @@ def test_gated_linear_attn():
     exp_y, exp_s = _split_wkv(t, S, H, B * T, B)
     assert nmse(np.asarray(y), exp_y) < 1e-9
     assert nmse(np.asarray(s_out), exp_s) < 1e-9
+
+
+# -- extended coverage (acc/set, reflect pad, ranges, top-k, counts, rel-pos) --
+
+
+def test_acc():
+    check("acc", lambda t: O.acc(t["a"], t["b"], 2 * 16), 1e-9)
+
+
+def test_set():
+    check("set", lambda t: O.set_(t["a"], t["b"], 3 * 16), 1e-9)
+
+
+def test_pad_reflect_1d():
+    check("pad_reflect_1d", lambda t: O.pad_reflect_1d(t["x"], 3, 2), 1e-9)
+
+
+def test_arange():
+    check("arange", lambda t: O.arange(0.5, 9.5, 0.75), 1e-12)
+
+
+def test_top_k():
+    check("top_k", lambda t: O.top_k(t["x"], 5), 0.0)
+
+
+def test_count_equal():
+    check("count_equal", lambda t: np.asarray(O.count_equal(t["a"], t["b"])).astype(np.int32), 0.0)
+
+
+def test_argmax():
+    check("argmax", lambda t: O.argmax(t["x"]), 0.0)
+
+
+def test_mean():
+    check("mean", lambda t: O.mean(t["x"]), 1e-10)
+
+
+def test_diag_mask_zero():
+    check("diag_mask_zero", lambda t: O.diag_mask_zero(t["x"], 1), 1e-12)
+
+
+def test_soft_max_plain():
+    check("soft_max_plain", lambda t: O.soft_max(t["x"]), 1e-10)
+
+
+def test_add_rel_pos_golden():
+    check("add_rel_pos", lambda t: O.add_rel_pos(t["attn"], t["rw"], t["rh"]), 1e-9)

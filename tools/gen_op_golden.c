@@ -44,7 +44,7 @@ static void dump_tensor(const char * name, struct ggml_tensor * t) {
     uint32_t nlen = (uint32_t) strlen(name);
     fwrite(&nlen, 4, 1, out_file);
     fwrite(name, 1, nlen, out_file);
-    uint32_t dtype = t->type == GGML_TYPE_I32 ? 1u : 0u;
+    uint32_t dtype = (t->type == GGML_TYPE_I32 || t->type == GGML_TYPE_I64) ? 1u : 0u;
     fwrite(&dtype, 4, 1, out_file);
     uint32_t nd = (uint32_t) ggml_n_dims(t);
     fwrite(&nd, 4, 1, out_file);
@@ -54,8 +54,23 @@ static void dump_tensor(const char * name, struct ggml_tensor * t) {
     }
     int64_t n = ggml_nelements(t);
     if (dtype == 1) {
-        // assume contiguous i32
-        fwrite(t->data, 4, n, out_file);
+        if (t->type == GGML_TYPE_I64) {  // downcast to i32 (small test values)
+            const int64_t * src = (const int64_t *) t->data;
+            for (int64_t i = 0; i < n; i++) {
+                int32_t v = (int32_t) src[i];
+                fwrite(&v, 4, 1, out_file);
+            }
+        } else {
+            // walk strides: top_k outputs are VIEWS of argsort (non-contiguous)
+            const int64_t * ne = t->ne; const size_t * nb = t->nb;
+            for (int64_t i3 = 0; i3 < ne[3]; i3++)
+            for (int64_t i2 = 0; i2 < ne[2]; i2++)
+            for (int64_t i1 = 0; i1 < ne[1]; i1++)
+            for (int64_t i0 = 0; i0 < ne[0]; i0++) {
+                int32_t v = *(int32_t *)((char *)t->data + i3*nb[3] + i2*nb[2] + i1*nb[1] + i0*nb[0]);
+                fwrite(&v, 4, 1, out_file);
+            }
+        }
     } else if (t->type == GGML_TYPE_F32 && ggml_is_contiguous(t)) {
         fwrite(t->data, 4, n, out_file);
     } else {
@@ -279,6 +294,79 @@ static void case_flash_attn(void) {
     run_and_end(ggml_flash_attn_ext(ctx, q, k, v, mask, 0.25f, 4.0f, 5.0f));
 }
 
+static void case_extra(void) {
+    // indexed writes, reflect padding, ranges, top-k, counting, rel-pos add
+    begin_case("acc");
+    struct ggml_tensor * dst0 = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 16, 8);
+    struct ggml_tensor * src0 = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 16, 3);
+    fill_f32(dst0, 1.0f); fill_f32(src0, 1.0f);
+    dump_tensor("a", dst0); dump_tensor("b", src0);
+    run_and_end(ggml_acc(ctx, dst0, src0, dst0->nb[1], dst0->nb[2], dst0->nb[3], 2*dst0->nb[1]));
+
+    begin_case("set");
+    dst0 = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 16, 8);
+    src0 = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 16, 3);
+    fill_f32(dst0, 1.0f); fill_f32(src0, 1.0f);
+    dump_tensor("a", dst0); dump_tensor("b", src0);
+    run_and_end(ggml_set(ctx, dst0, src0, dst0->nb[1], dst0->nb[2], dst0->nb[3], 3*dst0->nb[1]));
+
+    begin_case("pad_reflect_1d");
+    struct ggml_tensor * x = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 11, 4);
+    fill_f32(x, 1.0f);
+    dump_tensor("x", x);
+    run_and_end(ggml_pad_reflect_1d(ctx, x, 3, 2));
+
+    begin_case("arange");
+    run_and_end(ggml_arange(ctx, 0.5f, 9.5f, 0.75f));
+
+    begin_case("top_k");
+    x = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 23, 3);
+    fill_f32(x, 1.0f);
+    dump_tensor("x", x);
+    run_and_end(ggml_top_k(ctx, x, 5));
+
+    begin_case("count_equal");
+    struct ggml_tensor * ia = ggml_new_tensor_2d(ctx, GGML_TYPE_I32, 10, 4);
+    struct ggml_tensor * ib = ggml_new_tensor_2d(ctx, GGML_TYPE_I32, 10, 4);
+    int32_t * pa = (int32_t *) ia->data;
+    int32_t * pb = (int32_t *) ib->data;
+    for (int i = 0; i < 40; i++) { pa[i] = i % 5; pb[i] = (i % 3 == 0) ? i % 5 : (i+1) % 5; }
+    dump_tensor("a", ia); dump_tensor("b", ib);
+    run_and_end(ggml_count_equal(ctx, ia, ib));
+
+    begin_case("argmax");
+    x = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 17, 6);
+    fill_f32(x, 1.0f);
+    dump_tensor("x", x);
+    run_and_end(ggml_argmax(ctx, x));
+
+    begin_case("mean");
+    x = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 29, 4);
+    fill_f32(x, 1.0f);
+    dump_tensor("x", x);
+    run_and_end(ggml_mean(ctx, x));
+
+    begin_case("diag_mask_zero");
+    x = ggml_new_tensor_3d(ctx, GGML_TYPE_F32, 10, 10, 2);
+    fill_f32(x, 1.0f);
+    dump_tensor("x", x);
+    run_and_end(ggml_diag_mask_zero(ctx, x, 1));
+
+    begin_case("soft_max_plain");
+    x = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 31, 5);
+    fill_f32(x, 2.0f);
+    dump_tensor("x", x);
+    run_and_end(ggml_soft_max(ctx, x));
+
+    begin_case("add_rel_pos");
+    struct ggml_tensor * attn = ggml_new_tensor_3d(ctx, GGML_TYPE_F32, 9, 9, 4); // (kh*kw, qh*qw, B*nh) ne order
+    struct ggml_tensor * rw = ggml_new_tensor_4d(ctx, GGML_TYPE_F32, 3, 3, 3, 4);
+    struct ggml_tensor * rh = ggml_new_tensor_4d(ctx, GGML_TYPE_F32, 3, 3, 3, 4);
+    fill_f32(attn, 1.0f); fill_f32(rw, 1.0f); fill_f32(rh, 1.0f);
+    dump_tensor("attn", attn); dump_tensor("rw", rw); dump_tensor("rh", rh);
+    run_and_end(ggml_add_rel_pos(ctx, attn, rw, rh));
+}
+
 static void case_misc(void) {
     begin_case("argsort");
     struct ggml_tensor * x = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 37, 5);
@@ -449,6 +537,7 @@ int main(int argc, char ** argv) {
     case_im2col();
     case_flash_attn();
     case_misc();
+    case_extra();
     printf("done\n");
     return 0;
 }
