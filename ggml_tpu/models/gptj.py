@@ -40,8 +40,12 @@ class GPTJConfig:
     n_rot: int = 64
     eps: float = 1e-5
     # fused Pallas flash attention for multi-token (prefill-from-empty) steps;
-    # bf16 MXU rounding (~1e-5 NMSE) vs the fp32 jnp path
+    # bf16 MXU rounding (~1e-5 NMSE) vs the fp32 jnp path.  Measured
+    # crossover on v5e: XLA's own attention fusion wins below ~1-2k tokens,
+    # the flash kernel wins above (2.3x at 2048) — so prefill picks
+    # automatically by length unless use_flash_prefill forces it on
     use_flash_prefill: bool = False
+    flash_min_seq: int = 1024
 
     @property
     def head_dim(self):
@@ -128,7 +132,10 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
         vc = cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
         new_cache[i] = (kc, vc)
 
-        if cfg.use_flash_prefill and t > 1:
+        # contract: multi-token steps are prefill-from-empty (every caller —
+        # generate/engine/ppl/speculative — satisfies this); the flash path
+        # attends only the current tokens
+        if t > 1 and (cfg.use_flash_prefill or t >= cfg.flash_min_seq):
             # prefill-from-empty: attend the current tokens only through the
             # fused Pallas kernel (cache history is empty by contract)
             from ..kernels.flash_attn import flash_attention

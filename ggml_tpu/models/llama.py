@@ -45,6 +45,9 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     # fused Pallas flash attention for multi-token (prefill-from-empty) steps
     use_flash_prefill: bool = False
+    # crossover on v5e: XLA's fused attention wins below ~1-2k tokens, the
+    # Pallas flash kernel above (2.3x at 2048); prefill auto-selects by length
+    flash_min_seq: int = 1024
 
     @property
     def head_dim(self):
@@ -172,7 +175,10 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len)
         vc = _cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
         new_cache[i] = (kc, vc)
 
-        if cfg.use_flash_prefill and t > 1:
+        # contract: multi-token steps are prefill-from-empty (every caller —
+        # generate/engine/ppl/speculative — satisfies this); the flash path
+        # attends only the current tokens
+        if t > 1 and (cfg.use_flash_prefill or t >= cfg.flash_min_seq):
             from ..kernels.flash_attn import flash_attention
 
             out = flash_attention(q, k, v, mask=_causal_mask(t), scale=scale)
