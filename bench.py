@@ -151,7 +151,8 @@ def bench_gptj_prefill():
     # prefill itself (see the decode bench's warmup note)
     from ggml_tpu.models.gptj import forward as _fwd
 
-    iters = int(os.environ.get("BENCH_PREFILL_ITERS", "8"))
+    # >=32 iterations: the ~0.5 s window of 8 iters leaves +-25% relay noise
+    iters = int(os.environ.get("BENCH_PREFILL_ITERS", "32"))
 
     @jax.jit
     def loop(params, cache, prompt):
