@@ -283,3 +283,49 @@ def test_speculative_engine_lossless(tiny_model, tmp_path_factory):
         res = eng.run()
         for p, r in zip(prompts, rids):
             assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
+
+
+def test_engine_fuzz_random_interleavings(tiny_model):
+    """Randomized scheduler stress: arbitrary submission times, priorities,
+    lengths, and cancellations across seeds — every completed request's
+    output must equal its uncontended run (the engine's core invariant)."""
+    m = tiny_model
+    solo_cache = {}
+
+    def solo(prompt, n):
+        key = (tuple(prompt), n)
+        if key not in solo_cache:
+            e = Engine(m, max_batch=1, max_seq=64, cache_dtype=jnp.float32)
+            rid = e.submit(list(prompt), n)
+            solo_cache[key] = e.run()[rid]
+        return solo_cache[key]
+
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+        live = {}
+        cancelled = set()
+        for step in range(12):
+            action = rng.random()
+            if action < 0.55 or not live:
+                prompt = [int(t) for t in rng.integers(0, 256, rng.integers(1, 6))]
+                n = int(rng.integers(2, 8))
+                rid = eng.submit(prompt, n, priority=int(rng.integers(0, 3)))
+                live[rid] = (prompt, n)
+            elif action < 0.7:
+                rid = int(rng.choice(list(live)))
+                if eng.cancel(rid):
+                    cancelled.add(rid)
+            else:
+                eng._admit(32)
+                eng._tick()
+        res = eng.run()
+        for rid, (prompt, n) in live.items():
+            if rid in cancelled and rid not in res:
+                continue  # cancelled before any output
+            got = res[rid]
+            want = solo(prompt, n)
+            if rid in cancelled:
+                assert got == want[: len(got)], (seed, rid)  # truncated prefix
+            else:
+                assert got == want, (seed, rid, got, want)
