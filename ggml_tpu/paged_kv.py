@@ -145,12 +145,16 @@ def paged_gather(pool_kv, table_row):
 
 
 def make_paged_decode_step(model, pcfg: PagedConfig):
-    """Jitted one-token decode step over paged KV for a Llama-family model.
+    """Jitted one-token decode step over paged KV (Llama or GPT-J family).
 
     Returns step(params, pools, tokens (B,1), lengths (B,), tables (B,P),
     write_pages (B,), write_offs (B,), active (B,)) ->
     (logits (B, vocab), pools).  Works for any batch of slots at distinct
     positions (continuous batching)."""
+    from .models import gptj as _gptj
+
+    if isinstance(model, _gptj.GPTJ):
+        return _make_paged_step_gptj(model, pcfg)
     from .models.llama import _linear, _rms_norm, _rope_half
 
     cfg = model.cfg
@@ -205,6 +209,78 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
         w_out = params.get("output.weight", params.get("token_embd.weight@dense",
                                                        params["token_embd.weight"]))
         logits = _linear(x, w_out)[:, 0]
+        logits = jnp.where(active[:, None], logits, 0.0)
+        return logits, tuple(new_pools)
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def _make_paged_step_gptj(model, pcfg: PagedConfig):
+    """GPT-J-family paged step: MHA, interleaved rope, parallel residual."""
+    from .models.gptj import _linear, _layer_norm, _rope_interleaved
+
+    cfg = model.cfg
+    scale = 1.0 / np.sqrt(cfg.head_dim)
+    window = pcfg.max_pages_per_seq * pcfg.page_size
+
+    def step(params, pools, tokens, lengths, tables, wpage, woff, active):
+        b, t = tokens.shape
+        assert t == 1
+        positions = lengths[:, None]
+        embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
+        x = embd[tokens]
+        dt = x.dtype
+        new_pools = list(pools)
+        for i in range(cfg.n_layer):
+            pre = f"blk.{i}."
+            h = _layer_norm(x, params[pre + "attn_norm.weight"],
+                            params[pre + "attn_norm.bias"], cfg.eps)
+            ff_pre = None
+            if pre + "attn_qkvup.weight" in params:
+                fused = _linear(h, params[pre + "attn_qkvup.weight"])
+                q, k, v, ff_pre = jnp.split(
+                    fused, [cfg.n_embd, 2 * cfg.n_embd, 3 * cfg.n_embd], axis=-1)
+            elif pre + "attn_qkv.weight" in params:
+                qkv = _linear(h, params[pre + "attn_qkv.weight"])
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = _linear(h, params[pre + "attn_q.weight"])
+                k = _linear(h, params[pre + "attn_k.weight"])
+                v = _linear(h, params[pre + "attn_v.weight"])
+            hd = cfg.head_dim
+            q = _rope_interleaved(q.reshape(b, 1, cfg.n_head, hd), positions, cfg.n_rot)[:, 0]
+            k = _rope_interleaved(k.reshape(b, 1, cfg.n_head, hd), positions, cfg.n_rot)[:, 0]
+            v = v.reshape(b, cfg.n_head, hd)
+
+            kp, vp = new_pools[i]
+            cdt = kp.dtype
+            kp = paged_write(kp, k.astype(cdt), wpage, woff)
+            vp = paged_write(vp, v.astype(cdt), wpage, woff)
+            new_pools[i] = (kp, vp)
+
+            kwin = jax.vmap(lambda tr: paged_gather(kp, tr))(tables)  # (B,H,W,D)
+            vwin = jax.vmap(lambda tr: paged_gather(vp, tr))(tables)
+            att = jnp.einsum(
+                "bhd,bhkd->bhk", q.astype(jnp.float32), kwin.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            kv_pos = jnp.arange(window)[None, None, :]
+            att = jnp.where(kv_pos <= lengths[:, None, None], att, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1).astype(vwin.dtype)
+            out = jnp.einsum("bhk,bhkd->bhd", att, vwin)
+            attn_out = out.reshape(b, 1, cfg.n_embd).astype(dt)
+            attn_out = _linear(attn_out, params[pre + "attn_output.weight"])
+
+            if ff_pre is not None:
+                ff = ff_pre + params[pre + "ffn_up.bias"]
+            else:
+                ff = _linear(h, params[pre + "ffn_up.weight"], params[pre + "ffn_up.bias"])
+            ff = 0.5 * ff * (1.0 + jnp.tanh(0.79788456080286535588 * ff * (1.0 + 0.044715 * ff * ff)))
+            ff = _linear(ff, params[pre + "ffn_down.weight"], params[pre + "ffn_down.bias"])
+            x = x + attn_out + ff
+
+        x = _layer_norm(x, params["output_norm.weight"], params["output_norm.bias"], cfg.eps)
+        logits = _linear(x, params["output.weight"], params.get("output.bias"))[:, 0]
         logits = jnp.where(active[:, None], logits, 0.0)
         return logits, tuple(new_pools)
 

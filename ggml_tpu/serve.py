@@ -100,8 +100,10 @@ class Engine:
             from .models import llama as _llama
             from .paged_kv import PagedKVManager, make_paged_decode_step
 
-            if not isinstance(model, _llama.Llama):
-                raise TypeError("paged KV currently drives Llama-family models")
+            from .models import gptj as _gptj
+
+            if not isinstance(model, (_llama.Llama, _gptj.GPTJ)):
+                raise TypeError("paged KV drives Llama- and GPT-J-family models")
             if paged.page_size * paged.max_pages_per_seq < max_seq:
                 raise ValueError("paged logical window smaller than max_seq")
             self.mgr = PagedKVManager(

@@ -329,3 +329,28 @@ def test_engine_fuzz_random_interleavings(tiny_model):
                 assert got == want[: len(got)], (seed, rid)  # truncated prefix
             else:
                 assert got == want, (seed, rid, got, want)
+
+
+def test_paged_engine_gptj():
+    """Engine(paged=...) over the GPT-J family matches the dense engine."""
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models.gptj import GPTJ, GPTJConfig, synth_quantized_params
+    from ggml_tpu.paged_kv import PagedConfig
+
+    cfg = GPTJConfig(n_vocab=512, n_ctx=64, n_embd=256, n_head=4, n_layer=2, n_rot=32)
+    params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=5, dtype=jnp.float32)
+    m = GPTJ(params, cfg, max_seq=48, batch=1)
+
+    prompts = [[1, 2, 3], [9, 8]]
+    dense = Engine(m, max_batch=2, max_seq=48, cache_dtype=jnp.float32)
+    rids = [dense.submit(p, 6) for p in prompts]
+    dres = dense.run()
+    want = {tuple(p): dres[r] for p, r in zip(prompts, rids)}
+
+    eng = Engine(m, max_batch=2, max_seq=48, cache_dtype=jnp.float32,
+                 paged=PagedConfig(n_pages=10, page_size=8, max_pages_per_seq=6))
+    rids = [eng.submit(p, 6) for p in prompts]
+    res = eng.run()
+    for p, r in zip(prompts, rids):
+        assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
+    assert eng.mgr.free_pages() == 10
