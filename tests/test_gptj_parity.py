@@ -116,4 +116,9 @@ def test_fused_qkvup_matches_unfused():
         params, cfg, toks, z, init_cache(cfg, 1, 16, jnp.float32), jnp.int32(0))
     l2, _ = jax.jit(forward, static_argnums=1)(
         fused, cfg, toks, z, init_cache(cfg, 1, 16, jnp.float32), jnp.int32(0))
-    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6, atol=1e-6)
+    a, b = np.asarray(l1, np.float64), np.asarray(l2, np.float64)
+    nmse = ((a - b) ** 2).sum() / (a * a).sum()
+    # CPU interpret mode is exact (0.0); on hardware the fused weight's
+    # different N tiling reassociates the bf16 dequant matmul -> gate at the
+    # reference matmul NMSE (tests/test-backend-ops.cpp:1915)
+    assert nmse < 5e-4, nmse
