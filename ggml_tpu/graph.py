@@ -254,9 +254,6 @@ class Context:
     def diag_mask_zero(self, a, n_past):
         return self._node(a.shape, a.dtype, "diag_mask_zero", (a,), n_past=n_past)
 
-    def soft_max(self, a):
-        return self._node(a.shape, a.dtype, "soft_max", (a,))
-
     def argsort(self, a, descending=False):
         return self._node(a.shape, jnp.int32, "argsort", (a,), descending=descending)
 
@@ -371,12 +368,17 @@ class Context:
         return self._node(x.shape, x.dtype, "ssm_scan", (s, x, dt, A, B, C))
 
     def rwkv_wkv6(self, k, v, r, tf, td, state):
-        T, H, S = k.shape[0], k.shape[1], k.shape[2]
-        return self._node((T, H * S), k.dtype, "rwkv_wkv6", (k, v, r, tf, td, state))
+        """k/v/r/td: (B, T, H, S); tf: (H, S); state: (B, H, S, S).  One fused
+        output like the reference (ggml_rwkv_wkv6 result ne = {S*H,
+        n_tokens + S*n_seqs}): B*T output rows then B*S final-state rows."""
+        B, T, H, S = k.shape
+        return self._node((B * T + B * S, H * S), k.dtype, "rwkv_wkv6", (k, v, r, tf, td, state))
 
     def gated_linear_attn(self, k, v, q, g, state, scale=1.0):
-        T, H, S = k.shape[0], k.shape[1], k.shape[2]
-        return self._node((T, H * S), k.dtype, "gated_linear_attn", (k, v, q, g, state), scale=scale)
+        """k/v/q/g: (B, T, H, S); state: (B, H, S, S).  Fused output rows as
+        in rwkv_wkv6 (reference: ggml_gated_linear_attn)."""
+        B, T, H, S = k.shape
+        return self._node((B * T + B * S, H * S), k.dtype, "gated_linear_attn", (k, v, q, g, state), scale=scale)
 
     # -- SAM helpers ---------------------------------------------------------
     def win_part(self, x, w):
@@ -430,6 +432,15 @@ _UNARY_OPS = {
 }
 
 # op name -> evaluator(args, srcs_vals) producing a jax array
+def _fuse_out_state(out, st):
+    """(out (B,T,H,S), state (B,H,S,S)) -> one (B*T + B*S, H*S) tensor, the
+    reference's fused rwkv/gla result layout (output rows then state rows)."""
+    B, T, H, S = out.shape
+    out_rows = out.reshape(B * T, H * S)
+    st_rows = st.transpose(0, 2, 1, 3).reshape(B * S, H * S)
+    return jnp.concatenate([out_rows, st_rows], axis=0)
+
+
 _EVAL: dict[str, Callable] = {}
 
 
@@ -505,8 +516,8 @@ _EVAL.update(
     timestep_embedding=lambda t, v: O.timestep_embedding(v[0], t.params["dim"], t.params["max_period"]),
     ssm_conv=lambda t, v: O.ssm_conv(v[0], v[1]),
     ssm_scan=lambda t, v: O.ssm_scan(*v),
-    rwkv_wkv6=lambda t, v: O.rwkv_wkv6(*v),
-    gated_linear_attn=lambda t, v: O.gated_linear_attn(*v, t.params["scale"]),
+    rwkv_wkv6=lambda t, v: _fuse_out_state(*O.rwkv_wkv6(*v)),
+    gated_linear_attn=lambda t, v: _fuse_out_state(*O.gated_linear_attn(*v, t.params["scale"])),
     win_part=lambda t, v: O.win_part(v[0], t.params["w"]),
     win_unpart=lambda t, v: O.win_unpart(v[0], t.params["h"], t.params["wd"], t.params["w"]),
     get_rel_pos=lambda t, v: O.get_rel_pos(v[0], t.params["qh"], t.params["kh"]),

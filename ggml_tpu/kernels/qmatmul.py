@@ -421,6 +421,34 @@ _GEMV_MAX_M = int(os.environ.get("GGML_TPU_GEMV_MAX_M", "32"))
 
 _M_CHUNK = 512  # cap rows per kernel call to bound VMEM
 
+# kernel-selection observability (the GGML_SCHED_DEBUG assignment-dump idiom,
+# reference src/ggml-backend.cpp:793-830): every planar_matmul trace records
+# which path a (kind, K, N, M-class) landed on; dense fallbacks also warn once
+_selection_log: dict[tuple, str] = {}
+
+
+def kernel_selection_report() -> list[str]:
+    """One line per distinct matmul site traced so far: which kernel ran.
+    Surfaced by tools/generate.py --verbose; reset with clear()."""
+    return [
+        f"{kind:>3} K={k:<6} N={n:<6} {mclass:>7} -> {path}"
+        for (kind, k, n, mclass), path in sorted(_selection_log.items())
+    ]
+
+
+def _record_selection(kind, k, n, m, path):
+    mclass = "gemv-M" if m <= _GEMV_MAX_M else "matmul-M"
+    key = (kind, k, n, mclass)
+    if key not in _selection_log:
+        _selection_log[key] = path
+        if "fallback" in path:
+            from ..utils.log import get_logger
+
+            get_logger().warning(
+                "planar_matmul %s K=%d N=%d: %s — full-width dequant traffic, "
+                "the quantized-kernel HBM win is lost for this layer", kind, k, n, path
+            )
+
 
 def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
     """y = x @ W^T with W a planar-repacked quantized weight.
@@ -470,6 +498,13 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
         return xc.astype(jnp.float32) @ w
 
     q4_tileable = pw.kind != "q4" or (k // 2) % 128 == 0
+
+    if not interpret and not q4_tileable:
+        _record_selection(pw.kind, k, pw.n, m, "dense-fallback (K/2 % 128 != 0)")
+    elif use_gemv:
+        _record_selection(pw.kind, k, pw.n, m, f"{pw.kind}-gemv (int8 MXU)")
+    else:
+        _record_selection(pw.kind, k, pw.n, m, f"{pw.kind}-matmul (fused dequant)")
 
     def one_chunk(xc):
         if not interpret and not q4_tileable:

@@ -143,8 +143,12 @@ def _gelu(x):
     return 0.5 * x * (1.0 + jnp.tanh(0.79788456080286535588 * x * (1.0 + 0.044715 * x * x)))
 
 
-def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len):
+def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len,
+            *, prefill: bool = False):
     """One step over `tokens` (batch, T): returns (logits, new_cache).
+
+    prefill is accepted for forward-signature parity with gptj/llama (no
+    fused flash path here — attention always reads the cache window).
 
     pos_start: (batch,) starting position of tokens in each sequence (static
     shapes; cache_len = positions already in cache for attention masking).

@@ -91,8 +91,14 @@ def init_cache(cfg: GPTJConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
     return init_layer_cache(cfg.n_layer, batch, cfg.n_head, max_seq, cfg.head_dim, dtype)
 
 
-def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
-    """tokens (b, t) -> (logits (b, t, n_vocab), new_cache)."""
+def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len,
+            *, prefill: bool = False):
+    """tokens (b, t) -> (logits (b, t, n_vocab), new_cache).
+
+    prefill=True asserts (statically) that the cache is empty below pos_start —
+    only then may the fused flash path attend just the current tokens.  A
+    multi-token step against a POPULATED cache (speculative verify) must leave
+    it False so attention reads the cache window."""
     b, t = tokens.shape
     max_seq = cache[0][0].shape[-2]
     positions = pos_start[:, None] + jnp.arange(t)[None, :]
@@ -132,10 +138,7 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len):
         vc = cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
         new_cache[i] = (kc, vc)
 
-        # contract: multi-token steps are prefill-from-empty (every caller —
-        # generate/engine/ppl/speculative — satisfies this); the flash path
-        # attends only the current tokens
-        if t > 1 and (cfg.use_flash_prefill or t >= cfg.flash_min_seq):
+        if t > 1 and prefill and (cfg.use_flash_prefill or t >= cfg.flash_min_seq):
             # prefill-from-empty: attend the current tokens only through the
             # fused Pallas kernel (cache history is empty by contract)
             from ..kernels.flash_attn import flash_attention
@@ -179,7 +182,8 @@ class GPTJ:
         self.batch = batch
 
         def step(params, tokens, pos_start, cache, cache_len):
-            return forward(params, cfg, tokens, pos_start, cache, cache_len)
+            # .prefill() always starts from an empty cache
+            return forward(params, cfg, tokens, pos_start, cache, cache_len, prefill=True)
 
         self._step = jax.jit(step, donate_argnums=(3,))
 

@@ -147,7 +147,12 @@ def init_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
 from .common import cache_write as _cache_write, causal_mask as _causal_mask  # noqa: E402
 
 
-def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len):
+def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
+            *, prefill: bool = False):
+    """prefill=True asserts (statically) the cache is empty below pos_start —
+    only then may the fused flash path attend just the current tokens.  A
+    multi-token step against a POPULATED cache (speculative verify) must
+    leave it False so attention reads the cache window."""
     b, t = tokens.shape
     max_seq = cache[0][0].shape[-2]
     positions = pos_start[:, None] + jnp.arange(t)[None, :]
@@ -175,10 +180,7 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len)
         vc = _cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
         new_cache[i] = (kc, vc)
 
-        # contract: multi-token steps are prefill-from-empty (every caller —
-        # generate/engine/ppl/speculative — satisfies this); the flash path
-        # attends only the current tokens
-        if t > 1 and (cfg.use_flash_prefill or t >= cfg.flash_min_seq):
+        if t > 1 and prefill and (cfg.use_flash_prefill or t >= cfg.flash_min_seq):
             from ..kernels.flash_attn import flash_attention
 
             out = flash_attention(q, k, v, mask=_causal_mask(t), scale=scale)
@@ -220,7 +222,8 @@ class Llama:
         self.batch = batch
 
         def step(params, tokens, pos_start, cache, cache_len):
-            return forward(params, cfg, tokens, pos_start, cache, cache_len)
+            # .prefill() always starts from an empty cache
+            return forward(params, cfg, tokens, pos_start, cache, cache_len, prefill=True)
 
         self._step = jax.jit(step, donate_argnums=(3,))
 

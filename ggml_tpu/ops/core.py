@@ -467,6 +467,53 @@ def _rope_cos_sin(
     return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
 
 
+def _mrope_cos_sin(
+    pos4, n_dims, head_dim, sections, is_vision, freq_base, freq_scale,
+    ext_factor, attn_factor, corr_dims, freq_factors,
+):
+    """Multi-section (mRoPE) theta cache (reference: ggml_mrope_cache_init,
+    src/ggml-cpu/ggml-cpu.c:9197-9253).  pos4: (4, n_pos) — one position
+    stream per section kind (time/height/width/extra).  Each pair index ic
+    picks its stream by `sector = ic % sum(sections)`; vision mode
+    additionally restarts the theta progression at each section boundary
+    (indep_sects).  Returns cos/sin of shape (n_pos, n_pairs) where
+    n_pairs = head_dim // 2 (the cache covers the FULL head dim — vision
+    rotates all of it)."""
+    s0, s1, s2, s3 = sections
+    sect_dims = s0 + s1 + s2 + s3
+    n_pairs = head_dim // 2
+    ic = np.arange(n_pairs)
+    sector = ic % sect_dims
+    sect_id = np.select(
+        [sector < s0, sector < s0 + s1, sector < s0 + s1 + s2], [0, 1, 2], default=3
+    )
+    if is_vision:
+        # theta resets at each section boundary: exponent restarts per section
+        sect_start = np.array([0, s0, s0 + s1, s0 + s1 + s2])[sect_id]
+        expo = sector - sect_start
+    else:
+        expo = ic
+    # theta_scale^expo with theta_scale = freq_base^(-2/n_dims) — note the
+    # exponent base is n_dims even where ic ranges past it (vision)
+    theta_scale_pow = np.power(np.float32(freq_base), -2.0 * expo / n_dims).astype(np.float32)
+    p_sel = pos4.astype(jnp.float32)[sect_id, :].T  # (n_pos, n_pairs)
+    theta_base = p_sel * theta_scale_pow[None, :]
+    ff = freq_factors if freq_factors is not None else 1.0
+    theta_extrap = theta_base / ff
+    theta_interp = freq_scale * theta_extrap
+    mscale = attn_factor
+    if ext_factor != 0.0:
+        low, high = corr_dims
+        i0 = 2.0 * ic
+        ramp = 1.0 - jnp.clip((i0 / 2 - low) / max(0.001, high - low), 0.0, 1.0)
+        ramp_mix = ramp * ext_factor
+        theta = theta_interp * (1 - ramp_mix) + theta_extrap * ramp_mix
+        mscale = mscale * (1.0 + 0.1 * math.log(1.0 / freq_scale))
+    else:
+        theta = theta_interp
+    return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
+
+
 def rope_ext(
     x,
     pos,
@@ -481,25 +528,51 @@ def rope_ext(
     attn_factor: float = 1.0,
     beta_fast: float = 32.0,
     beta_slow: float = 1.0,
+    sections: tuple = (0, 0, 0, 0),
     forward: bool = True,
 ):
     """x: (batch, n_pos, n_head, head_dim) [= ggml ne (head_dim, n_head, n_pos, batch)],
-    pos: (n_pos,) int32. Supports normal and NeoX modes with full YaRN params."""
+    pos: (n_pos,) int32 — or (4, n_pos) / flat (4*n_pos,) for mRoPE/vision
+    modes (reference: ggml_rope_multi, include/ggml.h:1443-1463).  Supports
+    normal, NeoX, multi-section mRoPE and vision modes with full YaRN params."""
     corr_dims = rope_yarn_corr_dims(n_dims, n_ctx_orig or 1, freq_base, beta_fast, beta_slow) if n_ctx_orig else (0.0, n_dims - 1.0)
-    cos_t, sin_t = _rope_cos_sin(
-        pos, n_dims, freq_base, freq_scale, ext_factor, attn_factor, corr_dims, freq_factors
-    )
+    is_mrope = bool(mode & ROPE_TYPE_MROPE)
+    is_vision = mode == ROPE_TYPE_VISION
+    head_dim = x.shape[-1]
+    if is_mrope:
+        assert any(s > 0 for s in sections[:3]), "mRoPE needs non-empty sections"
+        pos4 = jnp.asarray(pos)
+        if pos4.ndim == 1:
+            pos4 = pos4.reshape(4, -1)
+        if is_vision:
+            assert n_dims == head_dim // 2, "vision rope requires n_dims == head_dim/2"
+        cos_t, sin_t = _mrope_cos_sin(
+            pos4, n_dims, head_dim, sections, is_vision, freq_base, freq_scale,
+            ext_factor, attn_factor, corr_dims, freq_factors,
+        )
+    else:
+        cos_t, sin_t = _rope_cos_sin(
+            pos, n_dims, freq_base, freq_scale, ext_factor, attn_factor, corr_dims, freq_factors
+        )
     if not forward:
         sin_t = -sin_t
-    # broadcast: (n_pos, 1, n_dims/2) over heads
+    # broadcast: (n_pos, 1, n_pairs) over heads
     cos_t = cos_t[:, None, :]
     sin_t = sin_t[:, None, :]
-    rot, rest = x[..., :n_dims], x[..., n_dims:]
-    if mode & ROPE_TYPE_NEOX:
-        half = n_dims // 2
-        x0, x1 = rot[..., :half], rot[..., half:]
+    if is_vision:
+        # pairs are (ic, ic + n_dims) over the WHOLE head dim (the second
+        # half-loop of the reference impl); no passthrough dims
+        half = n_dims  # == head_dim // 2
+        x0, x1 = x[..., :half], x[..., half:]
         o0 = x0 * cos_t - x1 * sin_t
         o1 = x0 * sin_t + x1 * cos_t
+        return jnp.concatenate([o0, o1], axis=-1)
+    rot, rest = x[..., :n_dims], x[..., n_dims:]
+    if is_mrope or (mode & ROPE_TYPE_NEOX):
+        half = n_dims // 2
+        x0, x1 = rot[..., :half], rot[..., half:]
+        o0 = x0 * cos_t[..., :half] - x1 * sin_t[..., :half]
+        o1 = x0 * sin_t[..., :half] + x1 * cos_t[..., :half]
         out = jnp.concatenate([o0, o1], axis=-1)
     else:
         x0 = rot[..., 0::2]

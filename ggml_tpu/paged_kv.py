@@ -155,7 +155,7 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
 
     if isinstance(model, _gptj.GPTJ):
         return _make_paged_step_gptj(model, pcfg)
-    from .models.llama import _linear, _rms_norm, _rope_half
+    from .models.llama import _linear, _rms_norm, _rope_half_scaled
 
     cfg = model.cfg
     rep = cfg.n_head // cfg.n_head_kv
@@ -176,8 +176,10 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
             q = _linear(h, params[pre + "attn_q.weight"]).reshape(b, 1, cfg.n_head, cfg.head_dim)
             k = _linear(h, params[pre + "attn_k.weight"]).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
             v = _linear(h, params[pre + "attn_v.weight"]).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
-            q = _rope_half(q, positions, cfg.rope_base)[:, 0]  # (B, Hq, D)
-            k = _rope_half(k, positions, cfg.rope_base)[:, 0]  # (B, Hkv, D)
+            # scaled rope (linear/YaRN) must match the dense forward exactly —
+            # a scaled-rope GGUF served paged would otherwise silently diverge
+            q = _rope_half_scaled(q, positions, cfg)[:, 0]  # (B, Hq, D)
+            k = _rope_half_scaled(k, positions, cfg)[:, 0]  # (B, Hkv, D)
 
             kp, vp = new_pools[i]
             cdt = kp.dtype

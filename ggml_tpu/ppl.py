@@ -32,12 +32,15 @@ def perplexity(
 
     tokens = np.asarray(tokens).reshape(-1)
     stride = stride or window // 2
+    if not (1 <= stride <= window - 1):
+        raise ValueError(f"stride must be in [1, window-1], got {stride}")
     if cache_dtype is None:
         cache_dtype = jnp.float32
 
     @jax.jit
     def window_nll(params, toks, cache):
-        logits, _ = forward_fn(params, cfg, toks[None, :], jnp.zeros((1,), jnp.int32), cache, jnp.int32(0))
+        logits, _ = forward_fn(params, cfg, toks[None, :], jnp.zeros((1,), jnp.int32), cache, jnp.int32(0),
+                               prefill=True)
         logp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp[:-1], toks[1:, None], axis=-1)[:, 0]
         return nll  # (window-1,)
@@ -49,7 +52,11 @@ def perplexity(
         toks = jnp.asarray(tokens[pos : pos + window].astype(np.int32))
         cache = init_cache_fn(cfg, 1, window, cache_dtype)
         nll = np.asarray(window_nll(params, toks, cache))
-        half = (window - 1) // 2 if pos > 0 else 0  # score all of the first window
+        # score each token exactly once: the first window scores everything,
+        # later windows score only the `stride` new positions at their end
+        # (a caller-supplied stride != window//2 would otherwise double-count
+        # or skip tokens)
+        half = (window - 1) - stride if pos > 0 else 0
         total_nll += float(nll[half:].sum())
         total_cnt += len(nll) - half
         pos += stride

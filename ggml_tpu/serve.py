@@ -44,6 +44,11 @@ class Request:
     priority: int = 0  # lower = more urgent
     preempted: int = 0  # times evicted back to the queue
     share: "_PrefillShare | None" = None  # forked-generation prefill share
+    # device->host KV snapshot taken at eviction: {"cache": host pytree,
+    # "n_past": int, "cur_tok": int, "draft": host pytree | None}.  Resume
+    # restores it instead of re-prefilling the whole sequence (prefill is
+    # counted once per request even under preemption).
+    snapshot: dict | None = None
 
     @property
     def seq(self) -> np.ndarray:
@@ -144,7 +149,8 @@ class Engine:
         def prefill_one(params, cache_slot, tokens):
             """tokens (1, t) into an empty single-slot cache pytree."""
             logits, cache_slot = self._fwd(
-                params, cfgv, tokens, jnp.zeros((1,), jnp.int32), cache_slot, jnp.int32(0)
+                params, cfgv, tokens, jnp.zeros((1,), jnp.int32), cache_slot, jnp.int32(0),
+                prefill=True,
             )
             return logits[:, -1, :], cache_slot
 
@@ -178,6 +184,10 @@ class Engine:
                     lg, dc = dfwd(dparams, dcfg, tok, n_past + j, dc, n_past + j)
                     tok = jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32)[:, None]
                     drafts.append(tok[:, 0])
+                # extra draft step writes d_kk's KV at n_past+kk so a fully
+                # accepted round leaves no permanent hole in the draft cache
+                # (see speculative.py one_round); its logits are discarded
+                _, dc = dfwd(dparams, dcfg, tok, n_past + kk, dc, n_past + kk)
                 drafts = jnp.stack(drafts, 1)  # (B, kk)
                 seq = jnp.concatenate([tokens, drafts], 1)  # (B, kk+1)
                 tlg, cache = self._fwd(params, cfgv, seq, n_past, cache, n_past)
@@ -186,7 +196,7 @@ class Engine:
 
             self._spec_tick = jax.jit(spec_tick, donate_argnums=(2, 3))
             self._draft_prefill = jax.jit(
-                lambda dp, dc, toks: dfwd(dp, dcfg, toks, jnp.zeros((toks.shape[0],), jnp.int32), dc, jnp.int32(0))[1]
+                lambda dp, dc, toks: dfwd(dp, dcfg, toks, jnp.zeros((toks.shape[0],), jnp.int32), dc, jnp.int32(0), prefill=True)[1]
             )
 
         self.slots: list[Request | None] = [None] * max_batch
@@ -271,11 +281,78 @@ class Engine:
 
     # -- internals ----------------------------------------------------------------
 
+    def _snapshot_slot(self, i: int, req: Request):
+        """Device->host KV eviction: spill the slot's KV so resume restores
+        it instead of re-prefilling O(context) tokens (the production
+        preempt shape; the seq-based recompute path remains as fallback for
+        requests without a snapshot)."""
+        from .models.common import cache_slot
+
+        n_past = int(self.mgr.lengths[i]) if self.paged is not None else int(self.n_past[i])
+        if n_past <= 0:
+            return
+        if self.paged is None:
+            host = jax.device_get(cache_slot(self.cache, i))
+        else:
+            ps = self.paged.page_size
+            npg = -(-n_past // ps)
+            pages = np.asarray(self.mgr.tables[i, :npg])
+            host = []
+            for kp, vp in self.mgr.pools:
+                kk = jax.device_get(kp[pages])  # (P, H, ps, D)
+                vv = jax.device_get(vp[pages])
+                to_slot = lambda a: np.ascontiguousarray(
+                    a.transpose(1, 0, 2, 3).reshape(1, a.shape[1], npg * ps, a.shape[3])
+                )
+                host.append((to_slot(kk), to_slot(vv)))
+            host = tuple(host)
+        draft_host = None
+        if self.draft is not None:
+            draft_host = jax.device_get(cache_slot(self.draft_cache, i))
+        req.snapshot = {
+            "cache": host, "n_past": n_past, "cur_tok": int(self.cur_tok[i]),
+            "draft": draft_host,
+        }
+
+    def _resume_from_snapshot(self, i: int, req: Request) -> bool:
+        """Restore an evicted slot's KV from its host snapshot.  Returns
+        False (requeueing the request) when pages are not yet available."""
+        from .models.common import cache_set_slot
+
+        snap = req.snapshot
+        t = snap["n_past"]
+        if self.paged is not None:
+            ps = self.paged.page_size
+            need = -(-(t + 1) // ps)
+            if need > self.mgr.free_pages():
+                if self.mgr.free_pages() == self.paged.n_pages:
+                    raise ValueError(
+                        f"snapshot of {t} tokens cannot fit an empty page "
+                        f"pool ({self.paged.n_pages} pages)"
+                    )
+                self.queue.append(req)
+                return False
+            assert self.mgr.ensure_capacity(i, t + 1)
+            self.mgr.install_prefill(i, jax.tree.map(jnp.asarray, snap["cache"]), t)
+            self.mgr.lengths[i] = t
+        else:
+            self.cache = cache_set_slot(
+                self.cache, jax.tree.map(jnp.asarray, snap["cache"]), i
+            )
+        if self.draft is not None and snap["draft"] is not None:
+            self.draft_cache = cache_set_slot(
+                self.draft_cache, jax.tree.map(jnp.asarray, snap["draft"]), i
+            )
+        self.slots[i] = req
+        self.n_past[i] = t
+        self.cur_tok[i] = snap["cur_tok"]
+        req.snapshot = None
+        return True
+
     def _preempt_for_priority(self):
         """If the most urgent queued request outranks the least urgent running
-        one and no slot is free, evict that slot back to the queue (it resumes
-        later from prompt+output — recompute-on-resume, the TPU-friendly
-        eviction: no KV snapshot to spill)."""
+        one and no slot is free, evict that slot back to the queue with its
+        KV snapshotted to host (restored on resume — no recompute)."""
         if not self.queue or any(s is None for s in self.slots):
             return
         head = min(self.queue, key=lambda r: r.priority)
@@ -287,6 +364,7 @@ class Engine:
         i, worst = max(running, key=lambda kv: kv[1].priority)
         if worst.priority > head.priority:
             worst.preempted += 1
+            self._snapshot_slot(i, worst)
             self.queue.append(worst)
             self.slots[i] = None
             if self.paged is not None:
@@ -343,12 +421,30 @@ class Engine:
             if self.slots[i] is None and self.queue:
                 req = min(self.queue, key=lambda r: r.priority)  # stable: first min
                 self.queue.remove(req)
+                if req.snapshot is not None:  # evicted mid-run: restore KV
+                    self._resume_from_snapshot(i, req)
+                    continue
                 seq = req.seq  # prompt, or prompt+output when resuming
                 t = len(seq)
                 if t >= self.max_seq:  # cannot resume within the window
                     req.done = True
                     self.slots[i] = req
                     continue
+                if self.paged is not None:
+                    # reserve prompt + one decode step BEFORE prefilling so a
+                    # request that cannot get pages is not re-prefilled on
+                    # every admission sweep while it waits (and a fresh
+                    # admission cannot immediately trigger eviction ping-pong)
+                    ps = self.paged.page_size
+                    need = -(-(t + 1) // ps)
+                    if need > self.mgr.free_pages():
+                        if self.mgr.free_pages() == self.paged.n_pages:
+                            raise ValueError(
+                                f"request of {t} tokens cannot fit an empty "
+                                f"page pool ({self.paged.n_pages} pages)"
+                            )
+                        self.queue.append(req)  # wait for pages
+                        continue
                 if req.share is not None and not req.out:
                     if req.share.cache is None:  # first of the fork group
                         req.share.logits, req.share.cache, req.share.t, _ = (
@@ -358,16 +454,7 @@ class Engine:
                 else:
                     logits, slot_cache, t, _ = self._prefill(seq, bucket)
                 if self.paged is not None:
-                    # reserve prompt + one decode step so a fresh admission
-                    # cannot immediately trigger eviction ping-pong
-                    if not self.mgr.ensure_capacity(i, t + 1):
-                        if self.mgr.free_pages() == self.paged.n_pages:
-                            raise ValueError(
-                                f"request of {t} tokens cannot fit an empty "
-                                f"page pool ({self.paged.n_pages} pages)"
-                            )
-                        self.queue.append(req)  # wait for pages
-                        continue
+                    assert self.mgr.ensure_capacity(i, t + 1)
                     self.mgr.install_prefill(i, slot_cache, t)
                 else:
                     self.cache = cache_set_slot(self.cache, slot_cache, i)
@@ -399,6 +486,7 @@ class Engine:
             return False
         j, worst = max(victims, key=lambda kv: kv[1].priority)
         worst.preempted += 1
+        self._snapshot_slot(j, worst)
         self.queue.append(worst)
         self.slots[j] = None
         self.mgr.release(j)
@@ -413,6 +501,7 @@ class Engine:
                         # nothing left to evict: requeue this request too
                         req = self.slots[int(i)]
                         req.preempted += 1
+                        self._snapshot_slot(int(i), req)
                         self.queue.append(req)
                         self.slots[int(i)] = None
                         self.mgr.release(int(i))

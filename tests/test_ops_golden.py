@@ -84,6 +84,40 @@ def test_rope_neox_yarn():
     )
 
 
+def test_rope_mrope():
+    check(
+        "rope_mrope",
+        lambda t: O.rope_ext(
+            t["x"], t["pos"], n_dims=64, mode=O.ROPE_TYPE_MROPE,
+            sections=(16, 8, 4, 4),
+        ),
+        1e-10,
+    )
+
+
+def test_rope_mrope_yarn():
+    check(
+        "rope_mrope_yarn",
+        lambda t: O.rope_ext(
+            t["x"], t["pos"], n_dims=64, mode=O.ROPE_TYPE_MROPE,
+            sections=(16, 8, 8, 0), n_ctx_orig=2048, freq_base=500000.0,
+            freq_scale=0.25, ext_factor=1.0, attn_factor=1.2,
+        ),
+        1e-10,
+    )
+
+
+def test_rope_vision():
+    check(
+        "rope_vision",
+        lambda t: O.rope_ext(
+            t["x"], t["pos"], n_dims=32, mode=O.ROPE_TYPE_VISION,
+            sections=(16, 16, 0, 0),
+        ),
+        1e-10,
+    )
+
+
 def test_rope_norm_freq_factors():
     check(
         "rope_norm_ff",

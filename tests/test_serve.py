@@ -354,3 +354,50 @@ def test_paged_engine_gptj():
     for p, r in zip(prompts, rids):
         assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
     assert eng.mgr.free_pages() == 10
+
+
+def test_preemption_snapshots_kv_no_reprefill(tiny_model):
+    """Eviction spills KV to host and resume restores it: prefill runs
+    exactly once per request even when preemption bounces a request through
+    the queue (the production eviction shape, replacing recompute-on-resume)."""
+    m = tiny_model
+
+    solo = {}
+    for p in ([1, 2, 3], [4, 5], [9, 9, 1]):
+        e = Engine(m, max_batch=1, max_seq=64, cache_dtype=jnp.float32)
+        rid = e.submit(p, 8)
+        solo[tuple(p)] = e.run()[rid]
+
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    r1 = eng.submit([1, 2, 3], 8, priority=5)
+    r2 = eng.submit([4, 5], 8, priority=5)
+    for _ in range(3):
+        eng._admit(32)
+        eng._tick()
+    r3 = eng.submit([9, 9, 1], 8, priority=0)  # urgent: must preempt
+    res = eng.run()
+    assert res[r3] == solo[(9, 9, 1)]
+    assert res[r1] == solo[(1, 2, 3)]
+    assert res[r2] == solo[(4, 5)]
+    # 3 requests, 3 prefills — the preempted one resumed from its snapshot
+    assert eng.prefill_count == 3
+
+
+def test_paged_eviction_snapshots_kv(tiny_model):
+    """Page-pressure eviction also snapshots: outputs lossless AND each
+    request prefills exactly once."""
+    from ggml_tpu.paged_kv import PagedConfig
+
+    m = tiny_model
+    dense = Engine(m, max_batch=1, max_seq=64, cache_dtype=jnp.float32)
+    r = dense.submit([1, 2, 3], 12)
+    want = dense.run()[r]
+
+    eng = Engine(m, max_batch=2, max_seq=30, cache_dtype=jnp.float32,
+                 paged=PagedConfig(n_pages=3, page_size=8, max_pages_per_seq=4))
+    r1 = eng.submit([1, 2, 3], 12)
+    r2 = eng.submit([1, 2, 3], 12)
+    res = eng.run()
+    assert res[r1] == want and res[r2] == want
+    assert eng.prefill_count == 2
+    assert eng.mgr.free_pages() == 3

@@ -77,3 +77,74 @@ def test_k1_and_short_outputs(models):
     assert toks == ref
     toks1, _ = speculative_generate(target, draft, [5, 6], 1, k=2)
     assert toks1 == ref[:1]
+
+
+# -- sampled speculation (rejection sampling, lossless in distribution) --------
+
+
+def test_sampled_speculative_runs_and_is_plausible(models):
+    """Smoke: sampled speculation emits n tokens in-vocab with a mismatched
+    draft, and a self-draft accepts everything (p == q => no rejections)."""
+    from ggml_tpu.speculative import speculative_generate_sampled
+
+    target, draft = models
+    skw = dict(temperature=0.9, top_k=16, top_p=0.95)
+    toks, rounds = speculative_generate_sampled(
+        target, draft, [3, 14, 15], 12, k=3, sampler=skw, seed=5
+    )
+    assert len(toks) == 12 and all(0 <= t < 256 for t in toks)
+    toks2, rounds2 = speculative_generate_sampled(
+        target, target, [3, 14, 15], 12, k=3, sampler=skw, seed=5
+    )
+    # identical p/q: min(1, p/q) = 1, every round advances k+1 tokens
+    assert rounds2 <= -(-11 // 4) + 1
+
+
+def test_sampled_speculative_distribution(models):
+    """The rejection-sampling theorem in practice: the marginal distribution
+    of the first emitted token equals the warped target distribution exactly
+    — measured over many seeds against the analytic distribution."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_tpu.models.llama import forward as lfwd
+    from ggml_tpu.sampling import warp_logits
+    from ggml_tpu.speculative import make_speculative_decoder_sampled
+
+    target, draft = models
+    skw = dict(temperature=1.0, top_k=12, top_p=0.92)
+    prompt = np.asarray([[7, 1, 20, 9]], np.int32)
+    t = prompt.shape[1]
+    first = jnp.int32(33)  # fixed carry token
+
+    # analytic distribution of the next token after prompt+[first]
+    seq = np.concatenate([prompt, [[33]]], axis=1)
+    cache0 = target.new_cache()
+    lg, _ = lfwd(target.params, target.cfg, jnp.asarray(seq),
+                 jnp.zeros((1,), jnp.int32), cache0, jnp.int32(0))
+    p_exact = np.asarray(jax.nn.softmax(warp_logits(lg[:, -1, :], **skw), axis=-1))[0]
+
+    # prefill caches once; the decoder donates them, so pass copies per trial
+    zero = jnp.zeros((1,), jnp.int32)
+    tc0 = target.new_cache()
+    _, tc0 = jax.jit(lfwd, static_argnums=1)(
+        target.params, target.cfg, jnp.asarray(prompt), zero, tc0, jnp.int32(0))
+    dc0 = draft.new_cache()
+    _, dc0 = jax.jit(lfwd, static_argnums=1)(
+        draft.params, draft.cfg, jnp.asarray(prompt), zero, dc0, jnp.int32(0))
+
+    dec = make_speculative_decoder_sampled(target, draft, k=3, max_new=1, sampler=skw)
+    n_trials = 400
+    counts = np.zeros(256)
+    for i in range(n_trials):
+        tc = jax.tree.map(jnp.copy, tc0)
+        dc = jax.tree.map(jnp.copy, dc0)
+        toks, _, _, _, _ = dec(tc, dc, first, jnp.int32(t), jax.random.PRNGKey(1000 + i))
+        counts[int(np.asarray(toks)[0])] += 1
+    emp = counts / n_trials
+
+    tv = 0.5 * np.abs(emp - p_exact).sum()
+    # expected TV of a 400-sample empirical dist over ~12 active bins ~ 0.07
+    assert tv < 0.15, f"total variation {tv:.3f} vs analytic distribution"
+    # nothing outside the warped support may ever be emitted
+    assert counts[p_exact < 1e-12].sum() == 0

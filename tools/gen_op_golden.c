@@ -145,6 +145,24 @@ static void case_rope(const char * name, int mode, int n_dims, float fb, float f
     run_and_end(r);
 }
 
+static void case_rope_multi(const char * name, int mode, int n_dims, int sections[4],
+                            float fb, float fs, float ef, float af, int n_ctx_orig) {
+    // multi-section mRoPE / vision rope (ggml_rope_multi, include/ggml.h:1439-1463):
+    // pos carries FOUR position streams (time/height/width/extra), 4*np entries
+    begin_case(name);
+    const int hd = 64, nh = 4, np = 12, nb = 2;
+    struct ggml_tensor * x = ggml_new_tensor_4d(ctx, GGML_TYPE_F32, hd, nh, np, nb);
+    fill_f32(x, 1.0f);
+    struct ggml_tensor * pos = ggml_new_tensor_1d(ctx, GGML_TYPE_I32, 4 * np);
+    int32_t * pd = (int32_t *) pos->data;
+    for (int i = 0; i < 4 * np; i++) pd[i] = (7 * i + 3) % 29;
+    dump_tensor("x", x);
+    dump_tensor("pos", pos);
+    struct ggml_tensor * r = ggml_rope_multi(ctx, x, pos, NULL, n_dims, sections,
+                                             mode, n_ctx_orig, fb, fs, ef, af, 32.0f, 1.0f);
+    run_and_end(r);
+}
+
 static void case_soft_max_ext(void) {
     begin_case("soft_max_ext");
     const int nkv = 24, nq = 8, nh = 8, nb = 2;
@@ -512,6 +530,17 @@ int main(int argc, char ** argv) {
     case_rope("rope_neox", GGML_ROPE_TYPE_NEOX, 64, 10000.0f, 1.0f, 0.0f, 1.0f, 32.0f, 1.0f, 0, 0);
     case_rope("rope_neox_yarn", GGML_ROPE_TYPE_NEOX, 64, 500000.0f, 0.25f, 1.0f, 1.2f, 32.0f, 1.0f, 2048, 0);
     case_rope("rope_norm_ff", 0, 64, 10000.0f, 0.5f, 0.7f, 1.1f, 32.0f, 1.5f, 4096, 1);
+    {
+        int sec_m[4] = {16, 8, 4, 4};   // sum = 32 = n_dims/2 (Qwen2-VL text shape)
+        case_rope_multi("rope_mrope", GGML_ROPE_TYPE_MROPE, 64, sec_m,
+                        10000.0f, 1.0f, 0.0f, 1.0f, 0);
+        int sec_my[4] = {16, 8, 8, 0};
+        case_rope_multi("rope_mrope_yarn", GGML_ROPE_TYPE_MROPE, 64, sec_my,
+                        500000.0f, 0.25f, 1.0f, 1.2f, 2048);
+        int sec_v[4] = {16, 16, 0, 0};  // vision: n_dims = head_dim/2
+        case_rope_multi("rope_vision", GGML_ROPE_TYPE_VISION, 32, sec_v,
+                        10000.0f, 1.0f, 0.0f, 1.0f, 0);
+    }
     case_soft_max_ext();
     case_norms();
     case_unary("gelu", ggml_gelu);

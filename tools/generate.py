@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--seed", type=int, default=-1)
     ap.add_argument("--quantized", action="store_true", help="keep weights packed (Pallas kernels)")
     ap.add_argument("--max-seq", type=int, default=512)
+    ap.add_argument("--verbose", action="store_true",
+                    help="print the kernel-selection report (which layers hit "
+                         "gemv/matmul/dense-fallback) after generation")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +74,13 @@ def main():
 
     text = tok.decode(out) if tok else " ".join(map(str, out))
     print(args.prompt + text)
+    if args.verbose:
+        from ggml_tpu.kernels.qmatmul import kernel_selection_report
+
+        report = kernel_selection_report()
+        print("kernel selection (distinct matmul sites):", file=sys.stderr)
+        for line in report or ["  (no planar matmuls traced — dense weights)"]:
+            print(f"  {line}", file=sys.stderr)
     print(
         f"\n   load time = {t_load*1000:8.2f} ms\n"
         f"predict time = {dt*1000:8.2f} ms / {dt*1000/max(1,args.n_predict):.2f} ms per token",
