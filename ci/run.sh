@@ -30,7 +30,7 @@ print('entry ok', jax.tree.map(lambda x: x.shape, out)[0])
 "
 
 if [ "${CI_TPU:-0}" = "1" ]; then
-  echo "== stage 4: TPU decode benchmark =="
-  python bench.py
+  echo "== stage 4: TPU decode benchmark (gated vs BENCH_FLOOR.json) =="
+  CI_BENCH_GATE=1 python bench.py
 fi
 echo "CI OK"

@@ -322,6 +322,21 @@ class Context:
         ol = (ll + 2 * p - k) // s + 1
         return self._node((n, c, ol), x.dtype, "pool_1d", (x,), pool_op=op, k=k, s=s, p=p)
 
+    def conv_2d_dw(self, x, w, sw=1, sh=1, pw=0, ph=0, dw=1, dh=1):
+        """Depthwise conv (reference: ggml_conv_2d_dw); w (C, 1, KH, KW)."""
+        n, c, hh, ww = x.shape
+        kh, kw = w.shape[-2], w.shape[-1]
+        oh = (hh + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+        ow = (ww + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+        return self._node((n, c, oh, ow), x.dtype, "conv_2d_dw", (x, w),
+                          sw=sw, sh=sh, pw=pw, ph=ph, dw=dw, dh=dh)
+
+    def interpolate_bilinear(self, x, oh, ow, align_corners=False):
+        """Bilinear resize (reference: ggml_interpolate / GGML_SCALE_MODE_BILINEAR)."""
+        n, c = x.shape[0], x.shape[1]
+        return self._node((n, c, oh, ow), x.dtype, "interpolate_bilinear", (x,),
+                          oh=oh, ow=ow, align_corners=align_corners)
+
     def upscale(self, x, scale_factor):
         n, c, hh, ww = x.shape
         return self._node((n, c, hh * scale_factor, ww * scale_factor), x.dtype,
@@ -507,6 +522,11 @@ _EVAL.update(
     conv_transpose_2d=lambda t, v: O.conv_transpose_2d(v[0], v[1], **t.params),
     pool_1d=lambda t, v: O.pool_1d(v[0], t.params["pool_op"], t.params["k"], t.params["s"], t.params["p"]),
     upscale=lambda t, v: O.upscale(v[0], t.params["scale_factor"]),
+    conv_2d_dw=lambda t, v: O.conv_2d_dw(
+        v[0], v[1], t.params["sw"], t.params["sh"], t.params["pw"],
+        t.params["ph"], t.params["dw"], t.params["dh"]),
+    interpolate_bilinear=lambda t, v: O.interpolate_bilinear(
+        v[0], t.params["oh"], t.params["ow"], t.params["align_corners"]),
     im2col=lambda t, v: O.im2col(v[0], v[1], **t.params),
     acc=lambda t, v: O.acc(v[0], v[1], t.params["offset"]),
     set=lambda t, v: O.set_(v[0], v[1], t.params["offset"]),

@@ -42,6 +42,12 @@ class GPT2Config:
     n_head: int = 12
     n_layer: int = 12
     eps: float = 1e-5
+    # reference-CPU-compatible gelu: the reference CPU backend evaluates gelu
+    # through an fp16 lookup table (GGML_GELU_FP16, src/ggml-cpu/ggml-cpu.c:93,
+    # 104-105: out = fp16(gelu(fp16(x)))).  Off by default — exact tanh-gelu
+    # is the better numeric — but the e2e parity gate enables it to compare
+    # against the reference binary without its ~1e-3 activation noise.
+    gelu_fp16: bool = False
 
     @property
     def head_dim(self):
@@ -143,6 +149,13 @@ def _gelu(x):
     return 0.5 * x * (1.0 + jnp.tanh(0.79788456080286535588 * x * (1.0 + 0.044715 * x * x)))
 
 
+def _gelu_fp16(x):
+    """The reference CPU backend's gelu: fp16-quantized input indexes a
+    precomputed fp16 table (GGML_GELU_FP16) — out = fp16(gelu(fp16(x)))."""
+    xh = x.astype(jnp.float16).astype(jnp.float32)
+    return _gelu(xh).astype(jnp.float16).astype(x.dtype)
+
+
 def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len,
             *, prefill: bool = False):
     """One step over `tokens` (batch, T): returns (logits, new_cache).
@@ -193,7 +206,8 @@ def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len,
         x = x + _linear(out, params[pre + "attn_output.weight"], params[pre + "attn_output.bias"])
 
         h = _layer_norm(x, params[pre + "ffn_norm.weight"], params[pre + "ffn_norm.bias"], cfg.eps)
-        h = _gelu(_linear(h, params[pre + "ffn_up.weight"], params[pre + "ffn_up.bias"]))
+        gelu = _gelu_fp16 if cfg.gelu_fp16 else _gelu
+        h = gelu(_linear(h, params[pre + "ffn_up.weight"], params[pre + "ffn_up.bias"]))
         x = x + _linear(h, params[pre + "ffn_down.weight"], params[pre + "ffn_down.bias"])
 
     x = _layer_norm(x, params["output_norm.weight"], params["output_norm.bias"], cfg.eps)

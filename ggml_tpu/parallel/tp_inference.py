@@ -141,16 +141,22 @@ def gptj_param_specs(params: dict) -> dict:
 
 
 def shard_gptj_params(params: dict, mesh: Mesh) -> dict:
+    from ..quant.planar import repack_q4_rows_for_tp
+
     if any(name.endswith(("attn_qkv.weight", "attn_qkv.bias")) for name in params):
         params = unfuse_qkv(params)
-    for name, v in params.items():
-        if isinstance(v, PlanarWeight) and v.kind == "q4" and _weight_mode(name) == "row":
-            raise ValueError(
-                f"{name}: q4-packed planes cannot be row-sharded — the packed "
-                "byte row r holds elements r and r+K/2, which a contiguous "
-                "K-shard of the activations would misalign. Repack with "
-                "force_q8=True for tensor-parallel row sharding."
-            )
+    tp = mesh.shape.get("tp", 1)
+    if tp > 1:
+        # q4 packed planes row-shard at full density after a one-time nibble
+        # re-pair so each shard's contiguous rows decode its own element
+        # range (the CUDA split-buffer repack analog) — TP keeps the 2x HBM
+        # win instead of falling back to q8 codes
+        params = {
+            name: (repack_q4_rows_for_tp(v, tp)
+                   if isinstance(v, PlanarWeight) and v.kind == "q4"
+                   and _weight_mode(name) == "row" else v)
+            for name, v in params.items()
+        }
     specs = gptj_param_specs(params)
     return jax.tree.map(
         lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),

@@ -478,6 +478,54 @@ def _repack_numpy(
     )
 
 
+def repack_q4_rows_for_tp(pw: PlanarWeight, n_shards: int) -> PlanarWeight:
+    """Permute a packed-nibble plane so CONTIGUOUS row chunks are per-shard
+    self-consistent q4 half-planes — making q4 row (K) sharding legal for
+    tensor parallelism at full packed density.
+
+    The global packed byte row r pairs elements (r, r+K/2); a contiguous
+    K-shard of the activations would tear those pairs across devices.  This
+    one-time on-load relayout re-pairs each shard's OWN element range
+    [d*K/D, (d+1)*K/D) into local (lo|hi<<4) bytes, so shard d's rows decode
+    exactly the elements its local activations cover.  Scales follow the same
+    per-shard lo/hi split; offsets are element-group-ordered and need no
+    permutation.  (The analog of the reference's CUDA split-buffer row
+    sharding + repack, src/ggml-cuda/ggml-cuda.cu:750-960.)
+    """
+    assert pw.kind == "q4"
+    K, G = pw.k, pw.group
+    Kl = K // n_shards
+    if K % n_shards or (Kl // 2) % G:
+        raise ValueError(
+            f"K={K} cannot be q4-row-sharded {n_shards} ways "
+            f"(local half {Kl // 2} must be a multiple of group {G})"
+        )
+    codes = np.asarray(pw.codes)
+    scales = np.asarray(pw.scales)
+    lo = codes & 0xF
+    hi = codes >> 4
+    elems = np.concatenate([lo, hi], axis=0)  # (K, Npad) element-ordered nibbles
+    escale = np.concatenate([scales[0], scales[1]], axis=0)  # (K/G, Npad) element groups
+    new_codes, s0, s1 = [], [], []
+    for d in range(n_shards):
+        a = d * Kl
+        lo_l = elems[a : a + Kl // 2]
+        hi_l = elems[a + Kl // 2 : a + Kl]
+        new_codes.append((lo_l | (hi_l << 4)).astype(codes.dtype))
+        s0.append(escale[a // G : (a + Kl // 2) // G])
+        s1.append(escale[(a + Kl // 2) // G : (a + Kl) // G])
+    return PlanarWeight(
+        kind="q4",
+        codes=np.concatenate(new_codes, axis=0),
+        scales=np.stack([np.concatenate(s0, 0), np.concatenate(s1, 0)], axis=0),
+        offsets=None if pw.offsets is None else np.asarray(pw.offsets),
+        group=G,
+        n=pw.n,
+        k=K,
+        orig_type=pw.orig_type,
+    )
+
+
 def dequant_planar(pw: PlanarWeight) -> np.ndarray:
     """Reconstruct (N, K) fp32 weights from a PlanarWeight (for testing)."""
     if pw.kind == "q4":

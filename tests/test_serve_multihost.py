@@ -1,0 +1,137 @@
+"""Multi-host continuous batching: 2 simulated hosts (CPU devices + gloo
+collectives) produce the SAME outputs as a solo single-process Engine.
+
+Each subprocess is one "host": jax.distributed.initialize over localhost,
+KV-cache slots sharded across both hosts' devices ('dp'), control decisions
+broadcast from the coordinator (ggml_tpu.serve_multihost).  The reference
+analog being replaced is the RPC star (src/ggml-rpc/ggml-rpc.cpp) — here the
+tensors ride the mesh and only tick decisions ride TCP."""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+PROMPTS = [[1, 2, 3], [4, 5], [9, 9, 1, 7], [3, 3], [8, 2, 6]]
+MAX_NEW = 6
+
+_WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+pid = int(sys.argv[1])
+gguf_path = sys.argv[2]
+port1, port2 = int(sys.argv[3]), int(sys.argv[4])
+jax.distributed.initialize(f"localhost:{port1}", num_processes=2, process_id=pid)
+sys.path.insert(0, ".")
+import jax.numpy as jnp
+import numpy as np
+from ggml_tpu.gguf import GGUFFile
+from ggml_tpu.models.gpt2 import load_params
+from ggml_tpu.models.llama import Llama, config_from_gguf
+from ggml_tpu.serve_multihost import ControlChannel, make_multihost_engine
+
+g = GGUFFile(gguf_path)
+m = Llama(load_params(g), config_from_gguf(g), max_seq=64, batch=1)
+ch = ControlChannel(is_coord=(pid == 0), n_workers=1, port=port2)
+eng = make_multihost_engine(m, ch, max_batch=4, max_seq=64, cache_dtype=jnp.float32)
+assert jax.process_count() == 2, jax.process_count()
+
+prompts = PROMPTS_PLACEHOLDER
+if pid == 0:
+    rids = [eng.submit(p, MAX_NEW_PLACEHOLDER) for p in prompts]
+res = eng.run()
+ch.close()
+print("RESULT" + str(pid) + " " + json.dumps({str(k): v for k, v in sorted(res.items())}), flush=True)
+"""
+
+
+def _tiny_llama_gguf(tmp):
+    from tools.convert_hf_llama import convert_state_dict
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=128,
+        rms_norm_eps=1e-5, attention_dropout=0.0,
+    )
+    torch.manual_seed(41)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    path = tmp / "mh.gguf"
+    convert_state_dict(hf.state_dict(), cfg).write(path)
+    return path
+
+
+def test_multihost_engine_matches_solo(tmp_path):
+    path = _tiny_llama_gguf(tmp_path)
+
+    # solo ground truth in this process (single host, plain Engine)
+    import jax.numpy as jnp
+
+    from ggml_tpu.gguf import GGUFFile
+    from ggml_tpu.models.gpt2 import load_params
+    from ggml_tpu.models.llama import Llama, config_from_gguf
+    from ggml_tpu.serve import Engine
+
+    g = GGUFFile(str(path))
+    m = Llama(load_params(g), config_from_gguf(g), max_seq=64, batch=1)
+    solo = {}
+    for p in PROMPTS:
+        eng = Engine(m, max_batch=1, max_seq=64, cache_dtype=jnp.float32)
+        rid = eng.submit(p, MAX_NEW)
+        solo[tuple(p)] = eng.run()[rid]
+
+    # two simulated hosts
+    script = (_WORKER
+              .replace("PROMPTS_PLACEHOLDER", repr(PROMPTS))
+              .replace("MAX_NEW_PLACEHOLDER", str(MAX_NEW)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    import socket
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    port1, port2 = free_port(), free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i), str(path), str(port1), str(port2)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=ROOT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        so, se = p.communicate(timeout=600)
+        assert p.returncode == 0, f"stdout:\n{so}\nstderr:\n{se[-4000:]}"
+        outs.append(so)
+
+    results = {}
+    for i, so in enumerate(outs):
+        line = [l for l in so.splitlines() if l.startswith(f"RESULT{i} ")][0]
+        results[i] = json.loads(line[len(f"RESULT{i} "):])
+
+    # every host reports the same results (replicated control state)
+    assert results[0] == results[1]
+    # interleaved multi-host outputs == solo single-host outputs
+    got = {tuple(p): results[0][str(rid)] for rid, p in enumerate(PROMPTS, start=1)}
+    for p in PROMPTS:
+        assert got[tuple(p)] == solo[tuple(p)], (p, got[tuple(p)], solo[tuple(p)])

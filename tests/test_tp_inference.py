@@ -79,6 +79,60 @@ def test_tp_matches_single_device():
     _run_tp_script(_SCRIPT)
 
 
+def test_tp_matches_single_device_q4_packed():
+    """Packed-nibble q4 planes row-shard at FULL density after the per-shard
+    nibble re-pair (quant.planar.repack_q4_rows_for_tp) — multi-chip decode
+    keeps the 2x HBM win.  n_embd=512 so each of 8 shards' local half is a
+    whole quant group (Kl/2 = 32 = G)."""
+    script = _SCRIPT.replace(
+        "n_embd=256, n_head=8, n_layer=2, n_rot=32",
+        "n_embd=512, n_head=8, n_layer=2, n_rot=32",
+    ).replace("use_q4=False)  # row-sharded planes need int8 codes",
+              "use_q4=True)  # q4 planes repack per shard")
+    assert "use_q4=True" in script and "n_embd=512" in script
+    _run_tp_script(script)
+
+
+def test_repack_q4_rows_roundtrip():
+    """Host-side invariant: concatenating each shard's dequantized rows
+    reproduces the original weight exactly (the repack is a pure relayout)."""
+    import numpy as np
+
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.quant.planar import (
+        PlanarWeight, dequant_planar, repack_q4_rows_for_tp,
+    )
+
+    rng = np.random.default_rng(5)
+    n, k, g, D = 96, 512, 32, 8
+    pw = PlanarWeight(
+        kind="q4",
+        codes=rng.integers(0, 256, (k // 2, 128), np.uint8),
+        scales=rng.standard_normal((2, (k // 2) // g, 128)).astype(np.float32),
+        offsets=rng.standard_normal((k // g, 128)).astype(np.float32),
+        group=g, n=n, k=k, orig_type=GGMLType.Q4_K,
+    )
+    want = dequant_planar(pw)  # (N, K)
+    rp = repack_q4_rows_for_tp(pw, D)
+    Kl = k // D
+    got = np.concatenate(
+        [
+            dequant_planar(
+                PlanarWeight(
+                    kind="q4",
+                    codes=np.asarray(rp.codes)[d * Kl // 2 : (d + 1) * Kl // 2],
+                    scales=np.asarray(rp.scales)[:, d * (Kl // 2) // g : (d + 1) * (Kl // 2) // g],
+                    offsets=np.asarray(rp.offsets)[d * Kl // g : (d + 1) * Kl // g],
+                    group=g, n=n, k=Kl, orig_type=GGMLType.Q4_K,
+                )
+            )
+            for d in range(D)
+        ],
+        axis=1,
+    )
+    np.testing.assert_array_equal(want, got)
+
+
 def test_tp_fused_qkv_matches_single_device():
     """Fused [q|k|v] weights are repartitioned on the TP load path
     (unfuse_qkv): sharded forward must match the single-device fused
