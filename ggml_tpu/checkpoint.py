@@ -64,7 +64,14 @@ def save_params(path, params: Any, metadata: dict | None = None) -> None:
         if a.ndim == 0:
             a = a.reshape(1)
         w.add_tensor(name, np.ascontiguousarray(a))
-    w.write(path)
+    # atomic publish: a process killed mid-write leaves only a stale .tmp,
+    # never a truncated checkpoint (the restartable-training contract —
+    # tests/test_fault_recovery.py kills training mid-run and resumes)
+    import os
+
+    tmp = f"{path}.tmp"
+    w.write(tmp)
+    os.replace(tmp, path)
 
 
 def load_params(path, dtype=None) -> tuple[Any, dict]:
@@ -119,3 +126,28 @@ def load_optimizer(path, opt) -> None:
         "i_acc": jnp.asarray(int(md["opt.i_acc"]), jnp.int32),
     }
     opt.load_state_dict(state)
+
+
+def latest_checkpoint(ckpt_dir, prefix: str = "step"):
+    """Newest VALID checkpoint in a directory of '<prefix>NNN.gguf' files.
+
+    Skips unreadable/truncated files (a crash can only leave a stale '.tmp'
+    thanks to the atomic publish, but storage-level corruption is still
+    survivable: the loader falls back to the previous intact checkpoint —
+    the elastic-recovery behavior the reference lacks, SURVEY.md §5).
+    Returns (path, step) or (None, -1)."""
+    import pathlib
+    import re
+
+    best, best_step = None, -1
+    for p in pathlib.Path(ckpt_dir).glob(f"{prefix}*.gguf"):
+        m = re.fullmatch(rf"{re.escape(prefix)}(\d+)\.gguf", p.name)
+        if not m or int(m.group(1)) <= best_step:
+            continue
+        try:
+            g = GGUFFile(p)
+            g.close()
+        except Exception:
+            continue  # truncated/corrupt: fall back
+        best, best_step = p, int(m.group(1))
+    return best, best_step

@@ -357,6 +357,79 @@ def _q4gemv_off_kernel(x_lo, x_hi, qp, s_lo, s_hi, o_lo, o_hi, out, *, G: int, n
     out[:] = acc
 
 
+def _q4gemv_bd_kernel(x_lo, x_hi, qp, s_lo, s_hi, out, *, G: int, ng: int):
+    """Block-diagonal grouped-dot GEMV (M=1): the per-group loop issues 4x
+    the minimum MXU passes because each dot has K=G=32 < 128; stacking the
+    activation groups block-diagonally into the idle ROW dimension — lhs row
+    g holds x_g at columns [g*G, (g+1)*G) — yields every per-group partial
+    sum in ONE full-K dot: P = blockdiag(x) @ codes, then a VPU reduce
+    y = sum_g P[g] * s[g]."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    codes = qp[:].astype(jnp.int32)
+    lo = (codes & 0xF).astype(jnp.int8)
+    hi = (codes >> 4).astype(jnp.int8)
+    kt2 = ng * G
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ng, kt2), 0)
+    gk = jax.lax.broadcasted_iota(jnp.int32, (ng, kt2), 1) // G
+    mask = gi == gk
+
+    def bd(x):  # (1, kt2) int8 -> (ng, kt2) block-diagonal
+        return jnp.where(mask, jnp.broadcast_to(x, (ng, kt2)), jnp.int8(0))
+
+    Pl = jax.lax.dot_general(bd(x_lo[:]), lo, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)  # (ng, bn)
+    Ph = jax.lax.dot_general(bd(x_hi[:]), hi, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    sl = s_lo[0].astype(jnp.float32)
+    sh = s_hi[0].astype(jnp.float32)
+    contrib = Pl.astype(jnp.float32) * sl + Ph.astype(jnp.float32) * sh
+    out[:] = out[:] + contrib.sum(axis=0, keepdims=True)
+
+
+def _q4gemv_bd_off_kernel(x_lo, x_hi, qp, s_lo, s_hi, o_lo, o_hi, out, *, G: int, ng: int):
+    """Block-diagonal variant with the affine-offset term fused (xsum per
+    group rides the same VPU reduce)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    codes = qp[:].astype(jnp.int32)
+    lo = (codes & 0xF).astype(jnp.int8)
+    hi = (codes >> 4).astype(jnp.int8)
+    kt2 = ng * G
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ng, kt2), 0)
+    gk = jax.lax.broadcasted_iota(jnp.int32, (ng, kt2), 1) // G
+    mask = gi == gk
+
+    def bd(x):
+        return jnp.where(mask, jnp.broadcast_to(x, (ng, kt2)), jnp.int8(0))
+
+    Pl = jax.lax.dot_general(bd(x_lo[:]), lo, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    Ph = jax.lax.dot_general(bd(x_hi[:]), hi, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    sl = s_lo[0].astype(jnp.float32)
+    sh = s_hi[0].astype(jnp.float32)
+    ol = o_lo[:].astype(jnp.float32)
+    oh = o_hi[:].astype(jnp.float32)
+    xsl = x_lo[:].reshape(ng, G).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+    xsh = x_hi[:].reshape(ng, G).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+    contrib = (Pl.astype(jnp.float32) * sl + xsl * ol
+               + Ph.astype(jnp.float32) * sh + xsh * oh)
+    out[:] = out[:] + contrib.sum(axis=0, keepdims=True)
+
+
+# opt-in until measured on hardware (the relay died mid-round-2 before the
+# microbench completed): GGML_TPU_GEMV_BD=1 selects the block-diagonal
+# kernels at m=1
+_GEMV_BD = os.environ.get("GGML_TPU_GEMV_BD", "0") == "1"
+
+
 def _q4_gemv(xq, packed, scales, G: int, interpret: bool, offsets=None):
     m, k = xq.shape
     k2, npad = packed.shape
@@ -366,6 +439,7 @@ def _q4_gemv(xq, packed, scales, G: int, interpret: bool, offsets=None):
     ng = kt2 // G
     n_ktiles = k2 // kt2
     grid = (npad // bn, n_ktiles)
+    use_bd = _GEMV_BD and m == 1 and kt2 % G == 0
 
     in_specs = [
         pl.BlockSpec((m, kt2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
@@ -375,7 +449,7 @@ def _q4_gemv(xq, packed, scales, G: int, interpret: bool, offsets=None):
         pl.BlockSpec((1, ng, bn), lambda i, kk: (1, kk, i), memory_space=pltpu.VMEM),
     ]
     args = (xq, xq, packed, scales, scales)
-    kern = functools.partial(_q4gemv_kernel, G=G, ng=ng)
+    kern = functools.partial(_q4gemv_bd_kernel if use_bd else _q4gemv_kernel, G=G, ng=ng)
     extra_bytes = 0
     if offsets is not None:
         in_specs += [
@@ -383,7 +457,9 @@ def _q4_gemv(xq, packed, scales, G: int, interpret: bool, offsets=None):
             pl.BlockSpec((ng, bn), lambda i, kk: (kk + n_ktiles, i), memory_space=pltpu.VMEM),
         ]
         args = (xq, xq, packed, scales, scales, offsets, offsets)
-        kern = functools.partial(_q4gemv_off_kernel, G=G, ng=ng)
+        kern = functools.partial(
+            _q4gemv_bd_off_kernel if use_bd else _q4gemv_off_kernel, G=G, ng=ng
+        )
         extra_bytes = offsets.nbytes
 
     return pl.pallas_call(

@@ -46,6 +46,10 @@ class GPTJConfig:
     # automatically by length unless use_flash_prefill forces it on
     use_flash_prefill: bool = False
     flash_min_seq: int = 1024
+    # reference-CPU-compatible gelu (GGML_GELU_FP16 table: out =
+    # fp16(gelu(fp16(x))), src/ggml-cpu/ggml-cpu.c:93,104-105) — off by
+    # default; the e2e reference parity gate enables it
+    gelu_fp16: bool = False
 
     @property
     def head_dim(self):
@@ -162,7 +166,12 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len,
             ff = ff_pre + params[pre + "ffn_up.bias"]
         else:
             ff = _linear(h, params[pre + "ffn_up.weight"], params[pre + "ffn_up.bias"])
-        ff = 0.5 * ff * (1.0 + jnp.tanh(0.79788456080286535588 * ff * (1.0 + 0.044715 * ff * ff)))
+        if cfg.gelu_fp16:
+            from .gpt2 import _gelu_fp16
+
+            ff = _gelu_fp16(ff)
+        else:
+            ff = 0.5 * ff * (1.0 + jnp.tanh(0.79788456080286535588 * ff * (1.0 + 0.044715 * ff * ff)))
         ff = _linear(ff, params[pre + "ffn_down.weight"], params[pre + "ffn_down.bias"])
 
         x = x + attn_out + ff

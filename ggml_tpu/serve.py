@@ -77,9 +77,11 @@ class Engine:
         request back to the queue.  Llama-family models only.
 
         draft: optional smaller model of the same family — every tick runs
-        draft_k speculative tokens per slot and ONE (B, k+1) target verify
-        (lossless for greedy: emitted tokens equal plain decoding; see
-        speculative.py).  Greedy engines only; incompatible with paged."""
+        draft_k speculative tokens per slot and ONE (B, k+1) target verify.
+        Greedy engines emit tokens IDENTICAL to plain decoding; with a
+        sampler configured the tick runs batched rejection sampling
+        (lossless in distribution — speculative.py semantics).
+        Incompatible with paged."""
         from .models import gpt2, gptj, llama
 
         self.model = model
@@ -159,8 +161,8 @@ class Engine:
         self.draft = draft
         self.draft_k = draft_k
         if draft is not None:
-            if paged is not None or sampler is not None:
-                raise ValueError("speculative engine mode is greedy + dense-cache only")
+            if paged is not None:
+                raise ValueError("speculative engine mode is dense-cache only")
             dfwd = (llama.forward if isinstance(draft, llama.Llama)
                     else gptj.forward if isinstance(draft, gptj.GPTJ)
                     else gpt2.forward)
@@ -195,6 +197,60 @@ class Engine:
                 return drafts, greedy, cache, dc
 
             self._spec_tick = jax.jit(spec_tick, donate_argnums=(2, 3))
+
+            def spec_tick_sampled(params, dparams, cache, dcache, tokens, n_past,
+                                  active, key):
+                """Batched rejection-sampling tick (speculative.py semantics
+                per slot): drafts sampled from the draft's warped dist, one
+                (B, kk+1) target verify, accept d_i w.p. min(1, p/q), the
+                correction drawn from norm(max(p-q, 0)) (or p on full
+                acceptance).  Returns (drafts, n_acc, correction, caches,
+                key) — the host emits drafts[:n_acc] + correction."""
+                from .sampling import warp_logits
+
+                skw = self.sampler
+                key, k_draft, k_acc, k_corr = jax.random.split(key, 4)
+                dc = dcache
+                tok = tokens
+                drafts, q_rows = [], []
+                for j, dk in enumerate(jax.random.split(k_draft, kk)):
+                    lg, dc = dfwd(dparams, dcfg, tok, n_past + j, dc, n_past + j)
+                    wl = warp_logits(lg[:, -1, :], **skw)
+                    q_rows.append(jax.nn.log_softmax(wl, axis=-1))
+                    tok = jax.random.categorical(dk, wl, axis=-1).astype(jnp.int32)[:, None]
+                    drafts.append(tok[:, 0])
+                # extra draft step: write d_kk's KV (no hole on full accept)
+                _, dc = dfwd(dparams, dcfg, tok, n_past + kk, dc, n_past + kk)
+                drafts = jnp.stack(drafts, 1)  # (B, kk)
+                q_logp = jnp.stack(q_rows, 1)  # (B, kk, V)
+
+                seq = jnp.concatenate([tokens, drafts], 1)
+                tlg, cache = self._fwd(params, cfgv, seq, n_past, cache, n_past)
+                p_logp = jax.nn.log_softmax(warp_logits(tlg, **skw), axis=-1)  # (B, kk+1, V)
+
+                p_d = jnp.take_along_axis(p_logp[:, :kk, :], drafts[..., None], -1)[..., 0]
+                q_d = jnp.take_along_axis(q_logp, drafts[..., None], -1)[..., 0]
+                accept = jax.random.uniform(k_acc, drafts.shape) < jnp.exp(p_d - q_d)
+                b = drafts.shape[0]
+                ext = jnp.concatenate([accept, jnp.zeros((b, 1), bool)], 1)
+                n_acc = jnp.argmin(ext, axis=1).astype(jnp.int32)  # (B,)
+
+                p_row = jnp.take_along_axis(p_logp, n_acc[:, None, None], 1)[:, 0]
+                q_row = jnp.where(
+                    (n_acc < kk)[:, None],
+                    jnp.take_along_axis(q_logp, jnp.minimum(n_acc, kk - 1)[:, None, None], 1)[:, 0],
+                    -jnp.inf,
+                )
+                residual = jnp.clip(jnp.exp(p_row) - jnp.exp(q_row), 0.0, None)
+                total = residual.sum(-1, keepdims=True)
+                probs = jnp.where(total > 1e-12, residual / jnp.maximum(total, 1e-12),
+                                  jnp.exp(p_row))
+                correction = jax.random.categorical(
+                    k_corr, jnp.log(probs + 1e-30), axis=-1
+                ).astype(jnp.int32)
+                return drafts, n_acc, correction, cache, dc, key
+
+            self._spec_tick_sampled = jax.jit(spec_tick_sampled, donate_argnums=(2, 3))
             self._draft_prefill = jax.jit(
                 lambda dp, dc, toks: dfwd(dp, dcfg, toks, jnp.zeros((toks.shape[0],), jnp.int32), dc, jnp.int32(0), prefill=True)[1]
             )
@@ -511,20 +567,35 @@ class Engine:
             return
         toks = jnp.asarray(self.cur_tok.reshape(-1, 1))
         if self.draft is not None:
-            drafts, greedy, self.cache, self.draft_cache = self._spec_tick(
-                self.model.params, self.draft.params, self.cache,
-                self.draft_cache, toks, jnp.asarray(self.n_past),
-                jnp.asarray(active),
-            )
-            drafts, greedy = np.asarray(drafts), np.asarray(greedy)
             kk = self.draft_k
+            if self.sampler is not None:
+                drafts, n_accs, corrections, self.cache, self.draft_cache, self._key = (
+                    self._spec_tick_sampled(
+                        self.model.params, self.draft.params, self.cache,
+                        self.draft_cache, toks, jnp.asarray(self.n_past),
+                        jnp.asarray(active), self._key,
+                    )
+                )
+                drafts = np.asarray(drafts)
+                n_accs, corrections = np.asarray(n_accs), np.asarray(corrections)
+            else:
+                drafts, greedy, self.cache, self.draft_cache = self._spec_tick(
+                    self.model.params, self.draft.params, self.cache,
+                    self.draft_cache, toks, jnp.asarray(self.n_past),
+                    jnp.asarray(active),
+                )
+                drafts, greedy = np.asarray(drafts), np.asarray(greedy)
             for i, sl in enumerate(self.slots):
                 if sl is None or sl.done or not active[i]:
                     continue
-                n_acc = 0
-                while n_acc < kk and drafts[i, n_acc] == greedy[i, n_acc]:
-                    n_acc += 1
-                emitted = list(drafts[i, :n_acc]) + [int(greedy[i, n_acc])]
+                if self.sampler is not None:
+                    n_acc = int(n_accs[i])
+                    emitted = list(drafts[i, :n_acc]) + [int(corrections[i])]
+                else:
+                    n_acc = 0
+                    while n_acc < kk and drafts[i, n_acc] == greedy[i, n_acc]:
+                        n_acc += 1
+                    emitted = list(drafts[i, :n_acc]) + [int(greedy[i, n_acc])]
                 for tok in emitted:
                     if sl.done:
                         break

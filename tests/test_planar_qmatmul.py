@@ -186,3 +186,27 @@ def test_prefill_sized_gemv_accuracy():
     y = np.asarray(y)[:, : pw.n]
     y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
     assert _nmse(y_ref, y) < 5e-4
+
+
+def test_q4_gemv_block_diagonal_matches_loop(monkeypatch):
+    """The block-diagonal grouped-dot GEMV (GGML_TPU_GEMV_BD=1) is an exact
+    re-association of the per-group loop at m=1 — identical results with and
+    without affine offsets."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ggml_tpu.kernels import qmatmul as Q
+
+    rng = np.random.default_rng(17)
+    k, npad = 512, 256
+    xq = jnp.asarray(rng.integers(-127, 128, (1, k), np.int8))
+    packed = jnp.asarray(rng.integers(0, 256, (k // 2, npad), np.uint8))
+    scales = jnp.asarray(rng.standard_normal((2, (k // 2) // 32, npad)).astype(np.float32) * 0.01)
+    offsets = jnp.asarray(rng.standard_normal((k // 32, npad)).astype(np.float32) * 0.003)
+
+    for offs in (None, offsets):
+        monkeypatch.setattr(Q, "_GEMV_BD", False)
+        want = np.asarray(Q._q4_gemv(xq, packed, scales, 32, True, offsets=offs))
+        monkeypatch.setattr(Q, "_GEMV_BD", True)
+        got = np.asarray(Q._q4_gemv(xq, packed, scales, 32, True, offsets=offs))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)

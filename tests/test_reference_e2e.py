@@ -176,3 +176,87 @@ def test_reference_e2e_exact_gelu_sanity(tmp_path):
     num = float(((ours - ref) ** 2).mean())
     den = float((ref ** 2).mean()) + 1e-12
     assert num / den <= 1e-6, f"overall NMSE {num/den:.2e}"
+
+
+# -- GPT-J (flagship family): same gate through tools/ref_gptj_eval.c ---------
+
+REF_TOOL_J = REF_TOOL.parent / "ref_gptj_eval"
+
+
+def _make_gptj_gguf(tmp, ftype: GGMLType):
+    from tools.convert_hf_gptj import convert_state_dict as convert_gptj
+
+    cfg = transformers.GPTJConfig(
+        vocab_size=N_VOCAB, n_positions=N_POS, n_embd=N_EMBD, n_layer=N_LAYER,
+        n_head=N_HEAD, rotary_dim=32,
+        attn_pdrop=0.0, resid_pdrop=0.0, embd_pdrop=0.0,
+    )
+    torch.manual_seed(9)
+    hf = transformers.GPTJForCausalLM(cfg).eval()
+    path = tmp / f"e2ej_{ftype.name}.gguf"
+    convert_gptj(hf.state_dict(), cfg, ftype=ftype).write(path)
+    return path
+
+
+def _ref_logits_j(path) -> np.ndarray:
+    out = path.parent / (path.stem + ".logits")
+    subprocess.run(
+        [str(REF_TOOL_J), str(path), str(out)] + [str(t) for t in TOKENS],
+        check=True, capture_output=True,
+    )
+    raw = out.read_bytes()
+    n, v = np.frombuffer(raw, np.uint32, 2)
+    return np.frombuffer(raw, np.float32, offset=8).reshape(n, v)
+
+
+def _our_logits_j(path, gelu_fp16: bool, keep_quantized: bool = True) -> np.ndarray:
+    import dataclasses
+
+    from ggml_tpu.models.gptj import GPTJ, forward as gptj_forward
+
+    m = GPTJ.from_gguf(str(path), dtype=jnp.float32, keep_quantized=keep_quantized,
+                       max_seq=len(TOKENS) + 1, batch=1)
+    cfg = dataclasses.replace(m.cfg, gelu_fp16=gelu_fp16)
+    cache = m.new_cache(jnp.float32)
+    toks = jnp.asarray(np.asarray(TOKENS, np.int32)[None, :])
+    logits, _ = gptj_forward(m.params, cfg, toks, jnp.zeros((1,), jnp.int32),
+                             cache, jnp.int32(0))
+    return np.asarray(logits[0], np.float32)
+
+
+@pytest.mark.skipif(not (REF_TOOL.parent / "ref_gptj_eval").exists(),
+                    reason="reference gptj harness not built")
+@pytest.mark.parametrize("ftype", [GGMLType.F32, GGMLType.Q4_K])
+def test_reference_e2e_parity_gptj(ftype, tmp_path):
+    """The flagship GPT-J family through the same ours-vs-reference-binary
+    gate (interleaved rope + parallel residual + biased untied lm head);
+    gate structure as test_reference_e2e_parity."""
+    path = _make_gptj_gguf(tmp_path, ftype)
+    ref = _ref_logits_j(path)
+    ours = _our_logits_j(path, gelu_fp16=True)
+    assert ref.shape == ours.shape == (len(TOKENS), N_VOCAB)
+
+    tok_tol = 5e-4 if ftype == GGMLType.F32 else 2e-3
+    for i in range(len(TOKENS)):
+        num = float(((ours[i] - ref[i]) ** 2).mean())
+        den = float((ref[i] ** 2).mean()) + 1e-12
+        assert num / den <= tok_tol, f"gptj {ftype.name} token {i}: NMSE {num/den:.2e}"
+
+    p_ref = _ppl(ref)
+    dppl = abs(_ppl(ours) - p_ref)
+    if ftype == GGMLType.F32:
+        assert dppl <= 0.01, f"gptj F32: |dppl| = {dppl:.4f}"
+    else:
+        exact = _our_logits_j(path, gelu_fp16=True, keep_quantized=False)
+        p_exact = _ppl(exact)
+        d_ours = abs(_ppl(ours) - p_exact)
+        d_ref = abs(p_ref - p_exact)
+
+        def nm(a, b):
+            return float(((a - b) ** 2).mean() / ((b ** 2).mean() + 1e-12))
+
+        assert nm(ours, exact) <= 1.5 * nm(ref, exact), (
+            f"gptj {ftype.name}: ours {nm(ours, exact):.2e} vs ref {nm(ref, exact):.2e}"
+        )
+        assert d_ours <= 1.5 * d_ref + 0.01
+        assert dppl <= 2.5e-3 * p_ref, f"gptj {ftype.name}: |dppl| = {dppl:.4f}"

@@ -252,12 +252,8 @@ def test_paged_engine_page_pressure_eviction(tiny_model):
     assert res[r1] == want and res[r2] == want
 
 
-def test_speculative_engine_lossless(tiny_model, tmp_path_factory):
-    """Engine(draft=...) speculative continuous batching: outputs equal the
-    plain greedy engine for any draft (perfect or unrelated), across
-    interleaved slots."""
-    m = tiny_model
-    # an unrelated draft of the same family/vocab
+def _make_unrelated_draft(tmp):
+    """An unrelated draft model of the same family/vocab."""
     cfg = transformers.LlamaConfig(
         vocab_size=256, hidden_size=32, intermediate_size=64, num_hidden_layers=1,
         num_attention_heads=2, num_key_value_heads=2, max_position_embeddings=128,
@@ -265,10 +261,18 @@ def test_speculative_engine_lossless(tiny_model, tmp_path_factory):
     )
     torch.manual_seed(99)
     hf = transformers.LlamaForCausalLM(cfg).eval()
-    dpath = tmp_path_factory.mktemp("spec_engine") / "draft.gguf"
+    dpath = tmp / "draft.gguf"
     convert_state_dict(hf.state_dict(), cfg).write(dpath)
     g = GGUFFile(dpath)
-    draft = Llama(load_params(g), config_from_gguf(g), max_seq=64, batch=1)
+    return Llama(load_params(g), config_from_gguf(g), max_seq=64, batch=1)
+
+
+def test_speculative_engine_lossless(tiny_model, tmp_path_factory):
+    """Engine(draft=...) speculative continuous batching: outputs equal the
+    plain greedy engine for any draft (perfect or unrelated), across
+    interleaved slots."""
+    m = tiny_model
+    draft = _make_unrelated_draft(tmp_path_factory.mktemp("spec_engine"))
 
     prompts = [[1, 2, 3], [4, 5], [7, 8, 9, 2]]
     plain = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
@@ -401,3 +405,44 @@ def test_paged_eviction_snapshots_kv(tiny_model):
     assert res[r1] == want and res[r2] == want
     assert eng.prefill_count == 2
     assert eng.mgr.free_pages() == 3
+
+
+def test_speculative_engine_sampled_topk1_equals_greedy(tiny_model, tmp_path_factory):
+    """Sampled speculative engine with top_k=1: the warped distribution is a
+    point mass, so rejection sampling must reproduce plain greedy decoding
+    token for token (the sharpest lossless check of the sampled tick)."""
+    m = tiny_model
+    tmp = tmp_path_factory.mktemp("specs")
+    draft = _make_unrelated_draft(tmp)
+
+    greedy = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    rids = [greedy.submit(p, 7) for p in ([1, 2, 3], [4, 5, 6])]
+    want = {r: o for r, o in greedy.run().items()}
+
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                 sampler={"temperature": 1.0, "top_k": 1, "top_p": 1.0},
+                 draft=draft, draft_k=3, seed=9)
+    rids2 = [eng.submit(p, 7) for p in ([1, 2, 3], [4, 5, 6])]
+    got = eng.run()
+    for r1, r2 in zip(rids, rids2):
+        assert got[r2] == want[r1], (got[r2], want[r1])
+
+
+def test_speculative_engine_sampled_deterministic_and_in_vocab(tiny_model, tmp_path_factory):
+    m = tiny_model
+    tmp = tmp_path_factory.mktemp("specs2")
+    draft = _make_unrelated_draft(tmp)
+
+    def run_once():
+        eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                     sampler={"temperature": 0.9, "top_k": 20, "top_p": 0.95},
+                     draft=draft, draft_k=3, seed=4)
+        rids = [eng.submit(p, 6) for p in ([5, 1], [7, 2, 2])]
+        res = eng.run()
+        return [res[r] for r in rids]
+
+    a = run_once()
+    b = run_once()
+    assert a == b  # engine-owned PRNG: deterministic per seed
+    assert all(0 <= t < 256 for out in a for t in out)
+    assert all(len(out) == 6 for out in a)
