@@ -55,20 +55,26 @@ class LlamaConfig:
 
 
 def config_from_gguf(g: GGUFFile) -> LlamaConfig:
+    """Reads llama-family metadata; the qwen2 arch (llama.cpp's modern
+    headline: llama layout + qkv biases + often tied embeddings) shares this
+    model with its own key prefix."""
     md = g.metadata
+    a = md.get("general.architecture", "llama")
+    if a not in ("llama", "qwen2"):
+        a = "llama"
     return LlamaConfig(
-        n_vocab=int(md.get("llama.vocab_size", 32000)),
-        n_ctx=int(md["llama.context_length"]),
-        n_embd=int(md["llama.embedding_length"]),
-        n_head=int(md["llama.attention.head_count"]),
-        n_head_kv=int(md.get("llama.attention.head_count_kv", md["llama.attention.head_count"])),
-        n_layer=int(md["llama.block_count"]),
-        n_ff=int(md["llama.feed_forward_length"]),
-        rope_base=float(md.get("llama.rope.freq_base", 10000.0)),
-        rope_scaling=str(md.get("llama.rope.scaling.type", "none")),
-        rope_scale=float(md.get("llama.rope.scaling.factor", 1.0)),
-        n_ctx_orig=int(md.get("llama.rope.scaling.original_context_length", 0)),
-        rms_eps=float(md.get("llama.attention.layer_norm_rms_epsilon", 1e-5)),
+        n_vocab=int(md.get(f"{a}.vocab_size", 32000)),
+        n_ctx=int(md[f"{a}.context_length"]),
+        n_embd=int(md[f"{a}.embedding_length"]),
+        n_head=int(md[f"{a}.attention.head_count"]),
+        n_head_kv=int(md.get(f"{a}.attention.head_count_kv", md[f"{a}.attention.head_count"])),
+        n_layer=int(md[f"{a}.block_count"]),
+        n_ff=int(md[f"{a}.feed_forward_length"]),
+        rope_base=float(md.get(f"{a}.rope.freq_base", 10000.0)),
+        rope_scaling=str(md.get(f"{a}.rope.scaling.type", "none")),
+        rope_scale=float(md.get(f"{a}.rope.scaling.factor", 1.0)),
+        n_ctx_orig=int(md.get(f"{a}.rope.scaling.original_context_length", 0)),
+        rms_eps=float(md.get(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
     )
 
 
@@ -168,9 +174,11 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
         pre = f"blk.{i}."
         h = _rms_norm(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
 
-        q = _linear(h, params[pre + "attn_q.weight"]).reshape(b, t, cfg.n_head, cfg.head_dim)
-        k = _linear(h, params[pre + "attn_k.weight"]).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
-        v = _linear(h, params[pre + "attn_v.weight"]).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
+        # optional qkv biases (Qwen2-family GGUFs carry them; plain Llama
+        # does not — reference: llama.cpp qwen2 arch tensors)
+        q = _linear(h, params[pre + "attn_q.weight"], params.get(pre + "attn_q.bias")).reshape(b, t, cfg.n_head, cfg.head_dim)
+        k = _linear(h, params[pre + "attn_k.weight"], params.get(pre + "attn_k.bias")).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
+        v = _linear(h, params[pre + "attn_v.weight"], params.get(pre + "attn_v.bias")).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
 
         q = _rope_half_scaled(q, positions, cfg).transpose(0, 2, 1, 3)
         k = _rope_half_scaled(k, positions, cfg).transpose(0, 2, 1, 3)

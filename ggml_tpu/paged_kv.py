@@ -173,9 +173,9 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
         for i in range(cfg.n_layer):
             pre = f"blk.{i}."
             h = _rms_norm(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
-            q = _linear(h, params[pre + "attn_q.weight"]).reshape(b, 1, cfg.n_head, cfg.head_dim)
-            k = _linear(h, params[pre + "attn_k.weight"]).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
-            v = _linear(h, params[pre + "attn_v.weight"]).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
+            q = _linear(h, params[pre + "attn_q.weight"], params.get(pre + "attn_q.bias")).reshape(b, 1, cfg.n_head, cfg.head_dim)
+            k = _linear(h, params[pre + "attn_k.weight"], params.get(pre + "attn_k.bias")).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
+            v = _linear(h, params[pre + "attn_v.weight"], params.get(pre + "attn_v.bias")).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
             # scaled rope (linear/YaRN) must match the dense forward exactly —
             # a scaled-rope GGUF served paged would otherwise silently diverge
             q = _rope_half_scaled(q, positions, cfg)[:, 0]  # (B, Hq, D)
