@@ -191,6 +191,17 @@ class Context:
     def view(self, a, shape, offset_elems=0):
         return self._node(shape, a.dtype, "view", (a,), offset=offset_elems)
 
+    def dup(self, a):
+        """reference: ggml_dup — a materialized copy (XLA decides whether a
+        physical copy is needed; the node exists for graph-API parity)."""
+        return self._node(a.shape, a.dtype, "dup", (a,))
+
+    def cpy(self, a, b):
+        """reference: ggml_cpy(a, b) — a cast/reshaped into b's shape+dtype
+        (the KV-cache-write idiom of the examples; our models use functional
+        cache_write instead, this node covers the graph-API surface)."""
+        return self._node(b.shape, b.dtype, "cpy", (a,))
+
     def concat(self, a, b, axis):
         shape = list(a.shape)
         shape[axis] += b.shape[axis]
@@ -479,6 +490,8 @@ _EVAL.update(
     clamp=lambda t, v: O.clamp(v[0], t.params["lo"], t.params["hi"]),
     leaky_relu=lambda t, v: O.leaky_relu(v[0], t.params["slope"]),
     reshape=lambda t, v: jnp.reshape(v[0], t.shape),
+    dup=lambda t, v: v[0] + 0,  # forced materialization
+    cpy=lambda t, v: jnp.reshape(v[0], t.shape).astype(t.dtype),
     permute=lambda t, v: jnp.transpose(v[0], t.params["axes"]),
     view=lambda t, v: jax.lax.dynamic_slice(
         v[0].reshape(-1), (t.params["offset"],), (t.n_elements,)

@@ -84,3 +84,22 @@ def test_grad_rope():
     x = RNG.standard_normal((1, 3, 2, 8)).astype(np.float32)
     pos = jnp.arange(3, dtype=jnp.int32)
     check(lambda v: jnp.sum(ops.rope_ext(v, pos, n_dims=8) * 0.3), x)
+
+
+def test_grad_im2col_and_pool():
+    """Gradients through im2col and pool_2d — the ops whose reference
+    adjoints are the hand-written IM2COL_BACK / POOL_2D_BACK kernels
+    (include/ggml.h op enum); here jax.grad derives them."""
+    x = RNG.standard_normal((1, 2, 6, 6)).astype(np.float32)
+    check(lambda v: jnp.sum(ops.im2col(v, 3, 3, 1, 1, 1, 1) * 0.1), x)
+    check(lambda v: jnp.sum(ops.pool_2d(v, "avg", 2, 2, 0) * 0.3), x)
+
+
+def test_grad_repeat_and_get_rows():
+    """REPEAT_BACK (sum over repeats) and GET_ROWS_BACK (scatter-add) fall
+    out of jax.grad over our repeat/get_rows."""
+    x = RNG.standard_normal((2, 3)).astype(np.float32)
+    check(lambda v: jnp.sum(ops.repeat(v, (4, 3)) * jnp.arange(12.0).reshape(4, 3)), x)
+    tbl = RNG.standard_normal((5, 4)).astype(np.float32)
+    ids = jnp.asarray([1, 3, 1], jnp.int32)
+    check(lambda v: jnp.sum(ops.get_rows(v, ids) * 0.5), tbl)
