@@ -227,6 +227,9 @@ class MultiHostEngine(Engine):
             if self.slots[i] is None and self.queue:
                 req = min(self.queue, key=lambda r: r.priority)
                 self.queue.remove(req)
+                if req.snapshot is not None:  # evicted mid-run: restore KV
+                    self._resume_from_snapshot(i, req)
+                    continue
                 seq = req.seq
                 t = len(seq)
                 if t >= self.max_seq:
@@ -244,10 +247,38 @@ class MultiHostEngine(Engine):
                     self.cur_tok[i] = int(seq[-1])
 
     def _snapshot_slot(self, i: int, req: Request):
-        # preemption resumes by re-prefill in multi-host mode (a dp-sharded
-        # device->host slot gather is a follow-up); losslessness holds via
-        # Request.seq recompute
+        """Cross-host KV eviction: the slot's KV lives on ONE host's devices
+        (dp sharding), so the spill is a jitted gather-to-replicated program
+        — every host then holds the same host-side snapshot and resume stays
+        a deterministic SPMD transition (no side-channel transfer)."""
+        n_past = int(self.n_past[i])
+        if n_past <= 0:
+            return
+        if not hasattr(self, "_gather_slot"):
+            self._gather_slot = jax.jit(
+                lambda c, j: jax.tree.map(
+                    lambda a: jax.lax.dynamic_slice_in_dim(a, j, 1, 0), c
+                ),
+                in_shardings=(self._cache_sharding, self._rep_sharding),
+                out_shardings=self._rep_sharding,
+            )
+        slot = self._gather_slot(self.cache, self._rep(np.int32(i)))
+        req.snapshot = {
+            "cache": jax.tree.map(np.asarray, slot),
+            "n_past": n_past,
+            "cur_tok": int(self.cur_tok[i]),
+            "draft": None,
+        }
+
+    def _resume_from_snapshot(self, i: int, req: Request) -> bool:
+        snap = req.snapshot
+        slot = jax.tree.map(self._rep, snap["cache"])
+        self.cache = self._install(self.cache, slot, self._rep(np.int32(i)))
+        self.slots[i] = req
+        self.n_past[i] = snap["n_past"]
+        self.cur_tok[i] = snap["cur_tok"]
         req.snapshot = None
+        return True
 
     def _tick(self):
         active = np.array([s is not None and not s.done for s in self.slots])

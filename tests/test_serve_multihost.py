@@ -135,3 +135,106 @@ def test_multihost_engine_matches_solo(tmp_path):
     got = {tuple(p): results[0][str(rid)] for rid, p in enumerate(PROMPTS, start=1)}
     for p in PROMPTS:
         assert got[tuple(p)] == solo[tuple(p)], (p, got[tuple(p)], solo[tuple(p)])
+
+
+_WORKER_PREEMPT = r"""
+import json, sys
+import jax
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+pid = int(sys.argv[1])
+gguf_path = sys.argv[2]
+port1, port2 = int(sys.argv[3]), int(sys.argv[4])
+jax.distributed.initialize(f"localhost:{port1}", num_processes=2, process_id=pid)
+sys.path.insert(0, ".")
+import jax.numpy as jnp
+import numpy as np
+from ggml_tpu.gguf import GGUFFile
+from ggml_tpu.models.gpt2 import load_params
+from ggml_tpu.models.llama import Llama, config_from_gguf
+from ggml_tpu.serve_multihost import ControlChannel, make_multihost_engine
+
+g = GGUFFile(gguf_path)
+m = Llama(load_params(g), config_from_gguf(g), max_seq=64, batch=1)
+ch = ControlChannel(is_coord=(pid == 0), n_workers=1, port=port2)
+eng = make_multihost_engine(m, ch, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+
+if pid == 0:
+    # the urgent request arrives mid-run (from a streaming callback) so both
+    # low-priority requests already occupy the 2 slots when it lands; every
+    # tick stays inside run()'s broadcast protocol (all hosts tick in
+    # lockstep — a coordinator-only tick would deadlock the collectives)
+    state = {"n": 0, "sub": False}
+    def on_tok(rid, tok, done):
+        state["n"] += 1
+        if state["n"] == 2 and not state["sub"]:
+            state["sub"] = True
+            eng.submit([9, 9, 1], 8, priority=0)
+    eng.submit([1, 2, 3], 8, priority=5, on_token=on_tok)
+    eng.submit([4, 5], 8, priority=5)
+res = eng.run()
+ch.close()
+print("RESULT" + str(pid) + " " + json.dumps({str(k): v for k, v in sorted(res.items())})
+      + " PREFILLS " + str(eng.prefill_count), flush=True)
+"""
+
+
+def test_multihost_preemption_snapshots_across_hosts(tmp_path):
+    """Priority preemption on the sharded-slot engine: the evicted slot's KV
+    is gathered to a replicated snapshot (a jitted SPMD program — no side
+    channel), resume restores it on both hosts, outputs stay lossless and
+    prefill runs once per request ON THE COORDINATOR (workers only prefill
+    what they admit; the preempted request must NOT re-prefill)."""
+    path = _tiny_llama_gguf(tmp_path)
+
+    import jax.numpy as jnp
+
+    from ggml_tpu.gguf import GGUFFile
+    from ggml_tpu.models.gpt2 import load_params
+    from ggml_tpu.models.llama import Llama, config_from_gguf
+    from ggml_tpu.serve import Engine
+
+    g = GGUFFile(str(path))
+    m = Llama(load_params(g), config_from_gguf(g), max_seq=64, batch=1)
+    solo = {}
+    for p in ([1, 2, 3], [4, 5], [9, 9, 1]):
+        eng = Engine(m, max_batch=1, max_seq=64, cache_dtype=jnp.float32)
+        rid = eng.submit(p, 8)
+        solo[tuple(p)] = eng.run()[rid]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # one device per host: 2 global devices = 2 slots, forcing preemption
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+
+    import socket
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    port1, port2 = free_port(), free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER_PREEMPT, str(i), str(path), str(port1), str(port2)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env, cwd=ROOT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        so, se = p.communicate(timeout=600)
+        assert p.returncode == 0, f"stdout:\n{so}\nstderr:\n{se[-4000:]}"
+        outs.append(so)
+
+    line0 = [l for l in outs[0].splitlines() if l.startswith("RESULT0 ")][0]
+    body, prefills = line0[len("RESULT0 "):].split(" PREFILLS ")
+    res = json.loads(body)
+    assert res["1"] == solo[(1, 2, 3)]
+    assert res["2"] == solo[(4, 5)]
+    assert res["3"] == solo[(9, 9, 1)]
+    # snapshot resume: 3 requests, 3 coordinator prefills (no re-prefill)
+    assert int(prefills) == 3, prefills
