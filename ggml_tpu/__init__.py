@@ -30,7 +30,9 @@ _LAZY = {
     "flash_attention": ("ggml_tpu.kernels.flash_attn", "flash_attention"),
     "perplexity": ("ggml_tpu.ppl", "perplexity"),
     "speculative_generate": ("ggml_tpu.speculative", "speculative_generate"),
+    "speculative_generate_sampled": ("ggml_tpu.speculative", "speculative_generate_sampled"),
     "make_speculative_decoder": ("ggml_tpu.speculative", "make_speculative_decoder"),
+    "make_speculative_decoder_sampled": ("ggml_tpu.speculative", "make_speculative_decoder_sampled"),
 }
 
 

@@ -206,9 +206,13 @@ def _forward_tp_body(params, tokens, pos_start, cache, cache_len, *, cfg):
         k = _rope_interleaved(heads(k), positions, cfg.n_rot).transpose(0, 2, 1, 3)
         v = heads(v).transpose(0, 2, 1, 3)
 
+        from ..models.common import cache_write
+
         cdt = cache[0][0].dtype
-        kc = jax.lax.dynamic_update_slice(new_cache[i][0], k.astype(cdt), (0, 0, cache_len, 0))
-        vc = jax.lax.dynamic_update_slice(new_cache[i][1], v.astype(cdt), (0, 0, cache_len, 0))
+        # cache_write handles scalar cache_len (single sequence) AND (B,)
+        # per-slot position vectors (continuous batching via serve.Engine)
+        kc = cache_write(new_cache[i][0], k.astype(cdt), cache_len)
+        vc = cache_write(new_cache[i][1], v.astype(cdt), cache_len)
         new_cache[i] = (kc, vc)
 
         att = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kc.astype(jnp.float32),
@@ -234,6 +238,35 @@ def _forward_tp_body(params, tokens, pos_start, cache, cache_len, *, cfg):
     # because the planar pad columns live only on the last shard
     logits_local = _linear_local(x, params["output.weight"])
     return logits_local, tuple(new_cache)
+
+
+def make_tp_engine_forward(cfg, mesh: Mesh):
+    """Tensor-parallel forward with the MODEL-FAMILY signature
+    (params, cfg, tokens, pos_start, cache, cache_len, *, prefill=False) so
+    serve.Engine can drive a TP-sharded model directly — single-controller
+    multi-chip serving (continuous batching × tensor parallelism; the
+    composition the reference's RPC star cannot express).  Pass as
+    Engine(model, forward_fn=make_tp_engine_forward(cfg, mesh),
+    cache_put=...); per-slot (B,) position vectors are supported."""
+
+    def fwd(params, cfgv, tokens, pos_start, cache, cache_len, *, prefill=False):
+        del cfgv, prefill  # cfg is closed over; no flash path in the TP body
+        specs = gptj_param_specs(params)
+        body = functools.partial(_forward_tp_body, cfg=cfg)
+        cl_spec = P() if getattr(cache_len, "ndim", 0) == 0 else P(None)
+        logits_local, new_cache = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(specs, P(None, None), P(None), CACHE_SPEC, cl_spec),
+            out_specs=(P(None, None, "tp"), CACHE_SPEC),
+            check_rep=False,
+        )(params, tokens, pos_start, cache, cache_len)
+        logits = logits_local[..., : cfg.n_vocab]
+        if "output.bias" in params:
+            logits = logits + params["output.bias"]
+        return logits, new_cache
+
+    return fwd
 
 
 def make_tp_forward(cfg, mesh: Mesh):

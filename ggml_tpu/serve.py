@@ -66,7 +66,8 @@ class Engine:
 
     def __init__(self, model, max_batch: int = 4, max_seq: int = 512, eos_id: int = -1,
                  cache_dtype=jnp.bfloat16, sampler: dict | None = None, seed: int = 0,
-                 paged=None, draft=None, draft_k: int = 4):
+                 paged=None, draft=None, draft_k: int = 4,
+                 forward_fn=None, cache_put=None):
         """sampler: None = greedy argmax; or kwargs for
         sampling.sample_top_k_top_p (temperature/top_k/top_p) applied
         per-slot on device with an engine-owned PRNG key.
@@ -81,7 +82,13 @@ class Engine:
         Greedy engines emit tokens IDENTICAL to plain decoding; with a
         sampler configured the tick runs batched rejection sampling
         (lossless in distribution — speculative.py semantics).
-        Incompatible with paged."""
+        Incompatible with paged.
+
+        forward_fn: override the model-family forward with any function of
+        the same signature — e.g. parallel.tp_inference.make_tp_engine_forward
+        for tensor-parallel multi-chip serving.  cache_put: optional callable
+        applied to the freshly created KV cache (e.g. a device_put with a
+        head-sharded NamedSharding)."""
         from .models import gpt2, gptj, llama
 
         self.model = model
@@ -89,7 +96,9 @@ class Engine:
         self.max_batch = max_batch
         self.max_seq = max_seq
         self.eos_id = eos_id
-        if isinstance(model, llama.Llama):
+        if forward_fn is not None:
+            self._fwd = forward_fn
+        elif isinstance(model, llama.Llama):
             self._fwd = llama.forward
         elif isinstance(model, gptj.GPTJ):
             self._fwd = gptj.forward
@@ -122,7 +131,10 @@ class Engine:
             self.cache = init_layer_cache(
                 cfgv.n_layer, max_batch, n_kv, max_seq, cfgv.head_dim, cache_dtype
             )
+            if cache_put is not None:
+                self.cache = cache_put(self.cache)
         self._cache_dtype = cache_dtype
+        self._cache_put_slot = cache_put  # single-slot prefill caches too
 
         self.sampler = dict(sampler) if sampler else None
         self._key = jax.random.PRNGKey(seed)
@@ -443,6 +455,8 @@ class Engine:
             self.cfg.n_layer, 1, n_kv, self.max_seq, self.cfg.head_dim,
             self._cache_dtype,
         )
+        if self._cache_put_slot is not None:
+            slot_cache = self._cache_put_slot(slot_cache)
         self.prefill_count += 1
         logits, slot_cache = self._prefill_cache[tb](
             self.model.params, slot_cache, jnp.asarray(toks)

@@ -57,7 +57,7 @@ print("TP-INFERENCE-OK")
 """
 
 
-def _run_tp_script(script):
+def _run_tp_script(script, marker="TP-INFERENCE-OK"):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # disarm the axon sitecustomize hook
     env["JAX_PLATFORMS"] = "cpu"
@@ -72,7 +72,7 @@ def _run_tp_script(script):
         timeout=600,
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
-    assert "TP-INFERENCE-OK" in r.stdout
+    assert marker in r.stdout
 
 
 def test_tp_matches_single_device():
@@ -138,3 +138,59 @@ def test_tp_fused_qkv_matches_single_device():
     (unfuse_qkv): sharded forward must match the single-device fused
     forward."""
     _run_tp_script(_SCRIPT.replace("fuse_qkv=False", "fuse_qkv=True"))
+
+
+_ENGINE_SCRIPT = r"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+assert jax.device_count() == 8, jax.devices()
+
+from ggml_tpu.dtypes import GGMLType
+from ggml_tpu.models.gptj import GPTJConfig, synth_quantized_params
+from ggml_tpu.parallel.tp_inference import (
+    CACHE_SPEC, make_tp_engine_forward, shard_gptj_params,
+)
+from ggml_tpu.serve import Engine
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+cfg = GPTJConfig(n_vocab=512, n_ctx=64, n_embd=512, n_head=8, n_layer=2, n_rot=32)
+params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=3, dtype=jnp.float32,
+                                fuse_qkv=False, use_q4=True)
+
+mesh = Mesh(np.array(jax.devices()).reshape(1, 8), ("dp", "tp"))
+params_tp = shard_gptj_params(params, mesh)
+
+
+class TPModel:  # the Engine only needs .params/.cfg with forward_fn given
+    pass
+
+m = TPModel()
+m.params = params_tp
+m.cfg = cfg
+
+fwd = make_tp_engine_forward(cfg, mesh)
+put = lambda c: jax.device_put(c, NamedSharding(mesh, CACHE_SPEC))
+
+def run(prompts, max_batch):
+    eng = Engine(m, max_batch=max_batch, max_seq=48, cache_dtype=jnp.float32,
+                 forward_fn=fwd, cache_put=put)
+    rids = [eng.submit(p, 6) for p in prompts]
+    res = eng.run()
+    return [res[r] for r in rids]
+
+prompts = [[1, 2, 3], [4, 5], [9, 9, 1, 7]]
+solo = [run([p], 1)[0] for p in prompts]
+batched = run(prompts, 2)  # 3 requests through 2 slots: interleaved + queued
+assert batched == solo, (batched, solo)
+print("TP-ENGINE-OK")
+"""
+
+
+def test_tp_engine_continuous_batching():
+    """serve.Engine drives a tensor-parallel (8-way, packed-q4) model via
+    forward_fn=make_tp_engine_forward: interleaved continuous batching over
+    the sharded model equals solo runs — serving x TP composition the
+    reference's RPC star cannot express."""
+    _run_tp_script(_ENGINE_SCRIPT, marker="TP-ENGINE-OK")
