@@ -109,7 +109,8 @@ def _ppl(logits: np.ndarray) -> float:
     return float(np.exp(nll.mean()))
 
 
-@pytest.mark.parametrize("ftype", [GGMLType.F32, GGMLType.Q8_0, GGMLType.Q4_K])
+@pytest.mark.parametrize("ftype", [GGMLType.F32, GGMLType.Q8_0, GGMLType.Q4_0,
+                                   GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K])
 def test_reference_e2e_parity(ftype, tmp_path):
     """Gates:
     - F32: both stacks compute the same math -> per-token NMSE <= 5e-4 and
