@@ -417,6 +417,47 @@ def bench_magika():
     )
 
 
+def bench_serve():
+    """Serving throughput: the continuous-batching Engine drives mixed-length
+    requests through GPT-J-6B Q4_K (BENCH_BATCH slots) — aggregate emitted
+    tokens/s including admission/streaming overhead, the production metric
+    the per-step benches don't capture."""
+    import jax.numpy as jnp
+
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models.gptj import GPTJ, GPTJConfig, synth_quantized_params
+    from ggml_tpu.serve import Engine
+
+    _enable_compile_cache()
+    slots = int(os.environ.get("BENCH_BATCH", "8"))
+    n_req = int(os.environ.get("BENCH_REQUESTS", str(slots * 3)))
+    max_new = int(os.environ.get("BENCH_TOKENS", "32"))
+    cfg = GPTJConfig()
+    params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
+    m = GPTJ(params, cfg, max_seq=256, batch=slots)
+
+    rng = np.random.default_rng(0)
+    eng = Engine(m, max_batch=slots, max_seq=256, cache_dtype=jnp.bfloat16)
+    # warm the compiled prefill + step programs with one request
+    w = eng.submit(rng.integers(0, cfg.n_vocab, 16).tolist(), 2)
+    eng.run(bucket=32)
+
+    for _ in range(n_req):
+        eng.submit(rng.integers(0, cfg.n_vocab, int(rng.integers(4, 30))).tolist(), max_new)
+    t0 = time.perf_counter()
+    res = eng.run(bucket=32)
+    dt = time.perf_counter() - t0
+    tot = sum(len(v) for v in res.values())
+    agg = tot / dt
+    print(json.dumps({
+        "metric": f"gptj_6b_q4k_serve_agg_tokens_per_sec_slots{slots}",
+        "value": round(agg, 2), "unit": "tokens/s",
+        "vs_baseline": round(agg / (1000.0 / 124.62), 3),
+    }))
+    print(f"# {n_req} requests x {max_new} toks, {slots} slots: {tot} tokens in {dt:.2f}s",
+          file=sys.stderr)
+
+
 if __name__ == "__main__":
     mode = os.environ.get("BENCH", "")
     if mode == "gpt2":
@@ -433,5 +474,7 @@ if __name__ == "__main__":
         bench_yolo()
     elif mode == "magika":
         bench_magika()
+    elif mode == "serve":
+        bench_serve()
     else:
         bench_gptj_q4k()
