@@ -458,7 +458,35 @@ def bench_serve():
           file=sys.stderr)
 
 
+def _guard_platform_init(timeout_s: float = 600.0):
+    """The axon relay can die (it exits on stdin EOF and is unrestorable from
+    inside the sandbox) — then every jax call hangs forever.  Probe device
+    init on a worker thread with a deadline so the bench fails LOUDLY with an
+    infra message instead of hanging the driver."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        ok.append(len(jax.devices()))
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not ok:
+        print(
+            f"# INFRA FAILURE: jax device init did not complete within {timeout_s:.0f}s "
+            "— the TPU relay is down (ports 8082+ refused); this is not a code "
+            "regression. See PLAN.md 'Measurement hygiene'.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
+
 if __name__ == "__main__":
+    _guard_platform_init(float(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
     mode = os.environ.get("BENCH", "")
     if mode == "gpt2":
         bench_gpt2()
