@@ -67,7 +67,7 @@ class Engine:
     def __init__(self, model, max_batch: int = 4, max_seq: int = 512, eos_id: int = -1,
                  cache_dtype=jnp.bfloat16, sampler: dict | None = None, seed: int = 0,
                  paged=None, draft=None, draft_k: int = 4,
-                 forward_fn=None, cache_put=None):
+                 forward_fn=None, cache_put=None, prefill_chunk: int | None = None):
         """sampler: None = greedy argmax; or kwargs for
         sampling.sample_top_k_top_p (temperature/top_k/top_p) applied
         per-slot on device with an engine-owned PRNG key.
@@ -135,6 +135,8 @@ class Engine:
                 self.cache = cache_put(self.cache)
         self._cache_dtype = cache_dtype
         self._cache_put_slot = cache_put  # single-slot prefill caches too
+        self.prefill_chunk = prefill_chunk  # fixed-chunk prefill (one program)
+        self._chunk_step = None
 
         self.sampler = dict(sampler) if sampler else None
         self._key = jax.random.PRNGKey(seed)
@@ -441,7 +443,14 @@ class Engine:
     def _prefill(self, seq, bucket: int):
         """Run (cached, bucketed) prefill; returns (last logits|None, cache, t, tb).
         logits is None when the bucket padded past t (the caller re-decodes
-        the true last token for position-exact logits)."""
+        the true last token for position-exact logits).
+
+        With prefill_chunk set, long prompts run as ceil(t/chunk) steps of
+        ONE compiled fixed-shape program carrying the cache (XLA recompiles
+        nothing as prompt lengths vary — the static-shape answer to vLLM's
+        chunked prefill, which also bounds per-tick latency spikes)."""
+        if self.prefill_chunk:
+            return self._prefill_chunked(seq)
         t = len(seq)
         tb = min(self.max_seq, -(-t // bucket) * bucket)  # padded prompt bucket
         if tb not in self._prefill_cache:
@@ -471,6 +480,53 @@ class Engine:
             dslot = self._draft_prefill(self.draft.params, dslot, jnp.asarray(toks))
             self._pending_draft_slot = dslot
         return (logits if t == tb else None), slot_cache, t, tb
+
+    def _prefill_chunked(self, seq):
+        """Fixed-chunk prefill: every chunk reuses the same compiled forward
+        (positions carried via cache_len, attention masks the pad).  Returns
+        (None, cache, t, t) — the caller re-decodes the last token for
+        position-exact logits, exactly like the bucket-padding path."""
+        C = self.prefill_chunk
+        t = len(seq)
+        n_kv = getattr(self.cfg, "n_head_kv", self.cfg.n_head)
+        from .models.common import init_layer_cache
+
+        slot_cache = init_layer_cache(
+            self.cfg.n_layer, 1, n_kv, self.max_seq, self.cfg.head_dim,
+            self._cache_dtype,
+        )
+        if self._cache_put_slot is not None:
+            slot_cache = self._cache_put_slot(slot_cache)
+        if self._chunk_step is None:
+            cfgv = self.cfg
+
+            def chunk_step(params, cache_slot, toks, pos0):
+                # populated-cache multi-token step: masked-attention path
+                _, cache_slot = self._fwd(params, cfgv, toks, pos0, cache_slot, pos0)
+                return cache_slot
+
+            self._chunk_step = jax.jit(chunk_step, donate_argnums=(1,))
+        self.prefill_count += 1
+        for a in range(0, t, C):
+            chunk = np.zeros((1, C), np.int32)
+            chunk[0, : min(C, t - a)] = seq[a : a + C]
+            slot_cache = self._chunk_step(
+                self.model.params, slot_cache, jnp.asarray(chunk),
+                jnp.full((1,), a, jnp.int32),
+            )
+        # pad positions past t hold junk KV; attention masks them by position
+        # until the decode loop overwrites (the bucket-padding invariant)
+        if self.draft is not None:
+            dcfg = self.draft.cfg
+            d_kv = getattr(dcfg, "n_head_kv", dcfg.n_head)
+            dslot = init_layer_cache(
+                dcfg.n_layer, 1, d_kv, self.max_seq, dcfg.head_dim, self._cache_dtype
+            )
+            toks = np.zeros((1, -(-t // C) * C), np.int32)
+            toks[0, :t] = seq
+            dslot = self._draft_prefill(self.draft.params, dslot, jnp.asarray(toks))
+            self._pending_draft_slot = dslot
+        return None, slot_cache, t, t
 
     def _emit_first(self, req: Request, i: int, logits):
         """Sample/argmax the first post-prefill token for slot i."""

@@ -446,3 +446,45 @@ def test_speculative_engine_sampled_deterministic_and_in_vocab(tiny_model, tmp_p
     assert a == b  # engine-owned PRNG: deterministic per seed
     assert all(0 <= t < 256 for out in a for t in out)
     assert all(len(out) == 6 for out in a)
+
+
+def test_chunked_prefill_matches_bucketed(tiny_model):
+    """Engine(prefill_chunk=C): long prompts prefill as ceil(t/C) steps of
+    ONE compiled fixed-shape program (the static-shape chunked-prefill
+    answer — no per-bucket recompiles, bounded per-tick latency).  Outputs
+    must equal the bucketed-prefill engine exactly."""
+    m = tiny_model
+    prompts = [[1, 2, 3], list(range(1, 23)), [9] * 11, [4, 5]]
+
+    base = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    rids = [base.submit(p, 6) for p in prompts]
+    bres = base.run()
+    want = {tuple(p): bres[r] for p, r in zip(prompts, rids)}
+
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32, prefill_chunk=8)
+    rids = [eng.submit(p, 6) for p in prompts]
+    res = eng.run()
+    for p, r in zip(prompts, rids):
+        assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
+    # one chunk program served every prompt length
+    assert len(eng._prefill_cache) == 0
+
+
+def test_chunked_prefill_speculative(tiny_model, tmp_path_factory):
+    """Chunked prefill composes with the speculative engine (draft cache
+    prefilled through the padded path), staying lossless vs plain greedy."""
+    m = tiny_model
+    draft = _make_unrelated_draft(tmp_path_factory.mktemp("chunk_spec"))
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8, 9], [4, 5]]
+
+    base = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    rids = [base.submit(p, 6) for p in prompts]
+    bres = base.run()
+    want = {tuple(p): bres[r] for p, r in zip(prompts, rids)}
+
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                 draft=draft, draft_k=3, prefill_chunk=4)
+    rids = [eng.submit(p, 6) for p in prompts]
+    res = eng.run()
+    for p, r in zip(prompts, rids):
+        assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
