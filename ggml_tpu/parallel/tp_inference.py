@@ -140,12 +140,16 @@ def gptj_param_specs(params: dict) -> dict:
     return specs
 
 
-def shard_gptj_params(params: dict, mesh: Mesh) -> dict:
+def prepare_tp_params(params: dict, tp: int) -> dict:
+    """Host-side TP load-path relayout: split fused qkv projections and
+    nibble-re-pair q4 row-sharded planes so a 'tp'-axis sharding is legal at
+    full packed density.  Pure numpy transform — callers place the result
+    (device_put on a single-controller mesh, or global-array construction on
+    a multi-process mesh)."""
     from ..quant.planar import repack_q4_rows_for_tp
 
     if any(name.endswith(("attn_qkv.weight", "attn_qkv.bias")) for name in params):
         params = unfuse_qkv(params)
-    tp = mesh.shape.get("tp", 1)
     if tp > 1:
         # q4 packed planes row-shard at full density after a one-time nibble
         # re-pair so each shard's contiguous rows decode its own element
@@ -157,6 +161,11 @@ def shard_gptj_params(params: dict, mesh: Mesh) -> dict:
                    and _weight_mode(name) == "row" else v)
             for name, v in params.items()
         }
+    return params
+
+
+def shard_gptj_params(params: dict, mesh: Mesh) -> dict:
+    params = prepare_tp_params(params, mesh.shape.get("tp", 1))
     specs = gptj_param_specs(params)
     return jax.tree.map(
         lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
@@ -259,6 +268,38 @@ def make_tp_engine_forward(cfg, mesh: Mesh):
             mesh=mesh,
             in_specs=(specs, P(None, None), P(None), CACHE_SPEC, cl_spec),
             out_specs=(P(None, None, "tp"), CACHE_SPEC),
+            check_rep=False,
+        )(params, tokens, pos_start, cache, cache_len)
+        logits = logits_local[..., : cfg.n_vocab]
+        if "output.bias" in params:
+            logits = logits + params["output.bias"]
+        return logits, new_cache
+
+    return fwd
+
+
+TPDP_CACHE_SPEC = P("dp", "tp", None, None)  # (B, H, S, D): slots x heads
+
+
+def make_tp_dp_engine_forward(cfg, mesh: Mesh):
+    """Decode forward for the tp x dp composition: KV slots sharded over
+    'dp' (each host computes only its own slots) AND heads/weights sharded
+    over 'tp' (each chip streams 1/tp of the weights).  Same model-family
+    signature as make_tp_engine_forward; per-slot (B,) position vectors
+    required (the batch axis is shard_mapped, so scalar broadcast positions
+    would desync).  This is the serving shape the reference's RPC star
+    cannot express: intra-host collectives ride ICI ('tp'), inter-host
+    traffic is only the replicated token/logit vectors."""
+
+    def fwd(params, cfgv, tokens, pos_start, cache, cache_len, *, prefill=False):
+        del cfgv, prefill
+        specs = gptj_param_specs(params)
+        body = functools.partial(_forward_tp_body, cfg=cfg)
+        logits_local, new_cache = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(specs, P("dp", None), P("dp"), TPDP_CACHE_SPEC, P("dp")),
+            out_specs=(P("dp", None, "tp"), TPDP_CACHE_SPEC),
             check_rep=False,
         )(params, tokens, pos_start, cache, cache_len)
         logits = logits_local[..., : cfg.n_vocab]

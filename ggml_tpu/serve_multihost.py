@@ -115,9 +115,14 @@ class ControlChannel:
 
 class MultiHostEngine(Engine):
     """Engine whose KV-cache slots are sharded over a global multi-process
-    mesh ('dp' axis on batch).  Dense-cache greedy/sampled modes only (no
-    paged/draft — those compose later).  max_batch must divide by the dp
-    size.  Every process constructs it with the same arguments."""
+    mesh ('dp' axis on batch).  With a 'tp' mesh axis the weights and KV
+    heads are ALSO tensor-parallel within each dp group (the tp x dp
+    composition: each host computes only its own slots, each chip streams
+    1/tp of the weights; tp collectives ride intra-host ICI, inter-host
+    traffic is just the replicated token vectors).  Dense-cache
+    greedy/sampled modes only (no paged/draft — those compose later).
+    max_batch must divide by the dp size.  Every process constructs it with
+    the same arguments."""
 
     def __init__(self, model, mesh: Mesh, channel: ControlChannel,
                  max_batch: int = 4, max_seq: int = 512, **kw):
@@ -125,16 +130,54 @@ class MultiHostEngine(Engine):
             "multi-host engine drives the dense-cache path"
         )
         dp = mesh.shape["dp"]
+        tp = mesh.shape.get("tp", 1)
         assert max_batch % dp == 0, f"max_batch {max_batch} must divide dp={dp}"
         self.mesh = mesh
         self.channel = channel
         self._rep_sharding = NamedSharding(mesh, P())
-        self._cache_sharding = NamedSharding(mesh, P("dp", None, None, None))
+        if tp > 1:
+            from .parallel.tp_inference import (
+                make_tp_dp_engine_forward, make_tp_engine_forward,
+            )
+
+            self._cache_sharding = NamedSharding(mesh, P("dp", "tp", None, None))
+            # prefill runs dp-replicated (batch 1) but stays tp-sharded
+            self._slot_sharding = NamedSharding(mesh, P(None, "tp", None, None))
+            kw.setdefault("forward_fn", make_tp_dp_engine_forward(model.cfg, mesh))
+            self._fwd_prefill = make_tp_engine_forward(model.cfg, mesh)
+        else:
+            self._cache_sharding = NamedSharding(mesh, P("dp", None, None, None))
+            self._slot_sharding = self._rep_sharding
+            self._fwd_prefill = None
         super().__init__(model, max_batch=max_batch, max_seq=max_seq, **kw)
 
         # reshard: params + slot-control arrays replicated on the GLOBAL
-        # mesh; the cache sharded on batch across hosts
-        self.model.params = jax.tree.map(self._rep, self.model.params)
+        # mesh (tp-sharded when a 'tp' axis exists); the cache sharded on
+        # batch across hosts
+        if tp > 1:
+            from .parallel.tp_inference import gptj_param_specs, prepare_tp_params
+
+            params = prepare_tp_params(self.model.params, tp)
+            specs = gptj_param_specs(params)
+            self.model.params = jax.tree.map(
+                lambda v, s: None if v is None else self._mk_global(
+                    np.asarray(v), NamedSharding(mesh, s)
+                ),
+                params, specs, is_leaf=lambda x: x is None,
+            )
+            cfgv = self.cfg
+            fwd_p = self._fwd_prefill
+
+            def prefill_one(params, cache_slot, tokens):
+                logits, cache_slot = fwd_p(
+                    params, cfgv, tokens, jnp.zeros((1,), jnp.int32), cache_slot,
+                    jnp.int32(0), prefill=True,
+                )
+                return logits[:, -1, :], cache_slot
+
+            self._prefill_one = prefill_one
+        else:
+            self.model.params = jax.tree.map(self._rep, self.model.params)
         self.cache = jax.tree.map(
             lambda a: self._mk_global(np.asarray(a), self._cache_sharding), self.cache
         )
@@ -178,7 +221,7 @@ class MultiHostEngine(Engine):
         self._install = jax.jit(
             install,
             donate_argnums=(0,),
-            in_shardings=(self._cache_sharding, self._rep_sharding, self._rep_sharding),
+            in_shardings=(self._cache_sharding, self._slot_sharding, self._rep_sharding),
             out_shardings=self._cache_sharding,
         )
 
@@ -202,8 +245,8 @@ class MultiHostEngine(Engine):
         if tb not in self._prefill_cache:
             self._prefill_cache[tb] = jax.jit(
                 self._prefill_one,
-                in_shardings=(None, self._rep_sharding, self._rep_sharding),
-                out_shardings=(self._rep_sharding, self._rep_sharding),
+                in_shardings=(None, self._slot_sharding, self._rep_sharding),
+                out_shardings=(self._rep_sharding, self._slot_sharding),
             )
         toks = np.zeros((1, tb), np.int32)
         toks[0, :t] = seq
@@ -211,7 +254,7 @@ class MultiHostEngine(Engine):
         from .models.common import init_layer_cache
 
         slot_cache = jax.tree.map(
-            lambda a: self._rep(np.asarray(a)),
+            lambda a: self._mk_global(np.asarray(a), self._slot_sharding),
             init_layer_cache(self.cfg.n_layer, 1, n_kv, self.max_seq,
                              self.cfg.head_dim, self._cache_dtype),
         )
@@ -272,7 +315,10 @@ class MultiHostEngine(Engine):
 
     def _resume_from_snapshot(self, i: int, req: Request) -> bool:
         snap = req.snapshot
-        slot = jax.tree.map(self._rep, snap["cache"])
+        slot = jax.tree.map(
+            lambda a: self._mk_global(np.asarray(a), self._slot_sharding),
+            snap["cache"],
+        )
         self.cache = self._install(self.cache, slot, self._rep(np.int32(i)))
         self.slots[i] = req
         self.n_past[i] = snap["n_past"]
@@ -350,11 +396,17 @@ class MultiHostEngine(Engine):
 
 
 def make_multihost_engine(model, channel: ControlChannel, dp: int | None = None,
-                          **engine_kw) -> MultiHostEngine:
-    """Build the engine over a global ('dp',)-mesh spanning every process's
-    devices.  All processes call this with identical arguments after
+                          tp: int = 1, **engine_kw) -> MultiHostEngine:
+    """Build the engine over a global mesh spanning every process's devices:
+    ('dp',) by default, or ('dp', 'tp') when tp > 1 — dp groups run across
+    hosts (each owns max_batch/dp KV slots), tp shards weights/heads within
+    each group (device order keeps tp peers host-local so the per-layer psum
+    rides ICI).  All processes call this with identical arguments after
     jax.distributed initialization."""
     devs = np.array(jax.devices())
-    dp = dp or len(devs)
-    mesh = Mesh(devs[:dp].reshape(dp), ("dp",))
+    dp = dp or len(devs) // tp
+    if tp > 1:
+        mesh = Mesh(devs[: dp * tp].reshape(dp, tp), ("dp", "tp"))
+    else:
+        mesh = Mesh(devs[:dp].reshape(dp), ("dp",))
     return MultiHostEngine(model, mesh, channel, **engine_kw)

@@ -137,6 +137,142 @@ def test_multihost_engine_matches_solo(tmp_path):
         assert got[tuple(p)] == solo[tuple(p)], (p, got[tuple(p)], solo[tuple(p)])
 
 
+_WORKER_TPDP = r"""
+import json, sys
+import jax
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+pid = int(sys.argv[1])
+port1, port2 = int(sys.argv[2]), int(sys.argv[3])
+jax.distributed.initialize(f"localhost:{port1}", num_processes=2, process_id=pid)
+sys.path.insert(0, ".")
+import jax.numpy as jnp
+import numpy as np
+from ggml_tpu.dtypes import GGMLType
+from ggml_tpu.models.gptj import GPTJConfig, synth_quantized_params
+from ggml_tpu.serve_multihost import ControlChannel, make_multihost_engine
+
+cfg = GPTJConfig(n_vocab=512, n_ctx=64, n_embd=512, n_head=8, n_layer=2, n_rot=32)
+params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=3, dtype=jnp.float32,
+                                fuse_qkv=False, use_q4=True)
+
+class TPModel:
+    pass
+m = TPModel()
+m.params = params
+m.cfg = cfg
+
+ch = ControlChannel(is_coord=(pid == 0), n_workers=1, port=port2)
+# 2 hosts x 2 devices: dp=2 across hosts, tp=2 within each host
+eng = make_multihost_engine(m, ch, tp=2, max_batch=4, max_seq=48,
+                            cache_dtype=jnp.float32)
+assert eng.mesh.shape == {"dp": 2, "tp": 2}, eng.mesh.shape
+
+prompts = PROMPTS_PLACEHOLDER
+if pid == 0:
+    rids = [eng.submit(p, MAX_NEW_PLACEHOLDER) for p in prompts]
+res = eng.run()
+ch.close()
+print("RESULT" + str(pid) + " " + json.dumps({str(k): v for k, v in sorted(res.items())}), flush=True)
+"""
+
+_SOLO_TP = r"""
+import json, sys
+sys.path.insert(0, ".")
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from ggml_tpu.dtypes import GGMLType
+from ggml_tpu.models.gptj import GPTJConfig, synth_quantized_params
+from ggml_tpu.parallel.tp_inference import (
+    CACHE_SPEC, make_tp_engine_forward, shard_gptj_params,
+)
+from ggml_tpu.serve import Engine
+
+cfg = GPTJConfig(n_vocab=512, n_ctx=64, n_embd=512, n_head=8, n_layer=2, n_rot=32)
+params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=3, dtype=jnp.float32,
+                                fuse_qkv=False, use_q4=True)
+mesh = Mesh(np.array(jax.devices()).reshape(1, 2), ("dp", "tp"))
+params_tp = shard_gptj_params(params, mesh)
+
+class TPModel:
+    pass
+m = TPModel()
+m.params = params_tp
+m.cfg = cfg
+
+fwd = make_tp_engine_forward(cfg, mesh)
+put = lambda c: jax.device_put(c, NamedSharding(mesh, CACHE_SPEC))
+solo = {}
+for p in PROMPTS_PLACEHOLDER:
+    eng = Engine(m, max_batch=1, max_seq=48, cache_dtype=jnp.float32,
+                 forward_fn=fwd, cache_put=put)
+    rid = eng.submit(p, MAX_NEW_PLACEHOLDER)
+    solo[json.dumps(p)] = eng.run()[rid]
+print("SOLO " + json.dumps(solo), flush=True)
+"""
+
+
+def test_multihost_tp_dp_composition(tmp_path):
+    """tp x dp multi-host serving: 2 hosts x 2 devices, KV slots sharded over
+    'dp' (across hosts) AND weights/heads tensor-parallel over 'tp' (within
+    each host) on a packed-q4 GPT-J — outputs equal a single-process tp=2
+    engine's solo runs (same tp width => identical shard numerics)."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    prompts = [[1, 2, 3], [4, 5], [9, 9, 1, 7], [3, 3], [8, 2, 6]]
+    max_new = 6
+
+    solo_script = (_SOLO_TP
+                   .replace("PROMPTS_PLACEHOLDER", repr(prompts))
+                   .replace("MAX_NEW_PLACEHOLDER", str(max_new)))
+    r = subprocess.run([sys.executable, "-c", solo_script], capture_output=True,
+                       text=True, env=env, cwd=ROOT, timeout=600)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-4000:]}"
+    solo = json.loads([l for l in r.stdout.splitlines() if l.startswith("SOLO ")][0][5:])
+
+    script = (_WORKER_TPDP
+              .replace("PROMPTS_PLACEHOLDER", repr(prompts))
+              .replace("MAX_NEW_PLACEHOLDER", str(max_new)))
+
+    import socket
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    port1, port2 = free_port(), free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i), str(port1), str(port2)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=ROOT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        so, se = p.communicate(timeout=600)
+        assert p.returncode == 0, f"stdout:\n{so}\nstderr:\n{se[-4000:]}"
+        outs.append(so)
+
+    results = {}
+    for i, so in enumerate(outs):
+        line = [l for l in so.splitlines() if l.startswith(f"RESULT{i} ")][0]
+        results[i] = json.loads(line[len(f"RESULT{i} "):])
+    assert results[0] == results[1]
+    got = {json.dumps(p): results[0][str(rid)] for rid, p in enumerate(prompts, start=1)}
+    for p in prompts:
+        key = json.dumps(p)
+        assert got[key] == solo[key], (p, got[key], solo[key])
+
+
 _WORKER_PREEMPT = r"""
 import json, sys
 import jax
