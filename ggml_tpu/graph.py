@@ -259,6 +259,16 @@ class Context:
             return self._node(a.shape[:-2] + (ids.shape[0], a.shape[-1]), a.dtype, "get_rows", (a, ids))
         return self._node(ids.shape + (a.shape[-1],), a.dtype, "get_rows", (a, ids))
 
+    def diag(self, a):
+        """ggml_diag: (..., 1, n) row -> (..., n, n) diagonal matrix."""
+        assert a.shape[-2] == 1, a.shape
+        n = a.shape[-1]
+        return self._node(a.shape[:-2] + (n, n), a.dtype, "diag", (a,))
+
+    def add1(self, a, b):
+        """ggml_add1: broadcast-add the scalar tensor b to a."""
+        return self._node(a.shape, a.dtype, "add1", (a, b))
+
     def diag_mask_inf(self, a, n_past):
         return self._node(a.shape, a.dtype, "diag_mask_inf", (a,), n_past=n_past)
 
@@ -511,6 +521,8 @@ _EVAL.update(
     mul_mat_id=lambda t, v: O.mul_mat_id(v[0], v[1], v[2]),
     out_prod=lambda t, v: O.out_prod(v[0], v[1]),
     get_rows=lambda t, v: O.get_rows(v[0], v[1]),
+    diag=lambda t, v: O.diag(v[0]),
+    add1=lambda t, v: O.add1(v[0], v[1]),
     diag_mask_inf=lambda t, v: O.diag_mask_inf(v[0], t.params["n_past"]),
     diag_mask_zero=lambda t, v: O.diag_mask_zero(v[0], t.params["n_past"]),
     soft_max=lambda t, v: O.soft_max(v[0]),

@@ -66,6 +66,14 @@ def add1(a, b):
     return a + jnp.reshape(b, ())
 
 
+def diag(a):
+    """reference: ggml_diag (include/ggml.h:1340, CPU impl
+    src/ggml-cpu/ggml-cpu.c:8700): rows (..., 1, n) become diagonal
+    matrices (..., n, n), zeros off-diagonal."""
+    n = a.shape[-1]
+    return a[..., 0, :][..., None, :] * jnp.eye(n, dtype=a.dtype)
+
+
 def scale(a, s: float):
     return a * jnp.asarray(s, dtype=a.dtype)
 

@@ -122,6 +122,17 @@ def test_graph_extended_op_coverage():
     ref3 = O.timestep_embedding(O.arange(0.0, 4.0, 1.0), 8, 10000)
     np.testing.assert_allclose(np.asarray(out3[0]), np.asarray(ref3), rtol=1e-5, atol=1e-6)
 
+    # diag + add1 (ggml_diag / ggml_add1)
+    ctx4 = Context()
+    row = ctx4.new_tensor((2, 1, 5), name="row",
+                          data=rng.standard_normal((2, 1, 5)).astype(np.float32))
+    one = ctx4.new_tensor((1,), name="one", data=np.asarray([2.5], np.float32))
+    d = ctx4.add1(ctx4.diag(row), one)
+    (out4,) = build_forward([d]).compile()()
+    assert out4.shape == (2, 5, 5)
+    want = np.stack([np.diag(np.asarray(row.data)[i, 0]) for i in range(2)]) + 2.5
+    np.testing.assert_allclose(np.asarray(out4), want, rtol=1e-6)
+
 
 def test_run_debug_and_compare():
     """Per-node observation hook + differential compare (analogs of

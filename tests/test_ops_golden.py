@@ -393,6 +393,14 @@ def test_diag_mask_zero():
     check("diag_mask_zero", lambda t: O.diag_mask_zero(t["x"], 1), 1e-12)
 
 
+def test_diag():
+    check("diag", lambda t: O.diag(t["x"]), 0.0)
+
+
+def test_add1():
+    check("add1", lambda t: O.add1(t["x"], t["b"]), 0.0)
+
+
 def test_soft_max_plain():
     check("soft_max_plain", lambda t: O.soft_max(t["x"]), 1e-10)
 

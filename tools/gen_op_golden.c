@@ -370,6 +370,19 @@ static void case_extra(void) {
     dump_tensor("x", x);
     run_and_end(ggml_diag_mask_zero(ctx, x, 1));
 
+    begin_case("diag");
+    x = ggml_new_tensor_3d(ctx, GGML_TYPE_F32, 9, 1, 3);
+    fill_f32(x, 1.0f);
+    dump_tensor("x", x);
+    run_and_end(ggml_diag(ctx, x));
+
+    begin_case("add1");
+    x = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 13, 4);
+    struct ggml_tensor * one = ggml_new_tensor_1d(ctx, GGML_TYPE_F32, 1);
+    fill_f32(x, 1.0f); fill_f32(one, 1.0f);
+    dump_tensor("x", x); dump_tensor("b", one);
+    run_and_end(ggml_add1(ctx, x, one));
+
     begin_case("soft_max_plain");
     x = ggml_new_tensor_2d(ctx, GGML_TYPE_F32, 31, 5);
     fill_f32(x, 2.0f);
