@@ -59,6 +59,16 @@ class Request:
         return np.concatenate([self.prompt, np.asarray(self.out, np.int32)])
 
 
+def _mamba_engine_forward(params, cfg, tokens, pos_start, state, cache_len, *,
+                          prefill=False):
+    """Family-signature adapter for recurrent models: positions/cache_len are
+    vestigial (the conv window + ssm state ARE the sequence memory)."""
+    del pos_start, cache_len, prefill
+    from .models import mamba
+
+    return mamba.forward(params, cfg, tokens, state)
+
+
 class Engine:
     """model: object exposing params, cfg, and a forward(params, cfg, tokens,
     pos_start, cache, cache_len) supporting per-row cache_len vectors
@@ -89,13 +99,19 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import gpt2, gptj, llama
+        from .models import gpt2, gptj, llama, mamba
 
         self.model = model
         self.cfg = model.cfg
         self.max_batch = max_batch
         self.max_seq = max_seq
         self.eos_id = eos_id
+        # recurrent (O(1)-state) families: the "cache" is per-slot conv/ssm
+        # state, positions are vestigial, and prefill must be EXACT-length
+        # (pad tokens would pollute the recurrence — there is no attention
+        # mask to hide them behind).  The llama.cpp analog is its recurrent
+        # slot cache for the mamba arch.
+        self._recurrent = isinstance(model, mamba.Mamba)
         if forward_fn is not None:
             self._fwd = forward_fn
         elif isinstance(model, llama.Llama):
@@ -104,13 +120,27 @@ class Engine:
             self._fwd = gptj.forward
         elif isinstance(model, gpt2.GPT2):
             self._fwd = gpt2.forward
+        elif self._recurrent:
+            self._fwd = _mamba_engine_forward
         else:
             raise TypeError(f"Engine cannot drive {type(model).__name__}")
+        if self._recurrent and (paged is not None or draft is not None or prefill_chunk):
+            raise ValueError(
+                "recurrent-state models drive the plain dense engine path "
+                "(no paged KV, no speculative draft, no chunked prefill — "
+                "state cannot be paged or rolled back)"
+            )
 
         cfgv = self.cfg
-        n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
         from .models.common import init_layer_cache
 
+        if self._recurrent:
+            self._make_cache = lambda b: mamba.init_state(cfgv, b, cache_dtype)
+        else:
+            n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
+            self._make_cache = lambda b: init_layer_cache(
+                cfgv.n_layer, b, n_kv, max_seq, cfgv.head_dim, cache_dtype
+            )
         self.paged = paged
         if paged is not None:
             from .models import llama as _llama
@@ -128,9 +158,7 @@ class Engine:
             self._paged_step = make_paged_decode_step(model, paged)
             self.cache = None
         else:
-            self.cache = init_layer_cache(
-                cfgv.n_layer, max_batch, n_kv, max_seq, cfgv.head_dim, cache_dtype
-            )
+            self.cache = self._make_cache(max_batch)
             if cache_put is not None:
                 self.cache = cache_put(self.cache)
         self._cache_dtype = cache_dtype
@@ -451,19 +479,15 @@ class Engine:
         chunked prefill, which also bounds per-tick latency spikes)."""
         if self.prefill_chunk:
             return self._prefill_chunked(seq)
+        if self._recurrent:
+            bucket = 1  # exact length: pads would pollute the recurrent state
         t = len(seq)
         tb = min(self.max_seq, -(-t // bucket) * bucket)  # padded prompt bucket
         if tb not in self._prefill_cache:
             self._prefill_cache[tb] = jax.jit(self._prefill_one)
         toks = np.zeros((1, tb), np.int32)
         toks[0, :t] = seq
-        n_kv = getattr(self.cfg, "n_head_kv", self.cfg.n_head)
-        from .models.common import init_layer_cache
-
-        slot_cache = init_layer_cache(
-            self.cfg.n_layer, 1, n_kv, self.max_seq, self.cfg.head_dim,
-            self._cache_dtype,
-        )
+        slot_cache = self._make_cache(1)
         if self._cache_put_slot is not None:
             slot_cache = self._cache_put_slot(slot_cache)
         self.prefill_count += 1
@@ -471,6 +495,8 @@ class Engine:
             self.model.params, slot_cache, jnp.asarray(toks)
         )
         if self.draft is not None:  # mirror the prefix into the draft's cache
+            from .models.common import init_layer_cache
+
             dcfg = self.draft.cfg
             d_kv = getattr(dcfg, "n_head_kv", dcfg.n_head)
             dslot = init_layer_cache(
@@ -488,13 +514,7 @@ class Engine:
         position-exact logits, exactly like the bucket-padding path."""
         C = self.prefill_chunk
         t = len(seq)
-        n_kv = getattr(self.cfg, "n_head_kv", self.cfg.n_head)
-        from .models.common import init_layer_cache
-
-        slot_cache = init_layer_cache(
-            self.cfg.n_layer, 1, n_kv, self.max_seq, self.cfg.head_dim,
-            self._cache_dtype,
-        )
+        slot_cache = self._make_cache(1)
         if self._cache_put_slot is not None:
             slot_cache = self._cache_put_slot(slot_cache)
         if self._chunk_step is None:
@@ -517,6 +537,8 @@ class Engine:
         # pad positions past t hold junk KV; attention masks them by position
         # until the decode loop overwrites (the bucket-padding invariant)
         if self.draft is not None:
+            from .models.common import init_layer_cache
+
             dcfg = self.draft.cfg
             d_kv = getattr(dcfg, "n_head_kv", dcfg.n_head)
             dslot = init_layer_cache(

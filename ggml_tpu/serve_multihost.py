@@ -129,6 +129,12 @@ class MultiHostEngine(Engine):
         assert kw.get("paged") is None and kw.get("draft") is None, (
             "multi-host engine drives the dense-cache path"
         )
+        from .models import mamba as _mamba
+
+        assert not isinstance(model, _mamba.Mamba), (
+            "multi-host engine drives KV-cache families (recurrent state "
+            "slots compose with the single-host Engine)"
+        )
         dp = mesh.shape["dp"]
         tp = mesh.shape.get("tp", 1)
         assert max_batch % dp == 0, f"max_batch {max_batch} must divide dp={dp}"
