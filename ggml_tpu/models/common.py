@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -56,10 +57,71 @@ def layer_norm(x, w, b, eps):
     return (x - m) / jnp.sqrt(v + eps) * w + b
 
 
+# -- imatrix collection hook --------------------------------------------------
+#
+# The llama.cpp examples/imatrix analog: every model family routes its
+# projections through linear(), so one observation point sees the input
+# activations of every quantizable weight.  Collection runs the family
+# forward EAGERLY (tracers are skipped — a jitted forward contributes
+# nothing); the accumulated mean squared activations feed
+# quant.imatrix.quantize_with_imatrix via tools/collect_imatrix.py.
+
+_imatrix_collector = None
+
+
+class ImatrixCollector:
+    """Accumulates sum/count of squared input activations per weight name
+    (identity-keyed off the params dict, so shared/tied weights accumulate
+    under one name).  sums/counts (not the mean) are stored so separate
+    calibration runs merge exactly."""
+
+    def __init__(self, params: dict):
+        from ..quant.planar import PlanarWeight
+
+        self._names = {}
+        for name, w in params.items():
+            if name.endswith(".weight") and (
+                isinstance(w, PlanarWeight) or getattr(w, "ndim", 0) == 2
+            ):
+                self._names[id(w)] = name
+        self.sums: dict[str, np.ndarray] = {}
+        self.counts: dict[str, int] = {}
+
+    def observe(self, w, x):
+        name = self._names.get(id(w))
+        if name is None or isinstance(x, jax.core.Tracer):
+            return
+        xs = np.asarray(x, np.float64).reshape(-1, x.shape[-1])
+        prev = self.sums.get(name)
+        self.sums[name] = (xs * xs).sum(0) + (0.0 if prev is None else prev)
+        self.counts[name] = self.counts.get(name, 0) + xs.shape[0]
+
+    def imatrix(self) -> dict:
+        """{weight name: (n_per_row,) f32 mean squared activation}."""
+        return {
+            n: (self.sums[n] / self.counts[n]).astype(np.float32) for n in self.sums
+        }
+
+
+@contextlib.contextmanager
+def collect_imatrix(params: dict):
+    """Context manager installing an ImatrixCollector over linear()."""
+    global _imatrix_collector
+    c = ImatrixCollector(params)
+    prev = _imatrix_collector
+    _imatrix_collector = c
+    try:
+        yield c
+    finally:
+        _imatrix_collector = prev
+
+
 def linear(x, w, b=None):
     """Dense or planar-quantized matmul: y = x @ W^T (+ b)."""
     from ..quant.planar import PlanarWeight
 
+    if _imatrix_collector is not None:
+        _imatrix_collector.observe(w, x)
     if isinstance(w, PlanarWeight):
         from ..kernels.qmatmul import planar_matmul
 

@@ -95,5 +95,20 @@ def _copy_kv(w: GGUFWriter, key, val):
 
 
 if __name__ == "__main__":
-    src, dst, ft = sys.argv[1], sys.argv[2], sys.argv[3]
-    quantize_gguf(src, dst, FTYPES[ft.lower()])
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("ftype", choices=sorted(FTYPES))
+    ap.add_argument("--imatrix", default=None,
+                    help="imatrix GGUF from tools/collect_imatrix.py "
+                         "(error-weighted quantization; required for "
+                         "IQ2_XXS/IQ2_XS/IQ1_S)")
+    args = ap.parse_args()
+    imat = None
+    if args.imatrix:
+        from ggml_tpu.quant.imatrix import imatrix_means, load_imatrix_gguf
+
+        imat = imatrix_means(*load_imatrix_gguf(args.imatrix))
+    quantize_gguf(args.src, args.dst, FTYPES[args.ftype.lower()], imatrix=imat)
