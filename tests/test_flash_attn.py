@@ -117,3 +117,82 @@ def test_flash_attention_fully_masked_rows_zero():
     ref = ops.flash_attn_ext(q, k, v, mask=jnp.asarray(mask), scale=0.3)
     assert _nmse(np.asarray(ref)[:, :4], o[:, :4]) < 1e-4
     assert _nmse(np.asarray(ref)[:, 8:], o[:, 8:]) < 1e-4
+
+
+# -- training backward (GGML_OP_FLASH_ATTN_BACK analog) -----------------------
+
+
+@pytest.mark.parametrize(
+    "b,h,h_kv,nq,nkv,d,max_bias",
+    [
+        (1, 4, 4, 64, 64, 64, 0.0),
+        (2, 8, 2, 64, 128, 64, 0.0),   # GQA: dk/dv reduce over shared heads
+        (1, 4, 4, 64, 64, 64, 8.0),    # ALiBi slopes in both passes
+        (1, 4, 4, 50, 96, 64, 0.0),    # ragged nq AND nkv -> both paddings
+    ],
+)
+def test_flash_attention_train_grads_match_reference(b, h, h_kv, nq, nkv, d, max_bias):
+    """d(loss)/d{q,k,v} of the fused kernel == jax.grad through the jnp
+    reference op (which materializes the n^2 attention matrix)."""
+    import jax
+
+    from ggml_tpu.kernels.flash_attn import flash_attention_train
+
+    q, k, v = _make(b, h, h_kv, nq, nkv, d)
+    mask = _causal_mask(nq, nkv, offset=nkv - nq)
+    scale = 1.0 / np.sqrt(d)
+    w = jnp.asarray(RNG.standard_normal((b, nq, h, d)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        o = ops.flash_attn_ext(q, k, v, mask=mask, scale=scale, max_bias=max_bias)
+        return jnp.sum(o * w)
+
+    def loss_fused(q, k, v):
+        o = flash_attention_train(q, k, v, mask=mask, scale=scale, max_bias=max_bias)
+        return jnp.sum(o * w)
+
+    ref_val, ref_g = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got_val, got_g = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    assert _nmse(got_val, ref_val) < 1e-6
+    for name, a, bb in zip("qkv", got_g, ref_g):
+        assert a.shape == bb.shape, name
+        assert _nmse(a, bb) < 1e-6, (name, _nmse(a, bb))
+
+
+def test_flash_attention_train_no_mask_value_and_grad():
+    import jax
+
+    from ggml_tpu.kernels.flash_attn import flash_attention_train
+
+    q, k, v = _make(1, 4, 4, 64, 64, 64)
+    scale = 0.25
+    ref = ops.flash_attn_ext(q, k, v, mask=None, scale=scale)
+    out = flash_attention_train(q, k, v, mask=None, scale=scale)
+    assert _nmse(out, ref) < 1e-6
+
+    g_ref = jax.grad(lambda q: jnp.sum(ops.flash_attn_ext(q, k, v, mask=None, scale=scale) ** 2))(q)
+    g_got = jax.grad(lambda q: jnp.sum(flash_attention_train(q, k, v, mask=None, scale=scale) ** 2))(q)
+    assert _nmse(g_got, g_ref) < 1e-6
+
+
+def test_flash_attention_train_under_jit_and_fully_masked_rows():
+    """Jitted end-to-end; rows whose mask blocks every kv position produce
+    zero output and zero gradient (no NaNs from the dead-row lse clamp)."""
+    import jax
+
+    from ggml_tpu.kernels.flash_attn import flash_attention_train
+
+    q, k, v = _make(1, 2, 2, 32, 32, 64)
+    m = np.zeros((32, 32), np.float32)
+    m[5, :] = -np.inf  # row 5 sees nothing
+    mask = jnp.asarray(m)
+
+    @jax.jit
+    def loss(q, k, v):
+        return jnp.sum(flash_attention_train(q, k, v, mask=mask, scale=0.5) ** 2)
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert np.isfinite(float(val))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+    assert np.allclose(np.asarray(grads[0])[0, :, 5, :], 0.0)
