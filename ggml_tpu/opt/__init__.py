@@ -12,3 +12,4 @@ gradient accumulation (opt_period) is a lax.cond inside the step.
 from .dataset import Dataset  # noqa: F401
 from .optimizer import AdamWConfig, Optimizer, LOSS_TYPES  # noqa: F401
 from .fit import Result, epoch, fit  # noqa: F401
+from .finetune import finetune, save_params_gguf, token_windows  # noqa: F401

@@ -46,11 +46,21 @@ def loss_cross_entropy(outputs, labels):
     return jnp.mean(per_row)
 
 
+def loss_cross_entropy_sparse(outputs, labels):
+    """Integer-label cross entropy (LM next-token loss): outputs (..., V),
+    labels (...) int — avoids materializing (B, T, V) one-hots at LM vocab
+    sizes (the ggml_cross_entropy_loss semantics with index labels)."""
+    logp = jax.nn.log_softmax(outputs.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
+    return jnp.mean(nll)
+
+
 LOSS_TYPES: dict[str, Callable] = {
     "mean": loss_mean,
     "sum": loss_sum,
     "mse": loss_mse,
     "cross_entropy": loss_cross_entropy,
+    "cross_entropy_sparse": loss_cross_entropy_sparse,
 }
 
 

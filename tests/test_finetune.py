@@ -1,0 +1,93 @@
+"""LM finetuning end to end: GGUF -> next-token training -> GGUF.
+
+Gates: the loss falls, the model memorizes a synthetic pattern (greedy
+continuation reproduces it), the saved GGUF reloads through the normal
+model loader, dp-mesh training matches single-device, and the periodic
+checkpoint restores into a fresh Optimizer."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax.numpy as jnp
+
+from tools.convert_hf_gpt2 import convert_state_dict
+
+from ggml_tpu.opt import AdamWConfig, finetune, token_windows
+
+
+@pytest.fixture(scope="module")
+def tiny_gpt2(tmp_path_factory):
+    cfg = transformers.GPT2Config(
+        vocab_size=64, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+    )
+    torch.manual_seed(3)
+    hf = transformers.GPT2LMHeadModel(cfg).eval()
+    path = tmp_path_factory.mktemp("ft") / "m.gguf"
+    convert_state_dict(hf.state_dict(), cfg).write(path)
+    return str(path)
+
+
+def _pattern_tokens(n):
+    pat = [7, 11, 23, 42]
+    return np.asarray((pat * (n // len(pat) + 1))[:n], np.int32)
+
+
+def test_token_windows_shapes():
+    ds = token_windows(np.arange(65, dtype=np.int32), 16)
+    assert ds.ndata == 4
+    x, y = ds.get_batch(0, 2)
+    np.testing.assert_array_equal(y, x + 1)  # next-token shift on arange
+
+
+def test_finetune_memorizes_pattern_and_roundtrips(tiny_gpt2, tmp_path):
+    toks = _pattern_tokens(400)
+    out = tmp_path / "trained.gguf"
+    ck = tmp_path / "ckpts"
+    ck.mkdir()
+    losses, opt = finetune(
+        tiny_gpt2, toks, arch="gpt2", seq_len=16, batch=4, steps=60,
+        adamw=AdamWConfig(alpha=3e-3), out_path=out,
+        checkpoint_path=str(ck), checkpoint_every=30,
+    )
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+    # the trained GGUF loads through the standard loader and has memorized
+    # the repeating pattern
+    from ggml_tpu.models.gpt2 import GPT2
+
+    m = GPT2.from_gguf(str(out), dtype=jnp.float32, max_seq=32, batch=1)
+    gen = m.generate(np.asarray([[7, 11, 23]], np.int32), 8)
+    want = [42, 7, 11, 23, 42, 7, 11, 23]
+    assert [int(t) for t in gen] == want, gen
+
+    # periodic checkpoints restore into a fresh Optimizer (resume path)
+    from ggml_tpu.checkpoint import load_optimizer
+
+    assert (ck / "step30.gguf").exists() and (ck / "step60.gguf").exists()
+    load_optimizer(str(ck / "step60.gguf"), opt)
+    assert int(np.asarray(opt.state_dict()["t"])) == 60
+
+
+def test_finetune_dp_mesh_matches_single_device(tiny_gpt2):
+    """Data-parallel finetuning over a 2-device mesh produces the same loss
+    trajectory as single-device (GSPMD gradient all-reduce == serial batch)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    toks = _pattern_tokens(200)
+    l1, _ = finetune(tiny_gpt2, toks, arch="gpt2", seq_len=16, batch=4,
+                     steps=10, adamw=AdamWConfig(alpha=1e-3), seed=1)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("dp",))
+    l2, _ = finetune(tiny_gpt2, toks, arch="gpt2", seq_len=16, batch=4,
+                     steps=10, adamw=AdamWConfig(alpha=1e-3), seed=1, mesh=mesh)
+    np.testing.assert_allclose(l1, l2, rtol=2e-4)
