@@ -13,3 +13,7 @@ from .dataset import Dataset  # noqa: F401
 from .optimizer import AdamWConfig, Optimizer, LOSS_TYPES  # noqa: F401
 from .fit import Result, epoch, fit  # noqa: F401
 from .finetune import finetune, save_params_gguf, token_windows  # noqa: F401
+from .lora import (  # noqa: F401
+    apply_lora_to_params, finetune_lora, init_lora, load_lora_gguf,
+    merge_lora, save_lora_gguf,
+)

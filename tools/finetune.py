@@ -41,9 +41,35 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lora-rank", type=int, default=0,
+                    help="train LoRA adapters instead of full weights")
+    ap.add_argument("--lora-alpha", type=float, default=None)
+    ap.add_argument("--lora-out", default=None,
+                    help="adapter-only GGUF output (with --lora-rank)")
+    ap.add_argument("--lora-targets", default=None,
+                    help="comma list of weight-name suffixes to adapt "
+                         "(default: attention+ffn projections; add "
+                         "output.weight for untied-head models)")
     args = ap.parse_args()
 
     from ggml_tpu.opt import AdamWConfig, finetune
+
+    if args.lora_rank:
+        from ggml_tpu.opt import finetune_lora
+        from ggml_tpu.opt.lora import DEFAULT_TARGETS
+
+        targets = (tuple(t for t in args.lora_targets.split(",") if t)
+                   if args.lora_targets else DEFAULT_TARGETS)
+        losses, _ = finetune_lora(
+            args.model, _load_tokens(args.tokens), rank=args.lora_rank,
+            alpha=args.lora_alpha, arch=args.arch, seq_len=args.seq,
+            batch=args.batch, steps=args.steps, targets=targets,
+            adamw=AdamWConfig(alpha=args.lr), seed=args.seed,
+            adapter_out=args.lora_out, merged_out=args.out, log=print,
+        )
+        print(f"final loss {losses[-1]:.4f}  (first {losses[0]:.4f}) -> {args.out}"
+              + (f" + adapter {args.lora_out}" if args.lora_out else ""))
+        return
 
     mesh = None
     if args.dp:

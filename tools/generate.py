@@ -30,7 +30,12 @@ def main():
     ap.add_argument("--verbose", action="store_true",
                     help="print the kernel-selection report (which layers hit "
                          "gemv/matmul/dense-fallback) after generation")
+    ap.add_argument("--lora", default=None,
+                    help="adapter GGUF (tools/finetune.py --lora-out) merged "
+                         "into the dense weights at load")
     args = ap.parse_args()
+    if args.lora and args.quantized:
+        raise SystemExit("--lora merges into dense weights; drop --quantized")
 
     import jax
     import jax.numpy as jnp
@@ -49,6 +54,10 @@ def main():
     else:
         from ggml_tpu.models.gpt2 import GPT2 as Model
     m = Model.from_gguf(args.model, keep_quantized=args.quantized, max_seq=args.max_seq, batch=1)
+    if args.lora:
+        from ggml_tpu.opt.lora import apply_lora_to_params
+
+        m.params = apply_lora_to_params(m.params, args.lora)
     t_load = time.perf_counter() - t_load0
 
     tok = None
