@@ -30,10 +30,16 @@ def _family(arch: str):
         from ..models import gptj as fam
     elif arch in ("llama", "qwen2"):
         from ..models import llama as fam
+    elif arch == "gemma2":
+        from ..models import gemma2 as fam
+    elif arch == "phi2":
+        from ..models import phi2 as fam
+    elif arch == "gptneox":
+        from ..models import neox as fam
     elif arch == "gpt2":
         from ..models import gpt2 as fam
     else:
-        raise ValueError(f"finetune supports gpt2/gptj/llama/qwen2, not {arch}")
+        raise ValueError(f"finetune supports gpt2/gptj/llama/qwen2/gemma2/phi2/gptneox, not {arch}")
     return fam
 
 

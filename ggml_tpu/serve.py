@@ -99,7 +99,7 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import gpt2, gptj, llama, mamba
+        from .models import gemma2, gpt2, gptj, llama, mamba, neox, phi2
 
         self.model = model
         self.cfg = model.cfg
@@ -120,6 +120,12 @@ class Engine:
             self._fwd = gptj.forward
         elif isinstance(model, gpt2.GPT2):
             self._fwd = gpt2.forward
+        elif isinstance(model, gemma2.Gemma2):
+            self._fwd = gemma2.forward
+        elif isinstance(model, phi2.Phi2):
+            self._fwd = phi2.forward
+        elif isinstance(model, neox.NeoX):
+            self._fwd = neox.forward
         elif self._recurrent:
             self._fwd = _mamba_engine_forward
         else:
