@@ -11,8 +11,11 @@ Baseline: reference GPT-J-6B f16 decode = 124.62 ms/token (~8.02 tok/s) on an
 M1 Pro CPU (reference: examples/gpt-j/README.md:22,62-65; BASELINE.md).
 
 Env:
-  BENCH=gpt2      run the legacy GPT-2 117M bf16 bench instead
-  BENCH_TOKENS=N  decode length (default 64)
+  BENCH=gpt2        run the legacy GPT-2 117M bf16 bench instead
+  BENCH_TOKENS=N    decode length (default 64)
+  BENCH_AUTOTUNE=0  disable the kernel-variant autotune (default: the
+                    flagship decode bench tries GGML_TPU_GEMV_BD=0/1 in
+                    sequential subprocesses and reports the best)
 """
 
 import json
@@ -42,9 +45,11 @@ def bench_gptj_q4k():
     _enable_compile_cache()
 
     from ggml_tpu.dtypes import GGMLType
-    from ggml_tpu.models.gptj import GPTJ, GPTJConfig, synth_quantized_params
+    from ggml_tpu.models.gptj import GPTJ, random_config, synth_quantized_params
 
-    cfg = GPTJConfig()  # 6B: n_embd 4096, n_layer 28, n_head 16
+    # BENCH_SCALE=tiny: CPU smoke of the full bench path (autotune plumbing,
+    # synth, scan decode) without the 6B weight synthesis
+    cfg = random_config(os.environ.get("BENCH_SCALE", "6b"))
     n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
     # bench window: warmup + timed decode must both fit (KV reads stay small
     # vs weights at this size)
@@ -73,10 +78,11 @@ def bench_gptj_q4k():
 
     toks_per_s = n_tokens / dt
     baseline = 1000.0 / 124.62  # reference GPT-J-6B f16 tok/s on M1 Pro
+    scale = os.environ.get("BENCH_SCALE", "6b")
     print(
         json.dumps(
             {
-                "metric": "gptj_6b_q4k_decode_tokens_per_sec_per_chip",
+                "metric": f"gptj_{scale}_q4k_decode_tokens_per_sec_per_chip",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(toks_per_s / baseline, 3),
@@ -88,7 +94,7 @@ def bench_gptj_q4k():
         f"decode {n_tokens} toks in {dt:.2f}s ({1000*dt/n_tokens:.2f} ms/tok)",
         file=sys.stderr,
     )
-    _check_floor("gptj_6b_q4k_decode_tokens_per_sec_per_chip", toks_per_s)
+    _check_floor(f"gptj_{scale}_q4k_decode_tokens_per_sec_per_chip", toks_per_s)
 
 
 def _check_floor(metric: str, value: float):
@@ -458,6 +464,64 @@ def bench_serve():
           file=sys.stderr)
 
 
+def bench_gptj_autotune():
+    """Run the flagship decode bench once per kernel-variant config in a
+    subprocess each, report the BEST (and record all results).  Motivation:
+    the block-diagonal grouped-dot GEMV (GGML_TPU_GEMV_BD=1, 4x fewer MXU
+    passes at M=1) was implemented + equivalence-tested but the TPU relay
+    died before it could be measured — this lets the driver's round-end
+    hardware run make the measurement and take the win automatically.
+
+    Subprocesses run STRICTLY sequentially (one chip; concurrent axon
+    clients poison timing and have killed the relay before) and are never
+    killed mid-compile except by a generous 30-min hard deadline."""
+    import pathlib
+    import subprocess
+
+    configs = [
+        ("gemv", {"GGML_TPU_GEMV_BD": "0"}),
+        ("gemv_bd", {"GGML_TPU_GEMV_BD": "1"}),
+    ]
+    results = {}
+    best = None
+    for name, extra in configs:
+        env = {**os.environ, **extra, "BENCH_AUTOTUNE": "0", "CI_BENCH_GATE": "0"}
+        print(f"# autotune: running config {name} ...", file=sys.stderr)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# autotune: config {name} exceeded 30 min, skipped", file=sys.stderr)
+            continue
+        sys.stderr.write(p.stderr)
+        if p.returncode == 3 and not results:
+            # relay down — propagate the infra failure verbatim
+            sys.exit(3)
+        if p.returncode != 0:
+            print(f"# autotune: config {name} failed (rc={p.returncode})", file=sys.stderr)
+            continue
+        try:
+            rec = json.loads(p.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            print(f"# autotune: config {name} produced no JSON", file=sys.stderr)
+            continue
+        results[name] = rec
+        if best is None or rec["value"] > best[1]["value"]:
+            best = (name, rec)
+
+    if best is None:
+        print("# autotune: every config failed", file=sys.stderr)
+        sys.exit(1)
+    detail = pathlib.Path(__file__).parent / "BENCH_AUTOTUNE_DETAIL.json"
+    detail.write_text(json.dumps({k: v["value"] for k, v in results.items()}, indent=1))
+    name, rec = best
+    print(f"# autotune: best config = {name} ({rec['value']} {rec['unit']})", file=sys.stderr)
+    print(json.dumps(rec))
+    _check_floor(rec["metric"], rec["value"])
+
+
 def _guard_platform_init(timeout_s: float = 600.0):
     """The axon relay can die (it exits on stdin EOF and is unrestorable from
     inside the sandbox) — then every jax call hangs forever.  Probe device
@@ -486,8 +550,13 @@ def _guard_platform_init(timeout_s: float = 600.0):
 
 
 if __name__ == "__main__":
-    _guard_platform_init(float(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
     mode = os.environ.get("BENCH", "")
+    if mode == "" and os.environ.get("BENCH_AUTOTUNE", "1") != "0":
+        # outer autotune process never touches jax itself; subprocesses
+        # run _guard_platform_init and exit 3 if the relay is down
+        bench_gptj_autotune()
+        sys.exit(0)
+    _guard_platform_init(float(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
     if mode == "gpt2":
         bench_gpt2()
     elif mode == "prefill":
