@@ -3,6 +3,7 @@
 round-trip through our writer, re-parsed by both our reader and (when the
 reference build is present) the reference parser."""
 
+import json
 import shutil
 import subprocess
 
@@ -137,3 +138,28 @@ def test_strict_validation_rejects_corrupt_files(tmp_path):
     sliced.write_bytes(bytes(blob[:-16]))
     with pytest.raises((EOFError, ValueError)):
         GGUFFile(sliced)
+
+
+def test_gguf_dump_tool(tmp_path, capsys):
+    """tools/gguf_dump.py (the gguf-dump analog) reports KVs + tensor table."""
+    from tools.gguf_dump import dump
+
+    w = GGUFWriter()
+    w.add_string("general.architecture", "gpt2")
+    w.add_array("layers", [1, 2, 3])
+    wt = np.ones((8, 256), dtype=np.float32)
+    w.add_tensor("w.f32", wt)
+    w.add_tensor("w.q8", wt, GGMLType.Q8_0)
+    path = tmp_path / "d.gguf"
+    w.write(path)
+
+    info = dump(str(path))
+    out = capsys.readouterr().out
+    assert info["n_tensors"] == 2 and info["n_kv"] == 2
+    assert {t["name"] for t in info["tensors"]} == {"w.f32", "w.q8"}
+    assert info["metadata"]["general.architecture"] == "gpt2"
+    assert "w.q8" in out and "Q8_0" in out and "general.architecture" in out
+
+    info_j = dump(str(path), as_json=True)
+    assert json.loads(capsys.readouterr().out)["n_tensors"] == 2
+    assert info_j["tensors"][0]["bytes"] > 0
