@@ -158,3 +158,103 @@ class SPMTokenizer:
             i += 1
         s = "".join(out)
         return s[1:] if s.startswith(" ") else s
+
+
+class WPMTokenizer:
+    """WordPiece tokenizer for BERT-family GGUFs.
+
+    reference analog: llama.cpp's llm_tokenizer_wpm (consumes the same
+    tokenizer.ggml.tokens metadata, tokenizer.ggml.model == 'bert'): text is
+    lowercased and split on whitespace/punctuation, then each word is
+    greedily longest-prefix matched against the vocab, continuations
+    carrying the '##' prefix; a word with no match becomes [UNK].
+    """
+
+    def __init__(self, tokens: list[str], unk_id: int | None = None,
+                 cls_id: int | None = None, sep_id: int | None = None):
+        self.tokens = list(tokens)
+        self.encoder = {t: i for i, t in enumerate(tokens)}
+        self.unk_id = unk_id if unk_id is not None else self.encoder.get("[UNK]", 0)
+        self.cls_id = cls_id if cls_id is not None else self.encoder.get("[CLS]")
+        self.sep_id = sep_id if sep_id is not None else self.encoder.get("[SEP]")
+
+    @classmethod
+    def from_gguf(cls, g):
+        md = g.metadata
+        toks = list(md["tokenizer.ggml.tokens"])
+        return cls(
+            toks,
+            unk_id=int(md["tokenizer.ggml.unknown_token_id"])
+            if "tokenizer.ggml.unknown_token_id" in md else None,
+            cls_id=int(md["tokenizer.ggml.cls_token_id"])
+            if "tokenizer.ggml.cls_token_id" in md else None,
+            sep_id=int(md["tokenizer.ggml.seperator_token_id"])
+            if "tokenizer.ggml.seperator_token_id" in md else None,
+        )
+
+    @staticmethod
+    def _basic_split(text: str) -> list[str]:
+        """lowercase + whitespace split + punctuation isolation (BERT
+        BasicTokenizer without the CJK/accent handling)."""
+        import unicodedata
+
+        out, word = [], []
+        for ch in text.lower():
+            if ch.isspace():
+                if word:
+                    out.append("".join(word))
+                    word = []
+            elif unicodedata.category(ch).startswith("P"):
+                if word:
+                    out.append("".join(word))
+                    word = []
+                out.append(ch)
+            else:
+                word.append(ch)
+        if word:
+            out.append("".join(word))
+        return out
+
+    def _wordpiece(self, word: str) -> list[int]:
+        ids, start = [], 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while end > start:
+                piece = word[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                j = self.encoder.get(piece)
+                if j is not None:
+                    cur = j
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_id]  # whole word -> [UNK]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def encode(self, text: str, add_special: bool = True) -> list[int]:
+        ids = []
+        if add_special and self.cls_id is not None:
+            ids.append(self.cls_id)
+        for word in self._basic_split(text):
+            ids.extend(self._wordpiece(word))
+        if add_special and self.sep_id is not None:
+            ids.append(self.sep_id)
+        return ids
+
+    def decode(self, ids) -> str:
+        out = []
+        for i in ids:
+            t = self.tokens[int(i)]
+            if t in ("[CLS]", "[SEP]", "[PAD]"):
+                continue
+            if t.startswith("##"):
+                out.append(t[2:])
+            else:
+                if out:
+                    out.append(" ")
+                out.append(t)
+        return "".join(out)
