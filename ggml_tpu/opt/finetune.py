@@ -36,10 +36,12 @@ def _family(arch: str):
         from ..models import phi2 as fam
     elif arch == "gptneox":
         from ..models import neox as fam
+    elif arch == "falcon":
+        from ..models import falcon as fam
     elif arch == "gpt2":
         from ..models import gpt2 as fam
     else:
-        raise ValueError(f"finetune supports gpt2/gptj/llama/qwen2/gemma2/phi2/gptneox, not {arch}")
+        raise ValueError(f"finetune supports gpt2/gptj/llama/qwen2/gemma2/phi2/gptneox/falcon, not {arch}")
     return fam
 
 

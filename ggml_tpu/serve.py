@@ -99,7 +99,7 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import gemma2, gpt2, gptj, llama, mamba, neox, phi2
+        from .models import falcon, gemma2, gpt2, gptj, llama, mamba, neox, phi2
 
         self.model = model
         self.cfg = model.cfg
@@ -126,6 +126,8 @@ class Engine:
             self._fwd = phi2.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
+        elif isinstance(model, falcon.Falcon):
+            self._fwd = falcon.forward
         elif self._recurrent:
             self._fwd = _mamba_engine_forward
         else:

@@ -20,7 +20,7 @@ def main():
     ap.add_argument("model")
     ap.add_argument("-p", "--prompt", default="Hello")
     ap.add_argument("-n", "--n-predict", type=int, default=64)
-    ap.add_argument("--arch", choices=["gpt2", "gptj", "llama", "qwen2", "gemma2", "phi2", "gptneox"], default=None)
+    ap.add_argument("--arch", choices=["gpt2", "gptj", "llama", "qwen2", "gemma2", "phi2", "gptneox", "falcon"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -57,6 +57,8 @@ def main():
         from ggml_tpu.models.phi2 import Phi2 as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
+    elif arch == "falcon":
+        from ggml_tpu.models.falcon import Falcon as Model
     else:
         from ggml_tpu.models.gpt2 import GPT2 as Model
     m = Model.from_gguf(args.model, keep_quantized=args.quantized, max_seq=args.max_seq, batch=1)
