@@ -43,6 +43,10 @@ class LlamaConfig:
     rope_scale: float = 1.0  # scaling factor (freq_scale = 1/factor)
     n_ctx_orig: int = 0  # original context length (YaRN ramp)
     rms_eps: float = 1e-5
+    # qwen3: per-head RMSNorm on q/k before rope, head_dim decoupled from
+    # n_embd // n_head (llama.cpp arch 'qwen3')
+    qk_norm: bool = False
+    head_dim_override: int = 0
     # fused Pallas flash attention for multi-token (prefill-from-empty) steps
     use_flash_prefill: bool = False
     # crossover on v5e: XLA's fused attention wins below ~1-2k tokens, the
@@ -51,18 +55,21 @@ class LlamaConfig:
 
     @property
     def head_dim(self):
-        return self.n_embd // self.n_head
+        return self.head_dim_override or self.n_embd // self.n_head
 
 
 def config_from_gguf(g: GGUFFile) -> LlamaConfig:
     """Reads llama-family metadata; the qwen2 arch (llama.cpp's modern
     headline: llama layout + qkv biases + often tied embeddings) shares this
-    model with its own key prefix."""
+    model with its own key prefix; qwen3 adds per-head q/k RMSNorm and a
+    decoupled head_dim (attention.key_length)."""
     md = g.metadata
     a = md.get("general.architecture", "llama")
-    if a not in ("llama", "qwen2"):
+    if a not in ("llama", "qwen2", "qwen3"):
         a = "llama"
     return LlamaConfig(
+        qk_norm=(a == "qwen3"),
+        head_dim_override=int(md.get(f"{a}.attention.key_length", 0)),
         n_vocab=int(md.get(f"{a}.vocab_size", 32000)),
         n_ctx=int(md[f"{a}.context_length"]),
         n_embd=int(md[f"{a}.embedding_length"]),
@@ -180,6 +187,10 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
         k = _linear(h, params[pre + "attn_k.weight"], params.get(pre + "attn_k.bias")).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
         v = _linear(h, params[pre + "attn_v.weight"], params.get(pre + "attn_v.bias")).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
 
+        if cfg.qk_norm:  # qwen3: per-head RMSNorm over head_dim, pre-rope
+            q = _rms_norm(q, params[pre + "attn_q_norm.weight"], cfg.rms_eps)
+            k = _rms_norm(k, params[pre + "attn_k_norm.weight"], cfg.rms_eps)
+
         q = _rope_half_scaled(q, positions, cfg).transpose(0, 2, 1, 3)
         k = _rope_half_scaled(k, positions, cfg).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
@@ -192,7 +203,7 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
             from ..kernels.flash_attn import flash_attention
 
             out = flash_attention(q, k, v, mask=_causal_mask(t), scale=scale)
-            attn_out = out.reshape(b, t, cfg.n_embd).astype(dt)
+            attn_out = out.reshape(b, t, cfg.n_head * cfg.head_dim).astype(dt)
         else:
             # GQA: each kv head serves n_head/n_head_kv query heads
             qg = q.reshape(b, cfg.n_head_kv, rep, t, cfg.head_dim)
@@ -204,7 +215,7 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
             att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
             out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
             out = out.reshape(b, cfg.n_head, t, cfg.head_dim).transpose(0, 2, 1, 3)
-            attn_out = out.reshape(b, t, cfg.n_embd).astype(dt)
+            attn_out = out.reshape(b, t, cfg.n_head * cfg.head_dim).astype(dt)
         x = x + _linear(attn_out, params[pre + "attn_output.weight"])
 
         h = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)

@@ -28,7 +28,7 @@ from .optimizer import AdamWConfig, Optimizer
 def _family(arch: str):
     if arch == "gptj":
         from ..models import gptj as fam
-    elif arch in ("llama", "qwen2"):
+    elif arch in ("llama", "qwen2", "qwen3"):
         from ..models import llama as fam
     elif arch == "gemma2":
         from ..models import gemma2 as fam

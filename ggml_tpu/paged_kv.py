@@ -176,6 +176,9 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
             q = _linear(h, params[pre + "attn_q.weight"], params.get(pre + "attn_q.bias")).reshape(b, 1, cfg.n_head, cfg.head_dim)
             k = _linear(h, params[pre + "attn_k.weight"], params.get(pre + "attn_k.bias")).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
             v = _linear(h, params[pre + "attn_v.weight"], params.get(pre + "attn_v.bias")).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
+            if getattr(cfg, "qk_norm", False):  # qwen3 per-head q/k RMSNorm
+                q = _rms_norm(q, params[pre + "attn_q_norm.weight"], cfg.rms_eps)
+                k = _rms_norm(k, params[pre + "attn_k_norm.weight"], cfg.rms_eps)
             # scaled rope (linear/YaRN) must match the dense forward exactly —
             # a scaled-rope GGUF served paged would otherwise silently diverge
             q = _rope_half_scaled(q, positions, cfg)[:, 0]  # (B, Hq, D)
@@ -199,7 +202,7 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
             att = jnp.where(kv_pos <= lengths[:, None, None, None], att, -jnp.inf)
             att = jax.nn.softmax(att, axis=-1).astype(vwin.dtype)
             out = jnp.einsum("bgrk,bgkd->bgrd", att, vwin)
-            attn_out = out.reshape(b, 1, cfg.n_embd).astype(dt)
+            attn_out = out.reshape(b, 1, cfg.n_head * cfg.head_dim).astype(dt)
             x = x + _linear(attn_out, params[pre + "attn_output.weight"])
 
             h2 = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
