@@ -47,6 +47,11 @@ class LlamaConfig:
     # n_embd // n_head (llama.cpp arch 'qwen3')
     qk_norm: bool = False
     head_dim_override: int = 0
+    # mixture-of-experts (Mixtral-style; llama.cpp keys llama.expert_count /
+    # llama.expert_used_count; the routed matmul is the GGML_OP_MUL_MAT_ID
+    # analog, reference include/ggml.h:1121-1125)
+    n_expert: int = 0
+    n_expert_used: int = 0
     # fused Pallas flash attention for multi-token (prefill-from-empty) steps
     use_flash_prefill: bool = False
     # crossover on v5e: XLA's fused attention wins below ~1-2k tokens, the
@@ -82,6 +87,8 @@ def config_from_gguf(g: GGUFFile) -> LlamaConfig:
         rope_scale=float(md.get(f"{a}.rope.scaling.factor", 1.0)),
         n_ctx_orig=int(md.get(f"{a}.rope.scaling.original_context_length", 0)),
         rms_eps=float(md.get(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
+        n_expert=int(md.get(f"{a}.expert_count", 0)),
+        n_expert_used=int(md.get(f"{a}.expert_used_count", 0)),
     )
 
 
@@ -149,6 +156,47 @@ def unpermute_llamacpp_qk(w, n_head: int):
     """Inverse of permute_llamacpp_qk."""
     n, k = w.shape
     return w.reshape(n_head, n // n_head // 2, 2, k).swapaxes(1, 2).reshape(n, k)
+
+
+def moe_ffn_block(params: dict, pre: str, h, cfg: LlamaConfig):
+    """Mixtral-style sparse-MoE FFN (shared by the dense forward and the paged
+    decode step so paged == dense holds for MoE models too).
+
+    Routing = HF Mixtral semantics: softmax over all expert logits, top-k,
+    renormalize — algebraically identical to a softmax over just the top-k
+    logits.  Compute is dense-over-experts with gate masking: at decode every
+    expert's weights must stream from HBM anyway under continuous batching, so
+    the all-experts einsum is the TPU shape of the reference's MUL_MAT_ID
+    gather (include/ggml.h:1121-1125; llama.cpp llm_build_moe_ffn).
+
+    Weights (llama.cpp Mixtral GGUF layout):
+      ffn_gate_inp.weight (E, D) router; ffn_gate_exps/ffn_up_exps (E, F, D);
+      ffn_down_exps (E, D, F).
+    """
+    gates = moe_gates(_linear(h, params[pre + "ffn_gate_inp.weight"]),
+                      cfg.n_expert, cfg.n_expert_used)
+    return moe_expert_sum(h, params[pre + "ffn_gate_exps.weight"],
+                          params[pre + "ffn_up_exps.weight"],
+                          params[pre + "ffn_down_exps.weight"], gates)
+
+
+def moe_gates(router_logits, n_expert: int, n_expert_used: int):
+    """(..., E) softmax-renormalized top-k gate weights, zeros elsewhere."""
+    logits = router_logits.astype(jnp.float32)
+    top_vals, top_idx = jax.lax.top_k(logits, n_expert_used)  # (..., k)
+    probs = jax.nn.softmax(top_vals, axis=-1)
+    onehot = jax.nn.one_hot(top_idx, n_expert, dtype=jnp.float32)  # (..., k, E)
+    return jnp.einsum("...k,...ke->...e", probs, onehot)
+
+
+def moe_expert_sum(h, w_gate, w_up, w_down, gates):
+    """Gate-weighted sum of SwiGLU expert FFNs. w_gate/w_up (E, F, D),
+    w_down (E, D, F), gates (..., E) — the expert axis may be a local shard
+    (expert parallelism: parallel.moe.mixtral_ffn_ep)."""
+    hg = jnp.einsum("btd,efd->btef", h.astype(w_gate.dtype), w_gate)
+    hu = jnp.einsum("btd,efd->btef", h.astype(w_up.dtype), w_up)
+    y = jnp.einsum("btef,edf->bted", jax.nn.silu(hg) * hu, w_down)
+    return jnp.einsum("bted,bte->btd", y, gates.astype(y.dtype)).astype(h.dtype)
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
@@ -219,9 +267,12 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
         x = x + _linear(attn_out, params[pre + "attn_output.weight"])
 
         h = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
-        gate = _linear(h, params[pre + "ffn_gate.weight"])
-        up = _linear(h, params[pre + "ffn_up.weight"])
-        x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
+        if cfg.n_expert > 0:
+            x = x + moe_ffn_block(params, pre, h, cfg)
+        else:
+            gate = _linear(h, params[pre + "ffn_gate.weight"])
+            up = _linear(h, params[pre + "ffn_up.weight"])
+            x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
 
     x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
     w_out = params.get("output.weight", params["token_embd.weight"])  # tied fallback

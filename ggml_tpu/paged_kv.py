@@ -206,9 +206,14 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
             x = x + _linear(attn_out, params[pre + "attn_output.weight"])
 
             h2 = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
-            gate = _linear(h2, params[pre + "ffn_gate.weight"])
-            up = _linear(h2, params[pre + "ffn_up.weight"])
-            x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
+            if getattr(cfg, "n_expert", 0) > 0:  # Mixtral-style MoE
+                from .models.llama import moe_ffn_block
+
+                x = x + moe_ffn_block(params, pre, h2, cfg)
+            else:
+                gate = _linear(h2, params[pre + "ffn_gate.weight"])
+                up = _linear(h2, params[pre + "ffn_up.weight"])
+                x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
 
         x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
         w_out = params.get("output.weight", params.get("token_embd.weight@dense",

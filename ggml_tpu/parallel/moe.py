@@ -63,3 +63,30 @@ def moe_ffn_ep(mesh: Mesh, x, w_router, w_up, w_down, top_k: int = 2):
 def shard_experts(mesh: Mesh, w_up, w_down):
     s = NamedSharding(mesh, P("ep", None, None))
     return jax.device_put(w_up, s), jax.device_put(w_down, s)
+
+
+def mixtral_ffn_ep(mesh: Mesh, h, w_inp, w_gate, w_up, w_down, n_expert_used: int):
+    """Expert-parallel Mixtral FFN == models.llama.moe_expert_sum over the full
+    expert set: router replicated, expert tensors sharded on 'ep', every device
+    computes its local experts' gate-weighted contributions for all tokens,
+    one psum combines.  h (B, T, D); w_inp (E, D); w_gate/w_up (E, F, D);
+    w_down (E, D, F)."""
+    from ..models.llama import moe_expert_sum, moe_gates
+
+    n_expert = w_gate.shape[0]
+
+    def body(h, w_inp, w_gate_l, w_up_l, w_down_l):
+        ep = jax.lax.axis_index("ep")
+        n_local = w_gate_l.shape[0]
+        gates = moe_gates(h @ w_inp.T, n_expert, n_expert_used)  # (B, T, E) full
+        gates_l = jax.lax.dynamic_slice_in_dim(gates, ep * n_local, n_local, axis=2)
+        out = moe_expert_sum(h, w_gate_l, w_up_l, w_down_l, gates_l)
+        return jax.lax.psum(out, "ep")
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P("ep", None, None), P("ep", None, None), P("ep", None, None)),
+        out_specs=P(),
+        check_rep=False,
+    )(h, w_inp, w_gate, w_up, w_down)
