@@ -16,6 +16,7 @@ to packed planes).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -173,18 +174,32 @@ def moe_ffn_block(params: dict, pre: str, h, cfg: LlamaConfig):
       ffn_gate_inp.weight (E, D) router; ffn_gate_exps/ffn_up_exps (E, F, D);
       ffn_down_exps (E, D, F).
     """
-    gates = moe_gates(_linear(h, params[pre + "ffn_gate_inp.weight"]),
-                      cfg.n_expert, cfg.n_expert_used)
-    return moe_expert_sum(h, params[pre + "ffn_gate_exps.weight"],
-                          params[pre + "ffn_up_exps.weight"],
-                          params[pre + "ffn_down_exps.weight"], gates)
+    w_gate = params[pre + "ffn_gate_exps.weight"]
+    w_up = params[pre + "ffn_up_exps.weight"]
+    w_down = params[pre + "ffn_down_exps.weight"]
+    router = _linear(h, params[pre + "ffn_gate_inp.weight"])
+    n_tokens = h.shape[0] * h.shape[1]  # static under jit
+    mode = os.environ.get("GGML_TPU_MOE_GROUPED", "auto")
+    if mode == "1" or (mode == "auto" and n_tokens >= 16):
+        # prefill shape: sorted grouped GEMM does k/E of the dense FLOPs
+        probs, idx = moe_topk(router, cfg.n_expert_used)
+        return moe_expert_sum_grouped(h, w_gate, w_up, w_down, probs, idx,
+                                      cfg.n_expert)
+    gates = moe_gates(router, cfg.n_expert, cfg.n_expert_used)
+    return moe_expert_sum(h, w_gate, w_up, w_down, gates)
+
+
+def moe_topk(router_logits, n_expert_used: int):
+    """HF-Mixtral routing: softmax over all logits then top-k renormalize ==
+    softmax over just the top-k logits. Returns (probs, idx), each (..., k)."""
+    logits = router_logits.astype(jnp.float32)
+    top_vals, top_idx = jax.lax.top_k(logits, n_expert_used)  # (..., k)
+    return jax.nn.softmax(top_vals, axis=-1), top_idx
 
 
 def moe_gates(router_logits, n_expert: int, n_expert_used: int):
     """(..., E) softmax-renormalized top-k gate weights, zeros elsewhere."""
-    logits = router_logits.astype(jnp.float32)
-    top_vals, top_idx = jax.lax.top_k(logits, n_expert_used)  # (..., k)
-    probs = jax.nn.softmax(top_vals, axis=-1)
+    probs, top_idx = moe_topk(router_logits, n_expert_used)
     onehot = jax.nn.one_hot(top_idx, n_expert, dtype=jnp.float32)  # (..., k, E)
     return jnp.einsum("...k,...ke->...e", probs, onehot)
 
@@ -193,10 +208,43 @@ def moe_expert_sum(h, w_gate, w_up, w_down, gates):
     """Gate-weighted sum of SwiGLU expert FFNs. w_gate/w_up (E, F, D),
     w_down (E, D, F), gates (..., E) — the expert axis may be a local shard
     (expert parallelism: parallel.moe.mixtral_ffn_ep)."""
-    hg = jnp.einsum("btd,efd->btef", h.astype(w_gate.dtype), w_gate)
-    hu = jnp.einsum("btd,efd->btef", h.astype(w_up.dtype), w_up)
-    y = jnp.einsum("btef,edf->bted", jax.nn.silu(hg) * hu, w_down)
+    hp = jax.lax.Precision.HIGHEST
+    hg = jnp.einsum("btd,efd->btef", h.astype(w_gate.dtype), w_gate, precision=hp)
+    hu = jnp.einsum("btd,efd->btef", h.astype(w_up.dtype), w_up, precision=hp)
+    y = jnp.einsum("btef,edf->bted", jax.nn.silu(hg) * hu, w_down, precision=hp)
     return jnp.einsum("bted,bte->btd", y, gates.astype(y.dtype)).astype(h.dtype)
+
+
+def moe_expert_sum_grouped(h, w_gate, w_up, w_down, top_probs, top_idx,
+                           n_expert: int):
+    """Sort-by-expert grouped GEMM (megablocks-style dropless token choice):
+    flatten the (token, expert) pairs, stable-sort by expert id, run three
+    `ragged_dot_general` grouped contractions, scatter-add the gate-weighted
+    results back.  == moe_expert_sum on the dense gates built from
+    (top_probs, top_idx) but does k/E of its FLOPs — the prefill shape of the
+    reference's MUL_MAT_ID row gather (include/ggml.h:1121-1125).
+    Differentiable (used by MoE finetuning at sequence shapes)."""
+    b, t, d = h.shape
+    k = top_idx.shape[-1]
+    n = b * t
+    x = h.reshape(n, d)
+    flat_e = top_idx.reshape(n * k)
+    order = jnp.argsort(flat_e, stable=True)
+    tok = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)[order]
+    xs = x[tok].astype(w_gate.dtype)                    # (n*k, D) expert-sorted
+    gsz = jnp.bincount(flat_e, length=n_expert)         # (E,)
+    # contract the last (D or F) axis of the 3-D weight, group on axis 0
+    dn = jax.lax.RaggedDotDimensionNumbers(
+        dot_dimension_numbers=(((1,), (2,)), ((), ())),
+        lhs_ragged_dimensions=[0], rhs_group_dimensions=[0])
+    rdot = lambda a, w: jax.lax.ragged_dot_general(
+        a, w, gsz, dn, precision=jax.lax.Precision.HIGHEST)
+    hg = rdot(xs, w_gate)                               # (n*k, F)
+    hu = rdot(xs, w_up)
+    down = rdot(jax.nn.silu(hg) * hu, w_down.astype(hg.dtype))  # (n*k, D)
+    wts = top_probs.reshape(n * k)[order]
+    out = jnp.zeros((n, d), down.dtype).at[tok].add(down * wts[:, None].astype(down.dtype))
+    return out.reshape(b, t, d).astype(h.dtype)
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):

@@ -44,7 +44,10 @@ def test_mixtral_logits_match_hf(tmp_path):
     assert cfg.n_expert == 4 and cfg.n_expert_used == 2  # MoE KVs survive
     m = Llama(load_params(g), cfg, max_seq=32, batch=1)
 
-    toks = np.asarray([[3, 14, 15, 92, 6, 53]], np.int32)
+    # 20 tokens: >= the auto threshold, so the full forward takes the sorted
+    # grouped-GEMM path while the greedy decode below takes the dense path
+    toks = np.asarray([[3, 14, 15, 92, 6, 53, 8, 1, 77, 30,
+                        200, 4, 99, 12, 63, 7, 151, 41, 2, 88]], np.int32)
     with torch.no_grad():
         want = hf(torch.from_numpy(toks.astype(np.int64))).logits.numpy()[0]
 
@@ -87,6 +90,41 @@ def test_mixtral_paged_equals_dense(tmp_path):
     res = eng.run()
     for p, r in zip(prompts, rids):
         assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
+
+
+def test_moe_grouped_matches_dense():
+    """Sorted ragged-grouped GEMM path == dense-masked expert sum (the
+    prefill MUL_MAT_ID shape), including its gradients."""
+    import jax
+
+    from ggml_tpu.models.llama import (moe_expert_sum, moe_expert_sum_grouped,
+                                       moe_gates, moe_topk)
+
+    rng = np.random.default_rng(7)
+    E, F, D, B, T, K = 6, 24, 16, 2, 9, 2
+    h = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    router = jnp.asarray(rng.standard_normal((B, T, E)), jnp.float32)
+    w_gate = jnp.asarray(rng.standard_normal((E, F, D)) * 0.2, jnp.float32)
+    w_up = jnp.asarray(rng.standard_normal((E, F, D)) * 0.2, jnp.float32)
+    w_down = jnp.asarray(rng.standard_normal((E, D, F)) * 0.2, jnp.float32)
+
+    def dense(h, w_gate, w_up, w_down):
+        return moe_expert_sum(h, w_gate, w_up, w_down, moe_gates(router, E, K))
+
+    def grouped(h, w_gate, w_up, w_down):
+        probs, idx = moe_topk(router, K)
+        return moe_expert_sum_grouped(h, w_gate, w_up, w_down, probs, idx, E)
+
+    want = dense(h, w_gate, w_up, w_down)
+    got = grouped(h, w_gate, w_up, w_down)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    g_want = jax.grad(lambda *a: dense(*a).sum(), argnums=(0, 1, 2, 3))(
+        h, w_gate, w_up, w_down)
+    g_got = jax.grad(lambda *a: grouped(*a).sum(), argnums=(0, 1, 2, 3))(
+        h, w_gate, w_up, w_down)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
 
 def test_mixtral_expert_parallel_matches_dense():
