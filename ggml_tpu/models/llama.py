@@ -53,6 +53,11 @@ class LlamaConfig:
     # analog, reference include/ggml.h:1121-1125)
     n_expert: int = 0
     n_expert_used: int = 0
+    # qwen2moe: gate probs NOT renormalized after top-k (HF norm_topk_prob
+    # False; llama.cpp build_moe_ffn norm_w=false) + sigmoid-gated shared
+    # expert alongside the routed experts
+    moe_renorm: bool = True
+    moe_shared: bool = False
     # fused Pallas flash attention for multi-token (prefill-from-empty) steps
     use_flash_prefill: bool = False
     # crossover on v5e: XLA's fused attention wins below ~1-2k tokens, the
@@ -71,10 +76,12 @@ def config_from_gguf(g: GGUFFile) -> LlamaConfig:
     decoupled head_dim (attention.key_length)."""
     md = g.metadata
     a = md.get("general.architecture", "llama")
-    if a not in ("llama", "qwen2", "qwen3"):
+    if a not in ("llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe"):
         a = "llama"
     return LlamaConfig(
-        qk_norm=(a == "qwen3"),
+        qk_norm=a in ("qwen3", "qwen3moe"),
+        moe_renorm=(a != "qwen2moe"),
+        moe_shared=(a == "qwen2moe"),
         head_dim_override=int(md.get(f"{a}.attention.key_length", 0)),
         n_vocab=int(md.get(f"{a}.vocab_size", 32000)),
         n_ctx=int(md[f"{a}.context_length"]),
@@ -182,24 +189,39 @@ def moe_ffn_block(params: dict, pre: str, h, cfg: LlamaConfig):
     mode = os.environ.get("GGML_TPU_MOE_GROUPED", "auto")
     if mode == "1" or (mode == "auto" and n_tokens >= 16):
         # prefill shape: sorted grouped GEMM does k/E of the dense FLOPs
-        probs, idx = moe_topk(router, cfg.n_expert_used)
-        return moe_expert_sum_grouped(h, w_gate, w_up, w_down, probs, idx,
-                                      cfg.n_expert)
-    gates = moe_gates(router, cfg.n_expert, cfg.n_expert_used)
-    return moe_expert_sum(h, w_gate, w_up, w_down, gates)
+        probs, idx = moe_topk(router, cfg.n_expert_used, cfg.moe_renorm)
+        out = moe_expert_sum_grouped(h, w_gate, w_up, w_down, probs, idx,
+                                     cfg.n_expert)
+    else:
+        gates = moe_gates(router, cfg.n_expert, cfg.n_expert_used,
+                          cfg.moe_renorm)
+        out = moe_expert_sum(h, w_gate, w_up, w_down, gates)
+    if cfg.moe_shared:  # qwen2moe: sigmoid-gated dense SwiGLU shared expert
+        sg = jax.nn.sigmoid(_linear(h, params[pre + "ffn_gate_inp_shexp.weight"]))
+        gate = _linear(h, params[pre + "ffn_gate_shexp.weight"])
+        up = _linear(h, params[pre + "ffn_up_shexp.weight"])
+        out = out + sg * _linear(jax.nn.silu(gate) * up,
+                                 params[pre + "ffn_down_shexp.weight"])
+    return out
 
 
-def moe_topk(router_logits, n_expert_used: int):
-    """HF-Mixtral routing: softmax over all logits then top-k renormalize ==
-    softmax over just the top-k logits. Returns (probs, idx), each (..., k)."""
+def moe_topk(router_logits, n_expert_used: int, renorm: bool = True):
+    """Top-k routing weights. renorm=True (Mixtral/qwen3moe): softmax over all
+    logits then top-k renormalize == softmax over just the top-k logits.
+    renorm=False (qwen2moe): the raw full-softmax probs of the top-k experts
+    (do NOT sum to 1). Returns (probs, idx), each (..., k)."""
     logits = router_logits.astype(jnp.float32)
     top_vals, top_idx = jax.lax.top_k(logits, n_expert_used)  # (..., k)
-    return jax.nn.softmax(top_vals, axis=-1), top_idx
+    if renorm:
+        return jax.nn.softmax(top_vals, axis=-1), top_idx
+    lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+    return jnp.exp(top_vals - lse), top_idx
 
 
-def moe_gates(router_logits, n_expert: int, n_expert_used: int):
-    """(..., E) softmax-renormalized top-k gate weights, zeros elsewhere."""
-    probs, top_idx = moe_topk(router_logits, n_expert_used)
+def moe_gates(router_logits, n_expert: int, n_expert_used: int,
+              renorm: bool = True):
+    """(..., E) top-k gate weights, zeros elsewhere."""
+    probs, top_idx = moe_topk(router_logits, n_expert_used, renorm)
     onehot = jax.nn.one_hot(top_idx, n_expert, dtype=jnp.float32)  # (..., k, E)
     return jnp.einsum("...k,...ke->...e", probs, onehot)
 

@@ -65,7 +65,8 @@ def shard_experts(mesh: Mesh, w_up, w_down):
     return jax.device_put(w_up, s), jax.device_put(w_down, s)
 
 
-def mixtral_ffn_ep(mesh: Mesh, h, w_inp, w_gate, w_up, w_down, n_expert_used: int):
+def mixtral_ffn_ep(mesh: Mesh, h, w_inp, w_gate, w_up, w_down,
+                   n_expert_used: int, renorm: bool = True):
     """Expert-parallel Mixtral FFN == models.llama.moe_expert_sum over the full
     expert set: router replicated, expert tensors sharded on 'ep', every device
     computes its local experts' gate-weighted contributions for all tokens,
@@ -78,7 +79,7 @@ def mixtral_ffn_ep(mesh: Mesh, h, w_inp, w_gate, w_up, w_down, n_expert_used: in
     def body(h, w_inp, w_gate_l, w_up_l, w_down_l):
         ep = jax.lax.axis_index("ep")
         n_local = w_gate_l.shape[0]
-        gates = moe_gates(h @ w_inp.T, n_expert, n_expert_used)  # (B, T, E) full
+        gates = moe_gates(h @ w_inp.T, n_expert, n_expert_used, renorm)  # (B, T, E)
         gates_l = jax.lax.dynamic_slice_in_dim(gates, ep * n_local, n_local, axis=2)
         out = moe_expert_sum(h, w_gate_l, w_up_l, w_down_l, gates_l)
         return jax.lax.psum(out, "ep")
