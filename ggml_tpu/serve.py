@@ -99,7 +99,8 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import falcon, gemma2, gpt2, gptj, llama, mamba, neox, phi2
+        from .models import (deepseek, falcon, gemma2, gpt2, gptj, llama,
+                             mamba, neox, phi2)
 
         self.model = model
         self.cfg = model.cfg
@@ -128,6 +129,12 @@ class Engine:
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):
             self._fwd = falcon.forward
+        elif isinstance(model, deepseek.Deepseek):
+            # MLA family: the engine carries the COMPRESSED latent cache per
+            # slot — (kv_lora_rank + rope_dim)/token instead of 2*H*head_dim,
+            # so continuous batching holds ~57x more context per HBM byte on
+            # DeepSeek-V3 shapes
+            self._fwd = deepseek.forward
         elif self._recurrent:
             self._fwd = _mamba_engine_forward
         else:
@@ -144,6 +151,9 @@ class Engine:
 
         if self._recurrent:
             self._make_cache = lambda b: mamba.init_state(cfgv, b, cache_dtype)
+        elif isinstance(model, deepseek.Deepseek):
+            self._make_cache = lambda b: deepseek.init_cache(
+                cfgv, b, max_seq, cache_dtype)
         else:
             n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
             self._make_cache = lambda b: init_layer_cache(

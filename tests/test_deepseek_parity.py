@@ -89,6 +89,29 @@ def test_deepseek_greedy_and_incremental(tmp_path):
     assert [int(x) for x in out] == [int(x) for x in hf_out[0, toks.shape[1]:]]
 
 
+def test_deepseek_engine_interleaved_equals_solo(tmp_path):
+    """serve.Engine drives the MLA family on its compressed per-slot cache:
+    interleaved continuous batching == solo greedy decode."""
+    from ggml_tpu.serve import Engine
+
+    hf, path = _tiny(tmp_path, True)
+    g = GGUFFile(path)
+    m = Deepseek(load_params(g), config_from_gguf(g), max_seq=32, batch=1)
+
+    prompts = [[1, 2, 3], [9, 7], [100, 5, 31, 2]]
+    want = {}
+    for p in prompts:
+        solo = Engine(m, max_batch=1, max_seq=32, cache_dtype=jnp.float32)
+        r = solo.submit(p, 6)
+        want[tuple(p)] = solo.run()[r]
+
+    eng = Engine(m, max_batch=2, max_seq=32, cache_dtype=jnp.float32)
+    rids = [eng.submit(p, 6) for p in prompts]
+    res = eng.run()
+    for p, r in zip(prompts, rids):
+        assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
+
+
 def test_deepseek_rope_interleave_flag(tmp_path):
     """rope_interleave=False checkpoints round-trip too (the de-interleave
     permute is gated by the GGUF flag)."""
