@@ -26,6 +26,7 @@ expert_weights_scale/_norm, exp_probs_b).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -144,8 +145,6 @@ def _moe_block(params, pre, h, cfg: DeepseekConfig):
     w_up = params[pre + "ffn_up_exps.weight"]
     w_down = params[pre + "ffn_down_exps.weight"]
     n_tokens = h.shape[0] * h.shape[1]
-    import os
-
     mode = os.environ.get("GGML_TPU_MOE_GROUPED", "auto")
     if mode == "1" or (mode == "auto" and n_tokens >= 16):
         out = moe_expert_sum_grouped(h, w_gate, w_up, w_down, wts, idx,
@@ -177,7 +176,8 @@ def forward(params: dict, cfg: DeepseekConfig, tokens, pos_start, cache,
     b, t = tokens.shape
     max_seq = cache[0][0].shape[-2]
     positions = pos_start[:, None] + jnp.arange(t)[None, :]  # (b, t)
-    x = params["token_embd.weight"][tokens]
+    embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
+    x = embd[tokens]
     H, nope, rope_d = cfg.n_head, cfg.qk_nope_dim, cfg.qk_rope_dim
     scale = cfg.attn_scale or cfg.qk_head_dim ** -0.5
     hp = jax.lax.Precision.HIGHEST
@@ -283,11 +283,18 @@ class Deepseek:
         self._decode_loop = jax.jit(decode_loop, donate_argnums=(1,))
 
     @classmethod
-    def from_gguf(cls, path, dtype=jnp.float32, **kw):
+    def from_gguf(cls, path, dtype=jnp.float32, keep_quantized: bool = False,
+                  **kw):
         from .gpt2 import load_params
 
         g = GGUFFile(path)
-        return cls(load_params(g, dtype), config_from_gguf(g), **kw)
+        params = load_params(g, dtype, keep_quantized=keep_quantized)
+        # attn_kv_b is consumed reshaped into per-head W_uk/W_uv blocks (the
+        # absorption), not as a row matmul — keep it dense regardless
+        for name in list(params):
+            if name.endswith("attn_kv_b.weight") and not hasattr(params[name], "ndim"):
+                params[name] = jnp.asarray(g.to_float32(name), dtype=dtype)
+        return cls(params, config_from_gguf(g), **kw)
 
     def new_cache(self, dtype=jnp.bfloat16):
         return init_cache(self.cfg, self.batch, self.max_seq, dtype)

@@ -28,8 +28,12 @@ from .optimizer import AdamWConfig, Optimizer
 def _family(arch: str):
     if arch == "gptj":
         from ..models import gptj as fam
-    elif arch in ("llama", "qwen2", "qwen3"):
+    elif arch in ("llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe"):
+        # incl. MoE configs: expert grads flow through the grouped
+        # ragged-GEMM prefill path (differentiable by construction)
         from ..models import llama as fam
+    elif arch == "deepseek2":
+        from ..models import deepseek as fam
     elif arch == "gemma2":
         from ..models import gemma2 as fam
     elif arch == "phi2":
@@ -41,7 +45,9 @@ def _family(arch: str):
     elif arch == "gpt2":
         from ..models import gpt2 as fam
     else:
-        raise ValueError(f"finetune supports gpt2/gptj/llama/qwen2/gemma2/phi2/gptneox/falcon, not {arch}")
+        raise ValueError(
+            "finetune supports gpt2/gptj/llama(+qwen2/3, qwen*moe)/deepseek2/"
+            f"gemma2/phi2/gptneox/falcon, not {arch}")
     return fam
 
 
@@ -49,14 +55,10 @@ def make_lm_model_fn(fam, cfg, seq_len: int, batch: int):
     """(params, tokens (B, T)) -> logits (B, T, V) through the family
     forward from an empty cache (masked-einsum attention: differentiable;
     positions enter via the zeroed cache_len)."""
-    from ..models.common import init_layer_cache
-
-    n_kv = getattr(cfg, "n_head_kv", cfg.n_head)
-
     def model_fn(params, tokens):
-        cache = init_layer_cache(
-            cfg.n_layer, tokens.shape[0], n_kv, seq_len, cfg.head_dim, jnp.float32
-        )
+        # family-owned cache shape (MLA families cache the compressed
+        # latent, not per-head K/V)
+        cache = fam.init_cache(cfg, tokens.shape[0], seq_len, jnp.float32)
         logits, _ = fam.forward(
             params, cfg, tokens, jnp.zeros((tokens.shape[0],), jnp.int32),
             cache, jnp.int32(0),

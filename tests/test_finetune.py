@@ -91,3 +91,41 @@ def test_finetune_dp_mesh_matches_single_device(tiny_gpt2):
     l2, _ = finetune(tiny_gpt2, toks, arch="gpt2", seq_len=16, batch=4,
                      steps=10, adamw=AdamWConfig(alpha=1e-3), seed=1, mesh=mesh)
     np.testing.assert_allclose(l1, l2, rtol=2e-4)
+
+
+def test_finetune_mixtral_moe(tmp_path):
+    """MoE finetuning: expert gradients flow through the grouped ragged-GEMM
+    path (seq_len >= the grouped threshold); loss falls and the trained GGUF
+    (with its stacked 3-D expert tensors) round-trips and memorizes."""
+    from tools.convert_hf_mixtral import convert_state_dict as conv_mix
+
+    cfg = transformers.MixtralConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, num_local_experts=4, num_experts_per_tok=2,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(9)
+    hf = transformers.MixtralForCausalLM(cfg).eval()
+    path = tmp_path / "mix.gguf"
+    sd = dict(hf.state_dict())
+    sd.pop("lm_head.weight", None)  # tied
+    conv_mix(sd, cfg).write(path)
+
+    toks = _pattern_tokens(400)
+    out = tmp_path / "trained.gguf"
+    losses, _ = finetune(
+        str(path), toks, seq_len=16, batch=4, steps=60,
+        adamw=AdamWConfig(alpha=3e-3), out_path=out,
+    )
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+    from ggml_tpu.models.gpt2 import load_params
+    from ggml_tpu.gguf import GGUFFile
+    from ggml_tpu.models.llama import Llama, config_from_gguf
+
+    g = GGUFFile(str(out))
+    m = Llama(load_params(g), config_from_gguf(g), max_seq=32, batch=1)
+    gen = m.generate(np.asarray([[7, 11, 23]], np.int32), 8)
+    want = [42, 7, 11, 23, 42, 7, 11, 23]
+    assert [int(t) for t in gen] == want, gen

@@ -20,7 +20,9 @@ def main():
     ap.add_argument("model")
     ap.add_argument("-p", "--prompt", default="Hello")
     ap.add_argument("-n", "--n-predict", type=int, default=64)
-    ap.add_argument("--arch", choices=["gpt2", "gptj", "llama", "qwen2", "qwen3", "gemma2", "phi2", "gptneox", "falcon"], default=None)
+    ap.add_argument("--arch", choices=["gpt2", "gptj", "llama", "qwen2", "qwen3",
+                                       "qwen2moe", "qwen3moe", "deepseek2",
+                                       "gemma2", "phi2", "gptneox", "falcon"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -49,8 +51,11 @@ def main():
     t_load0 = time.perf_counter()
     if arch == "gptj":
         from ggml_tpu.models.gptj import GPTJ as Model
-    elif arch in ("llama", "qwen2", "qwen3"):  # qwen2/3 = llama layout (+biases / +qk-norm)
+    elif arch in ("llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe"):
+        # llama layout (+biases / +qk-norm / +MoE experts)
         from ggml_tpu.models.llama import Llama as Model
+    elif arch == "deepseek2":
+        from ggml_tpu.models.deepseek import Deepseek as Model
     elif arch == "gemma2":
         from ggml_tpu.models.gemma2 import Gemma2 as Model
     elif arch == "phi2":
