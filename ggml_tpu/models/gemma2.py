@@ -51,16 +51,33 @@ class Gemma2Config:
     rope_base: float = 10000.0
     rms_eps: float = 1e-6
     sliding_window: int = 4096
-    attn_softcap: float = 50.0
-    final_softcap: float = 30.0
+    attn_softcap: float = 50.0  # 0 disables (gemma3)
+    final_softcap: float = 30.0  # 0 disables (gemma3)
     query_pre_attn_scalar: float = 256.0
+    # gemma3 additions: layers slide except every `sliding_pattern`-th
+    # (gemma2 == pattern 2: even slide, odd global; gemma3 == pattern 6),
+    # per-head q/k RMSNorm, a separate (smaller) rope base for sliding
+    # layers, and linear rope position scaling on the GLOBAL layers only
+    sliding_pattern: int = 2
+    qk_norm: bool = False
+    rope_local_base: float = 0.0  # 0 -> rope_base everywhere
+    rope_scale_global: float = 1.0
 
 
 def config_from_gguf(g: GGUFFile) -> Gemma2Config:
     md = g.metadata
-    a = "gemma2"
+    a = md.get("general.architecture", "gemma2")
+    if a not in ("gemma2", "gemma3"):
+        a = "gemma2"
+    g3 = a == "gemma3"
     n_head = int(md[f"{a}.attention.head_count"])
     return Gemma2Config(
+        sliding_pattern=int(md.get(f"{a}.attention.sliding_window_pattern",
+                                   6 if g3 else 2)),
+        qk_norm=g3,
+        rope_local_base=float(md.get(f"{a}.rope.local_freq_base",
+                                     10000.0 if g3 else 0.0)),
+        rope_scale_global=float(md.get(f"{a}.rope.scaling.factor", 1.0)),
         n_vocab=int(md.get(f"{a}.vocab_size", 256000)),
         n_ctx=int(md[f"{a}.context_length"]),
         n_embd=int(md[f"{a}.embedding_length"]),
@@ -73,8 +90,10 @@ def config_from_gguf(g: GGUFFile) -> Gemma2Config:
         rope_base=float(md.get(f"{a}.rope.freq_base", 10000.0)),
         rms_eps=float(md.get(f"{a}.attention.layer_norm_rms_epsilon", 1e-6)),
         sliding_window=int(md.get(f"{a}.attention.sliding_window", 4096)),
-        attn_softcap=float(md.get(f"{a}.attn_logit_softcapping", 50.0)),
-        final_softcap=float(md.get(f"{a}.final_logit_softcapping", 30.0)),
+        attn_softcap=float(md.get(f"{a}.attn_logit_softcapping",
+                                  0.0 if g3 else 50.0)),
+        final_softcap=float(md.get(f"{a}.final_logit_softcapping",
+                                   0.0 if g3 else 30.0)),
         query_pre_attn_scalar=float(md.get(
             f"{a}.attention.query_pre_attn_scalar",
             int(md.get(f"{a}.attention.key_length",
@@ -127,8 +146,17 @@ def forward(params: dict, cfg: Gemma2Config, tokens, pos_start, cache, cache_len
         k = _linear(h, params[pre + "attn_k.weight"]).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
         v = _linear(h, params[pre + "attn_v.weight"]).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
 
-        q = _rope_half(q, positions, cfg.rope_base).transpose(0, 2, 1, 3)
-        k = _rope_half(k, positions, cfg.rope_base).transpose(0, 2, 1, 3)
+        if cfg.qk_norm:  # gemma3: per-head (1+w) RMSNorm before rope
+            q = _rms_norm_gemma(q, params[pre + "attn_q_norm.weight"], cfg.rms_eps)
+            k = _rms_norm_gemma(k, params[pre + "attn_k_norm.weight"], cfg.rms_eps)
+
+        sliding = i % cfg.sliding_pattern != cfg.sliding_pattern - 1
+        base = cfg.rope_local_base if (sliding and cfg.rope_local_base) else cfg.rope_base
+        # linear rope context scaling applies to the GLOBAL layers only
+        rp = positions if (sliding or cfg.rope_scale_global == 1.0) else (
+            positions.astype(jnp.float32) / cfg.rope_scale_global)
+        q = _rope_half(q, rp, base).transpose(0, 2, 1, 3)
+        k = _rope_half(k, rp, base).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
         kc = _cache_write(new_cache[i][0], k.astype(cache_dtype), cache_len)
@@ -139,11 +167,12 @@ def forward(params: dict, cfg: Gemma2Config, tokens, pos_start, cache, cache_len
         att = jnp.einsum("bgrqd,bgkd->bgrqk", qg.astype(jnp.float32),
                          kc.astype(jnp.float32),
                          preferred_element_type=jnp.float32) * scale
-        att = _softcap(att, cfg.attn_softcap)
+        if cfg.attn_softcap:
+            att = _softcap(att, cfg.attn_softcap)
         kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
         q_pos = positions[:, None, None, :, None]
         keep = kv_pos <= q_pos
-        if i % 2 == 0:  # HF layer_types: even layers slide, odd are global
+        if sliding:  # HF layer_types alternation (gemma2: 1:1, gemma3: 5:1)
             keep = keep & (kv_pos > q_pos - cfg.sliding_window)
         att = jnp.where(keep, att, -jnp.inf)
         att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
@@ -164,7 +193,9 @@ def forward(params: dict, cfg: Gemma2Config, tokens, pos_start, cache, cache_len
     w_out = params.get("output.weight", params["token_embd.weight"])  # tied
     if "output.weight" not in params and "token_embd.weight@dense" in params:
         w_out = params["token_embd.weight@dense"]
-    logits = _softcap(_linear(x, w_out).astype(jnp.float32), cfg.final_softcap)
+    logits = _linear(x, w_out).astype(jnp.float32)
+    if cfg.final_softcap:
+        logits = _softcap(logits, cfg.final_softcap)
     return logits, tuple(new_cache)
 
 

@@ -22,7 +22,8 @@ def main():
     ap.add_argument("-n", "--n-predict", type=int, default=64)
     ap.add_argument("--arch", choices=["gpt2", "gptj", "llama", "qwen2", "qwen3",
                                        "qwen2moe", "qwen3moe", "deepseek2",
-                                       "gemma2", "phi2", "gptneox", "falcon"], default=None)
+                                       "gemma2", "gemma3", "phi2", "gptneox",
+                                       "falcon"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -56,7 +57,7 @@ def main():
         from ggml_tpu.models.llama import Llama as Model
     elif arch == "deepseek2":
         from ggml_tpu.models.deepseek import Deepseek as Model
-    elif arch == "gemma2":
+    elif arch in ("gemma2", "gemma3"):
         from ggml_tpu.models.gemma2 import Gemma2 as Model
     elif arch == "phi2":
         from ggml_tpu.models.phi2 import Phi2 as Model
