@@ -99,8 +99,8 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import (deepseek, falcon, gemma2, gpt2, gptj, llama,
-                             mamba, neox, phi2)
+        from .models import (deepseek, falcon, gemma2, gpt2, gptj, gptoss,
+                             llama, mamba, neox, phi2)
 
         self.model = model
         self.cfg = model.cfg
@@ -129,6 +129,8 @@ class Engine:
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):
             self._fwd = falcon.forward
+        elif isinstance(model, gptoss.GptOss):
+            self._fwd = gptoss.forward
         elif isinstance(model, deepseek.Deepseek):
             # MLA family: the engine carries the COMPRESSED latent cache per
             # slot — (kv_lora_rank + rope_dim)/token instead of 2*H*head_dim,

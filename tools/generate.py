@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--arch", choices=["gpt2", "gptj", "llama", "qwen2", "qwen3",
                                        "qwen2moe", "qwen3moe", "deepseek2",
                                        "gemma2", "gemma3", "phi2", "gptneox",
-                                       "falcon"], default=None)
+                                       "falcon", "gpt-oss"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -65,6 +65,8 @@ def main():
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
         from ggml_tpu.models.falcon import Falcon as Model
+    elif arch == "gpt-oss":
+        from ggml_tpu.models.gptoss import GptOss as Model
     else:
         from ggml_tpu.models.gpt2 import GPT2 as Model
     m = Model.from_gguf(args.model, keep_quantized=args.quantized, max_seq=args.max_seq, batch=1)
