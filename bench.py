@@ -423,6 +423,143 @@ def bench_magika():
     )
 
 
+def _synth_moe_llama(scale: str):
+    """Random bf16 Mixtral-style llama params + config sized to one v5e
+    chip (BENCH_SCALE=tiny for CPU smoke).  Values don't matter for
+    throughput — only layout and bytes streamed."""
+    import jax.numpy as jnp
+
+    from ggml_tpu.models.llama import LlamaConfig
+
+    if scale == "tiny":
+        cfg = LlamaConfig(n_vocab=512, n_ctx=256, n_embd=128, n_head=4,
+                          n_head_kv=2, n_layer=2, n_ff=256, n_expert=4,
+                          n_expert_used=2)
+    else:
+        # ~11 GB bf16: 8 experts x 7168 ffn x 4096 embd x 8 layers
+        cfg = LlamaConfig(n_vocab=32000, n_ctx=4096, n_embd=4096, n_head=32,
+                          n_head_kv=8, n_layer=8, n_ff=7168, n_expert=8,
+                          n_expert_used=2)
+    rng = np.random.default_rng(0)
+
+    def t(*shape, scale_=0.02):
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * scale_,
+                           jnp.bfloat16)
+
+    d, f, e = cfg.n_embd, cfg.n_ff, cfg.n_expert
+    hd = cfg.head_dim
+    p = {"token_embd.weight": t(cfg.n_vocab, d),
+         "output_norm.weight": jnp.ones((d,), jnp.bfloat16),
+         "output.weight": t(cfg.n_vocab, d)}
+    for i in range(cfg.n_layer):
+        pre = f"blk.{i}."
+        p[pre + "attn_norm.weight"] = jnp.ones((d,), jnp.bfloat16)
+        p[pre + "ffn_norm.weight"] = jnp.ones((d,), jnp.bfloat16)
+        p[pre + "attn_q.weight"] = t(cfg.n_head * hd, d)
+        p[pre + "attn_k.weight"] = t(cfg.n_head_kv * hd, d)
+        p[pre + "attn_v.weight"] = t(cfg.n_head_kv * hd, d)
+        p[pre + "attn_output.weight"] = t(d, cfg.n_head * hd)
+        p[pre + "ffn_gate_inp.weight"] = t(e, d)
+        p[pre + "ffn_gate_exps.weight"] = t(e, f, d)
+        p[pre + "ffn_up_exps.weight"] = t(e, f, d)
+        p[pre + "ffn_down_exps.weight"] = t(e, d, f)
+    return p, cfg
+
+
+def bench_moe_decode():
+    """BENCH=moe: Mixtral-style sparse-MoE decode tokens/s (synthetic bf16
+    weights; the dense gate-masked expert path streams every expert from
+    HBM per step — the MoE serving shape)."""
+    import jax.numpy as jnp
+
+    from ggml_tpu.models.llama import Llama
+
+    _enable_compile_cache()
+    scale = os.environ.get("BENCH_SCALE", "8x7g")
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "32"))
+    t0 = time.perf_counter()
+    params, cfg = _synth_moe_llama(scale)
+    t_synth = time.perf_counter() - t0
+    m = Llama(params, cfg, max_seq=max(128, 2 * n_tokens + 8), batch=1)
+    cache = m.new_cache(jnp.bfloat16)
+    first = np.asarray([[11]], np.int32)
+    t0 = time.perf_counter()
+    cache, _ = m.decode_greedy(cache, first, 0, n_tokens)  # compile+warm
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cache, _ = m.decode_greedy(cache, first, n_tokens, n_tokens)
+    dt = time.perf_counter() - t0
+    tps = n_tokens / dt
+    print(json.dumps({"metric": f"moe_{scale}_bf16_decode_tokens_per_sec_per_chip",
+                      "value": round(tps, 2), "unit": "tokens/s",
+                      "vs_baseline": 0.0}))
+    print(f"# synth {t_synth:.1f}s, compile {t_compile:.1f}s, "
+          f"{1000 * dt / n_tokens:.2f} ms/tok", file=sys.stderr)
+
+
+def bench_mla_decode():
+    """BENCH=mla: DeepSeek-style absorbed-MLA decode tokens/s on a
+    V2-Lite-shaped dense-FFN config (synthetic bf16) — measures the
+    compressed-cache attention + weight streaming."""
+    import jax.numpy as jnp
+
+    from ggml_tpu.models.deepseek import Deepseek, DeepseekConfig
+
+    _enable_compile_cache()
+    scale = os.environ.get("BENCH_SCALE", "lite")
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "32"))
+    if scale == "tiny":
+        cfg = DeepseekConfig(n_vocab=512, n_embd=128, n_head=4, n_layer=2,
+                             n_ff=256, n_dense_lead=2, kv_lora_rank=32,
+                             qk_nope_dim=16, qk_rope_dim=8, v_head_dim=16,
+                             q_lora_rank=0, n_expert=0)
+    else:
+        # V2-Lite attention geometry, dense FFN sized to the chip (~9 GB)
+        cfg = DeepseekConfig(n_vocab=32000, n_embd=2048, n_head=16,
+                             n_layer=16, n_ff=8192, n_dense_lead=16,
+                             kv_lora_rank=512, qk_nope_dim=128,
+                             qk_rope_dim=64, v_head_dim=128, q_lora_rank=0,
+                             n_expert=0)
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * 0.02,
+                           jnp.bfloat16)
+
+    d = cfg.n_embd
+    p = {"token_embd.weight": t(cfg.n_vocab, d),
+         "output_norm.weight": jnp.ones((d,), jnp.bfloat16),
+         "output.weight": t(cfg.n_vocab, d)}
+    for i in range(cfg.n_layer):
+        pre = f"blk.{i}."
+        p[pre + "attn_norm.weight"] = jnp.ones((d,), jnp.bfloat16)
+        p[pre + "ffn_norm.weight"] = jnp.ones((d,), jnp.bfloat16)
+        p[pre + "attn_q.weight"] = t(cfg.n_head * cfg.qk_head_dim, d)
+        p[pre + "attn_kv_a_mqa.weight"] = t(cfg.kv_lora_rank + cfg.qk_rope_dim, d)
+        p[pre + "attn_kv_a_norm.weight"] = jnp.ones((cfg.kv_lora_rank,), jnp.bfloat16)
+        p[pre + "attn_kv_b.weight"] = t(
+            cfg.n_head * (cfg.qk_nope_dim + cfg.v_head_dim), cfg.kv_lora_rank)
+        p[pre + "attn_output.weight"] = t(d, cfg.n_head * cfg.v_head_dim)
+        p[pre + "ffn_gate.weight"] = t(cfg.n_ff, d)
+        p[pre + "ffn_up.weight"] = t(cfg.n_ff, d)
+        p[pre + "ffn_down.weight"] = t(d, cfg.n_ff)
+    m = Deepseek(p, cfg, max_seq=max(128, 2 * n_tokens + 8), batch=1)
+    cache = m.new_cache(jnp.bfloat16)
+    first = np.asarray([[11]], np.int32)
+    t0 = time.perf_counter()
+    cache, _ = m.decode_greedy(cache, first, 0, n_tokens)
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cache, _ = m.decode_greedy(cache, first, n_tokens, n_tokens)
+    dt = time.perf_counter() - t0
+    tps = n_tokens / dt
+    print(json.dumps({"metric": f"mla_{scale}_bf16_decode_tokens_per_sec_per_chip",
+                      "value": round(tps, 2), "unit": "tokens/s",
+                      "vs_baseline": 0.0}))
+    print(f"# compile {t_compile:.1f}s, {1000 * dt / n_tokens:.2f} ms/tok",
+          file=sys.stderr)
+
+
 def bench_serve():
     """Serving throughput: the continuous-batching Engine drives mixed-length
     requests through GPT-J-6B Q4_K (BENCH_BATCH slots) — aggregate emitted
@@ -573,5 +710,9 @@ if __name__ == "__main__":
         bench_magika()
     elif mode == "serve":
         bench_serve()
+    elif mode == "moe":
+        bench_moe_decode()
+    elif mode == "mla":
+        bench_mla_decode()
     else:
         bench_gptj_q4k()
