@@ -100,7 +100,7 @@ class Engine:
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
         from .models import (deepseek, falcon, gemma2, gpt2, gptj, gptoss,
-                             llama, mamba, neox, phi2)
+                             llama, mamba, neox, phi2, phi3)
 
         self.model = model
         self.cfg = model.cfg
@@ -125,6 +125,8 @@ class Engine:
             self._fwd = gemma2.forward
         elif isinstance(model, phi2.Phi2):
             self._fwd = phi2.forward
+        elif isinstance(model, phi3.Phi3):
+            self._fwd = phi3.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):

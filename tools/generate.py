@@ -22,7 +22,7 @@ def main():
     ap.add_argument("-n", "--n-predict", type=int, default=64)
     ap.add_argument("--arch", choices=["gpt2", "gptj", "llama", "qwen2", "qwen3",
                                        "qwen2moe", "qwen3moe", "deepseek2",
-                                       "gemma2", "gemma3", "phi2", "gptneox",
+                                       "gemma2", "gemma3", "phi2", "phi3", "gptneox",
                                        "falcon", "gpt-oss"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
@@ -61,6 +61,8 @@ def main():
         from ggml_tpu.models.gemma2 import Gemma2 as Model
     elif arch == "phi2":
         from ggml_tpu.models.phi2 import Phi2 as Model
+    elif arch == "phi3":
+        from ggml_tpu.models.phi3 import Phi3 as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
