@@ -99,8 +99,8 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import (deepseek, falcon, gemma2, gpt2, gptj, gptoss,
-                             llama, mamba, neox, phi2, phi3)
+        from .models import (bloom, deepseek, falcon, gemma2, gpt2, gptj,
+                             gptoss, llama, mamba, neox, phi2, phi3)
 
         self.model = model
         self.cfg = model.cfg
@@ -127,6 +127,8 @@ class Engine:
             self._fwd = phi2.forward
         elif isinstance(model, phi3.Phi3):
             self._fwd = phi3.forward
+        elif isinstance(model, bloom.Bloom):
+            self._fwd = bloom.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):
