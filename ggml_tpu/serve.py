@@ -100,7 +100,7 @@ class Engine:
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
         from .models import (bloom, deepseek, falcon, gemma2, gpt2, gptj,
-                             gptoss, llama, mamba, neox, phi2, phi3)
+                             gptoss, llama, mamba, mpt, neox, phi2, phi3)
 
         self.model = model
         self.cfg = model.cfg
@@ -129,6 +129,8 @@ class Engine:
             self._fwd = phi3.forward
         elif isinstance(model, bloom.Bloom):
             self._fwd = bloom.forward
+        elif isinstance(model, mpt.MPT):
+            self._fwd = mpt.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):
