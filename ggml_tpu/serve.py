@@ -100,7 +100,8 @@ class Engine:
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
         from .models import (bloom, deepseek, falcon, gemma2, gpt2, gptj,
-                             gptoss, llama, mamba, mpt, neox, phi2, phi3)
+                             gptoss, llama, mamba, mpt, neox, phi2, phi3,
+                             starcoder)
 
         self.model = model
         self.cfg = model.cfg
@@ -131,6 +132,8 @@ class Engine:
             self._fwd = bloom.forward
         elif isinstance(model, mpt.MPT):
             self._fwd = mpt.forward
+        elif isinstance(model, starcoder.StarCoder):
+            self._fwd = starcoder.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):

@@ -23,7 +23,8 @@ def main():
     ap.add_argument("--arch", choices=["gpt2", "gptj", "llama", "qwen2", "qwen3",
                                        "qwen2moe", "qwen3moe", "deepseek2",
                                        "gemma2", "gemma3", "phi2", "phi3", "gptneox",
-                                       "falcon", "gpt-oss", "bloom", "mpt"], default=None)
+                                       "falcon", "gpt-oss", "bloom", "mpt",
+                                       "starcoder"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -67,6 +68,8 @@ def main():
         from ggml_tpu.models.bloom import Bloom as Model
     elif arch == "mpt":
         from ggml_tpu.models.mpt import MPT as Model
+    elif arch == "starcoder":
+        from ggml_tpu.models.starcoder import StarCoder as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
