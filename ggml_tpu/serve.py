@@ -101,7 +101,7 @@ class Engine:
         head-sharded NamedSharding)."""
         from .models import (bloom, deepseek, falcon, gemma2, gpt2, gptj,
                              gptoss, llama, mamba, mpt, neox, phi2, phi3,
-                             starcoder)
+                             starcoder, starcoder2)
 
         self.model = model
         self.cfg = model.cfg
@@ -134,6 +134,8 @@ class Engine:
             self._fwd = mpt.forward
         elif isinstance(model, starcoder.StarCoder):
             self._fwd = starcoder.forward
+        elif isinstance(model, starcoder2.StarCoder2):
+            self._fwd = starcoder2.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):

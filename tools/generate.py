@@ -24,7 +24,7 @@ def main():
                                        "qwen2moe", "qwen3moe", "deepseek2",
                                        "gemma2", "gemma3", "phi2", "phi3", "gptneox",
                                        "falcon", "gpt-oss", "bloom", "mpt",
-                                       "starcoder"], default=None)
+                                       "starcoder", "starcoder2"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -70,6 +70,8 @@ def main():
         from ggml_tpu.models.mpt import MPT as Model
     elif arch == "starcoder":
         from ggml_tpu.models.starcoder import StarCoder as Model
+    elif arch == "starcoder2":
+        from ggml_tpu.models.starcoder2 import StarCoder2 as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
