@@ -99,9 +99,9 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import (bloom, deepseek, falcon, gemma2, gpt2, gptj,
-                             gptoss, llama, mamba, mpt, neox, phi2, phi3,
-                             starcoder, starcoder2)
+        from .models import (bloom, cohere, deepseek, falcon, gemma2, gpt2,
+                             gptj, gptoss, llama, mamba, mpt, neox, phi2,
+                             phi3, starcoder, starcoder2)
 
         self.model = model
         self.cfg = model.cfg
@@ -136,6 +136,8 @@ class Engine:
             self._fwd = starcoder.forward
         elif isinstance(model, starcoder2.StarCoder2):
             self._fwd = starcoder2.forward
+        elif isinstance(model, cohere.Cohere):
+            self._fwd = cohere.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):

@@ -24,7 +24,8 @@ def main():
                                        "qwen2moe", "qwen3moe", "deepseek2",
                                        "gemma2", "gemma3", "phi2", "phi3", "gptneox",
                                        "falcon", "gpt-oss", "bloom", "mpt",
-                                       "starcoder", "starcoder2"], default=None)
+                                       "starcoder", "starcoder2",
+                                       "command-r"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -72,6 +73,8 @@ def main():
         from ggml_tpu.models.starcoder import StarCoder as Model
     elif arch == "starcoder2":
         from ggml_tpu.models.starcoder2 import StarCoder2 as Model
+    elif arch == "command-r":
+        from ggml_tpu.models.cohere import Cohere as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
