@@ -25,7 +25,7 @@ def main():
                                        "gemma2", "gemma3", "phi2", "phi3", "gptneox",
                                        "falcon", "gpt-oss", "bloom", "mpt",
                                        "starcoder", "starcoder2",
-                                       "command-r"], default=None)
+                                       "command-r", "olmo2"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -75,6 +75,8 @@ def main():
         from ggml_tpu.models.starcoder2 import StarCoder2 as Model
     elif arch == "command-r":
         from ggml_tpu.models.cohere import Cohere as Model
+    elif arch == "olmo2":
+        from ggml_tpu.models.olmo2 import Olmo2 as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
