@@ -58,6 +58,13 @@ class LlamaConfig:
     # expert alongside the routed experts
     moe_renorm: bool = True
     moe_shared: bool = False
+    # granite/granitemoe: fixed scalar multipliers (HF Granite*Config; gguf
+    # keys granite.embedding_scale / residual_scale / attention.scale /
+    # logit_scale — llama.cpp LLM_KV_*_SCALE)
+    embd_scale: float = 1.0
+    resid_scale: float = 1.0
+    attn_scale: float = 0.0  # 0 -> default 1/sqrt(head_dim)
+    logit_scale: float = 1.0  # logits are DIVIDED by this (HF semantics)
     # fused Pallas flash attention for multi-token (prefill-from-empty) steps
     use_flash_prefill: bool = False
     # crossover on v5e: XLA's fused attention wins below ~1-2k tokens, the
@@ -76,10 +83,15 @@ def config_from_gguf(g: GGUFFile) -> LlamaConfig:
     decoupled head_dim (attention.key_length)."""
     md = g.metadata
     a = md.get("general.architecture", "llama")
-    if a not in ("llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe"):
+    if a not in ("llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe",
+                 "granite", "granitemoe"):
         a = "llama"
     return LlamaConfig(
         qk_norm=a in ("qwen3", "qwen3moe"),
+        embd_scale=float(md.get(f"{a}.embedding_scale", 1.0)),
+        resid_scale=float(md.get(f"{a}.residual_scale", 1.0)),
+        attn_scale=float(md.get(f"{a}.attention.scale", 0.0)),
+        logit_scale=float(md.get(f"{a}.logit_scale", 1.0)),
         moe_renorm=(a != "qwen2moe"),
         moe_shared=(a == "qwen2moe"),
         head_dim_override=int(md.get(f"{a}.attention.key_length", 0)),
@@ -289,9 +301,14 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
     positions = pos_start[:, None] + jnp.arange(t)[None, :]
     embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
     x = embd[tokens]
+    if cfg.embd_scale != 1.0:  # granite embedding_multiplier
+        x = x * cfg.embd_scale
     dt = x.dtype
     rep = cfg.n_head // cfg.n_head_kv
-    scale = 1.0 / np.sqrt(cfg.head_dim)
+    scale = cfg.attn_scale or 1.0 / np.sqrt(cfg.head_dim)
+    # granite residual_multiplier on every sublayer output (static no-op
+    # for resid_scale == 1.0 — the Python branch folds at trace time)
+    res = (lambda y: y) if cfg.resid_scale == 1.0 else (lambda y: cfg.resid_scale * y)
 
     cache_dtype = cache[0][0].dtype
     new_cache = list(cache)
@@ -334,21 +351,23 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
             out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
             out = out.reshape(b, cfg.n_head, t, cfg.head_dim).transpose(0, 2, 1, 3)
             attn_out = out.reshape(b, t, cfg.n_head * cfg.head_dim).astype(dt)
-        x = x + _linear(attn_out, params[pre + "attn_output.weight"])
+        x = x + res(_linear(attn_out, params[pre + "attn_output.weight"]))
 
         h = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
         if cfg.n_expert > 0:
-            x = x + moe_ffn_block(params, pre, h, cfg)
+            x = x + res(moe_ffn_block(params, pre, h, cfg))
         else:
             gate = _linear(h, params[pre + "ffn_gate.weight"])
             up = _linear(h, params[pre + "ffn_up.weight"])
-            x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
+            x = x + res(_linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"]))
 
     x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
     w_out = params.get("output.weight", params["token_embd.weight"])  # tied fallback
     if "output.weight" not in params and "token_embd.weight@dense" in params:
         w_out = params["token_embd.weight@dense"]
     logits = _linear(x, w_out)
+    if cfg.logit_scale != 1.0:  # granite logits_scaling divisor
+        logits = logits / cfg.logit_scale
     return logits, tuple(new_cache)
 
 

@@ -159,7 +159,13 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
 
     cfg = model.cfg
     rep = cfg.n_head // cfg.n_head_kv
-    scale = 1.0 / np.sqrt(cfg.head_dim)
+    # granite multipliers (1.0/0.0 for plain llama — static no-ops); paged
+    # must match the dense forward exactly or paged == dense breaks
+    scale = getattr(cfg, "attn_scale", 0.0) or 1.0 / np.sqrt(cfg.head_dim)
+    embd_scale = getattr(cfg, "embd_scale", 1.0)
+    logit_scale = getattr(cfg, "logit_scale", 1.0)
+    rs = getattr(cfg, "resid_scale", 1.0)
+    res = (lambda y: y) if rs == 1.0 else (lambda y: rs * y)
     window = pcfg.max_pages_per_seq * pcfg.page_size
 
     def step(params, pools, tokens, lengths, tables, wpage, woff, active):
@@ -168,6 +174,8 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
         positions = lengths[:, None]
         embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
         x = embd[tokens]
+        if embd_scale != 1.0:
+            x = x * embd_scale
         dt = x.dtype
         new_pools = list(pools)
         for i in range(cfg.n_layer):
@@ -203,22 +211,24 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
             att = jax.nn.softmax(att, axis=-1).astype(vwin.dtype)
             out = jnp.einsum("bgrk,bgkd->bgrd", att, vwin)
             attn_out = out.reshape(b, 1, cfg.n_head * cfg.head_dim).astype(dt)
-            x = x + _linear(attn_out, params[pre + "attn_output.weight"])
+            x = x + res(_linear(attn_out, params[pre + "attn_output.weight"]))
 
             h2 = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
             if getattr(cfg, "n_expert", 0) > 0:  # Mixtral-style MoE
                 from .models.llama import moe_ffn_block
 
-                x = x + moe_ffn_block(params, pre, h2, cfg)
+                x = x + res(moe_ffn_block(params, pre, h2, cfg))
             else:
                 gate = _linear(h2, params[pre + "ffn_gate.weight"])
                 up = _linear(h2, params[pre + "ffn_up.weight"])
-                x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
+                x = x + res(_linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"]))
 
         x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
         w_out = params.get("output.weight", params.get("token_embd.weight@dense",
                                                        params["token_embd.weight"]))
         logits = _linear(x, w_out)[:, 0]
+        if logit_scale != 1.0:
+            logits = logits / logit_scale
         logits = jnp.where(active[:, None], logits, 0.0)
         return logits, tuple(new_pools)
 

@@ -25,7 +25,8 @@ def main():
                                        "gemma2", "gemma3", "phi2", "phi3", "gptneox",
                                        "falcon", "gpt-oss", "bloom", "mpt",
                                        "starcoder", "starcoder2",
-                                       "command-r", "olmo2"], default=None)
+                                       "command-r", "olmo2", "granite",
+                                       "granitemoe"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -54,8 +55,9 @@ def main():
     t_load0 = time.perf_counter()
     if arch == "gptj":
         from ggml_tpu.models.gptj import GPTJ as Model
-    elif arch in ("llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe"):
-        # llama layout (+biases / +qk-norm / +MoE experts)
+    elif arch in ("llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe",
+                  "granite", "granitemoe"):
+        # llama layout (+biases / +qk-norm / +MoE experts / +granite scales)
         from ggml_tpu.models.llama import Llama as Model
     elif arch == "deepseek2":
         from ggml_tpu.models.deepseek import Deepseek as Model
