@@ -100,8 +100,8 @@ class Engine:
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
         from .models import (bloom, cohere, deepseek, falcon, gemma2, gpt2,
-                             gptj, gptoss, llama, mamba, mpt, neox, olmo2,
-                             phi2, phi3, starcoder, starcoder2)
+                             gptj, gptoss, llama, mamba, mpt, nemotron, neox,
+                             olmo2, phi2, phi3, starcoder, starcoder2)
 
         self.model = model
         self.cfg = model.cfg
@@ -140,6 +140,8 @@ class Engine:
             self._fwd = cohere.forward
         elif isinstance(model, olmo2.Olmo2):
             self._fwd = olmo2.forward
+        elif isinstance(model, nemotron.Nemotron):
+            self._fwd = nemotron.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):
