@@ -101,7 +101,8 @@ class Engine:
         head-sharded NamedSharding)."""
         from .models import (bloom, cohere, deepseek, falcon, gemma2, gpt2,
                              gptj, gptoss, llama, mamba, mpt, nemotron, neox,
-                             olmo2, phi2, phi3, starcoder, starcoder2)
+                             olmo2, phi2, phi3, stablelm, starcoder,
+                             starcoder2)
 
         self.model = model
         self.cfg = model.cfg
@@ -142,6 +143,8 @@ class Engine:
             self._fwd = olmo2.forward
         elif isinstance(model, nemotron.Nemotron):
             self._fwd = nemotron.forward
+        elif isinstance(model, stablelm.StableLM):
+            self._fwd = stablelm.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):

@@ -26,7 +26,8 @@ def main():
                                        "falcon", "gpt-oss", "bloom", "mpt",
                                        "starcoder", "starcoder2",
                                        "command-r", "olmo2", "granite",
-                                       "granitemoe", "nemotron"], default=None)
+                                       "granitemoe", "nemotron",
+                                       "stablelm"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -81,6 +82,8 @@ def main():
         from ggml_tpu.models.olmo2 import Olmo2 as Model
     elif arch == "nemotron":
         from ggml_tpu.models.nemotron import Nemotron as Model
+    elif arch == "stablelm":
+        from ggml_tpu.models.stablelm import StableLM as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
