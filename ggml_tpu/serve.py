@@ -99,9 +99,9 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import (bloom, cohere, deepseek, falcon, gemma2, gpt2,
-                             gptj, gptoss, llama, mamba, mpt, nemotron, neox,
-                             olmo2, phi2, phi3, stablelm, starcoder,
+        from .models import (bloom, cohere, deepseek, falcon, gemma2, glm4,
+                             gpt2, gptj, gptoss, llama, mamba, mpt, nemotron,
+                             neox, olmo2, phi2, phi3, stablelm, starcoder,
                              starcoder2)
 
         self.model = model
@@ -145,6 +145,8 @@ class Engine:
             self._fwd = nemotron.forward
         elif isinstance(model, stablelm.StableLM):
             self._fwd = stablelm.forward
+        elif isinstance(model, glm4.GLM4):
+            self._fwd = glm4.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):

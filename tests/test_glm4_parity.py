@@ -1,0 +1,87 @@
+"""GLM-4 family parity vs HF transformers through the GGUF round trip:
+interleaved PARTIAL rope, sandwich RMSNorms, fused gate_up split, qkv
+biases."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax.numpy as jnp
+
+from tools.convert_hf_glm4 import convert_state_dict
+
+from ggml_tpu.gguf import GGUFFile
+from ggml_tpu.models.glm4 import GLM4, config_from_gguf, forward, init_cache
+from ggml_tpu.models.gpt2 import load_params
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    cfg = transformers.Glm4Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, max_position_embeddings=64,
+        rope_theta=10000.0, rms_norm_eps=1e-6, attention_bias=True,
+        attention_dropout=0.0, tie_word_embeddings=False, pad_token_id=0,
+        eos_token_id=1,
+    )
+    torch.manual_seed(53)
+    hf = transformers.Glm4ForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("glm4") / "glm4_tiny.gguf"
+    convert_state_dict(hf.state_dict(), cfg).write(path)
+    return hf, path
+
+
+def _load(path, max_seq=32):
+    g = GGUFFile(path)
+    return GLM4(load_params(g), config_from_gguf(g), max_seq=max_seq, batch=1)
+
+
+def test_glm4_logits_match_hf(tiny):
+    hf, path = tiny
+    g = GGUFFile(path)
+    cfg = config_from_gguf(g)
+    assert cfg.n_rot == 8 and cfg.head_dim == 16  # partial interleaved rope
+    params = load_params(g)
+
+    toks = np.asarray([[3, 14, 15, 92, 6, 53, 8, 1, 77, 30, 200, 4]], np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(toks.astype(np.int64))).logits.numpy()[0]
+    cache = init_cache(cfg, 1, 32, jnp.float32)
+    full, _ = forward(params, cfg, jnp.asarray(toks), jnp.zeros((1,), jnp.int32),
+                      cache, jnp.int32(0))
+    got = np.asarray(full[0], np.float32)
+    nmse = float(((got - want) ** 2).sum() / (want ** 2).sum())
+    assert nmse < 1e-7, nmse
+
+
+def test_glm4_greedy_generation_matches_hf(tiny):
+    hf, path = tiny
+    m = _load(path)
+    toks = np.asarray([[3, 14, 15, 92, 6]], np.int32)
+    out = m.generate(toks, 8)
+    with torch.no_grad():
+        hf_out = hf.generate(torch.from_numpy(toks.astype(np.int64)),
+                             max_new_tokens=8, do_sample=False, num_beams=1)
+    assert [int(x) for x in out] == [int(x) for x in hf_out[0, toks.shape[1]:]]
+
+
+def test_glm4_serving_engine(tiny):
+    _, path = tiny
+    from ggml_tpu.serve import Engine
+
+    m = _load(path)
+    prompts = [[1, 2, 3], [9, 9, 1, 7], [4, 5]]
+    solo = {tuple(p): m.generate(np.asarray([p], np.int32), 6) for p in prompts}
+    eng = Engine(m, max_batch=2, max_seq=32, cache_dtype=jnp.float32)
+    rids = [eng.submit(p, 6) for p in prompts]
+    res = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert res[rid] == solo[tuple(p)], (p, res[rid], solo[tuple(p)])
