@@ -99,10 +99,10 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import (bloom, cohere, deepseek, falcon, gemma2, glm4,
-                             gpt2, gptj, gptoss, llama, mamba, mpt, nemotron,
-                             neox, olmo2, phi2, phi3, stablelm, starcoder,
-                             starcoder2)
+        from .models import (bloom, cohere, dbrx, deepseek, falcon, gemma2,
+                             glm4, gpt2, gptj, gptoss, llama, mamba, mpt,
+                             nemotron, neox, olmo2, phi2, phi3, stablelm,
+                             starcoder, starcoder2)
 
         self.model = model
         self.cfg = model.cfg
@@ -147,6 +147,8 @@ class Engine:
             self._fwd = stablelm.forward
         elif isinstance(model, glm4.GLM4):
             self._fwd = glm4.forward
+        elif isinstance(model, dbrx.DBRX):
+            self._fwd = dbrx.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):

@@ -27,7 +27,7 @@ def main():
                                        "starcoder", "starcoder2",
                                        "command-r", "olmo2", "granite",
                                        "granitemoe", "nemotron",
-                                       "stablelm", "glm4"], default=None)
+                                       "stablelm", "glm4", "dbrx"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -86,6 +86,8 @@ def main():
         from ggml_tpu.models.stablelm import StableLM as Model
     elif arch == "glm4":
         from ggml_tpu.models.glm4 import GLM4 as Model
+    elif arch == "dbrx":
+        from ggml_tpu.models.dbrx import DBRX as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
