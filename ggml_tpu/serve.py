@@ -59,14 +59,17 @@ class Request:
         return np.concatenate([self.prompt, np.asarray(self.out, np.int32)])
 
 
-def _mamba_engine_forward(params, cfg, tokens, pos_start, state, cache_len, *,
-                          prefill=False):
-    """Family-signature adapter for recurrent models: positions/cache_len are
-    vestigial (the conv window + ssm state ARE the sequence memory)."""
-    del pos_start, cache_len, prefill
-    from .models import mamba
+def _recurrent_engine_forward(fwd):
+    """Family-signature adapter for recurrent models (Mamba v1/v2):
+    positions/cache_len are vestigial (the conv window + ssm state ARE the
+    sequence memory)."""
 
-    return mamba.forward(params, cfg, tokens, state)
+    def adapted(params, cfg, tokens, pos_start, state, cache_len, *,
+                prefill=False):
+        del pos_start, cache_len, prefill
+        return fwd(params, cfg, tokens, state)
+
+    return adapted
 
 
 class Engine:
@@ -100,8 +103,8 @@ class Engine:
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
         from .models import (bloom, cohere, dbrx, deepseek, falcon, gemma2,
-                             glm4, gpt2, gptj, gptoss, llama, mamba, mpt,
-                             nemotron, neox, olmo2, phi2, phi3, stablelm,
+                             glm4, gpt2, gptj, gptoss, llama, mamba, mamba2,
+                             mpt, nemotron, neox, olmo2, phi2, phi3, stablelm,
                              starcoder, starcoder2)
 
         self.model = model
@@ -114,7 +117,7 @@ class Engine:
         # (pad tokens would pollute the recurrence — there is no attention
         # mask to hide them behind).  The llama.cpp analog is its recurrent
         # slot cache for the mamba arch.
-        self._recurrent = isinstance(model, mamba.Mamba)
+        self._recurrent = isinstance(model, (mamba.Mamba, mamba2.Mamba2))
         if forward_fn is not None:
             self._fwd = forward_fn
         elif isinstance(model, llama.Llama):
@@ -162,7 +165,9 @@ class Engine:
             # DeepSeek-V3 shapes
             self._fwd = deepseek.forward
         elif self._recurrent:
-            self._fwd = _mamba_engine_forward
+            self._fwd = _recurrent_engine_forward(
+                mamba2.forward if isinstance(model, mamba2.Mamba2)
+                else mamba.forward)
         else:
             raise TypeError(f"Engine cannot drive {type(model).__name__}")
         if self._recurrent and (paged is not None or draft is not None or prefill_chunk):
@@ -176,7 +181,9 @@ class Engine:
         from .models.common import init_layer_cache
 
         if self._recurrent:
-            self._make_cache = lambda b: mamba.init_state(cfgv, b, cache_dtype)
+            _rinit = (mamba2.init_state if isinstance(model, mamba2.Mamba2)
+                      else mamba.init_state)
+            self._make_cache = lambda b: _rinit(cfgv, b, cache_dtype)
         elif isinstance(model, deepseek.Deepseek):
             self._make_cache = lambda b: deepseek.init_cache(
                 cfgv, b, max_seq, cache_dtype)
