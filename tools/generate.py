@@ -27,7 +27,8 @@ def main():
                                        "starcoder", "starcoder2",
                                        "command-r", "olmo2", "granite",
                                        "granitemoe", "nemotron",
-                                       "stablelm", "glm4", "dbrx"], default=None)
+                                       "stablelm", "glm4", "dbrx",
+                                       "phimoe"], default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -88,6 +89,8 @@ def main():
         from ggml_tpu.models.glm4 import GLM4 as Model
     elif arch == "dbrx":
         from ggml_tpu.models.dbrx import DBRX as Model
+    elif arch == "phimoe":
+        from ggml_tpu.models.phimoe import PhiMoE as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
