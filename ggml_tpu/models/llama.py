@@ -65,6 +65,13 @@ class LlamaConfig:
     resid_scale: float = 1.0
     attn_scale: float = 0.0  # 0 -> default 1/sqrt(head_dim)
     logit_scale: float = 1.0  # logits are DIVIDED by this (HF semantics)
+    # smollm3: every nope_interval-th layer (1-indexed) skips rope entirely
+    # (NoPE — the layer attends with no positional signal; gguf key
+    # smollm3.no_rope_layer_interval)
+    nope_interval: int = 0
+    # ernie4_5: GLM-style INTERLEAVED-pair rope over the full head dim
+    # (ggml rope mode 0) instead of rotate-half
+    rope_interleaved: bool = False
     # fused Pallas flash attention for multi-token (prefill-from-empty) steps
     use_flash_prefill: bool = False
     # crossover on v5e: XLA's fused attention wins below ~1-2k tokens, the
@@ -84,9 +91,11 @@ def config_from_gguf(g: GGUFFile) -> LlamaConfig:
     md = g.metadata
     a = md.get("general.architecture", "llama")
     if a not in ("llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe",
-                 "granite", "granitemoe"):
+                 "granite", "granitemoe", "smollm3", "ernie4_5"):
         a = "llama"
     return LlamaConfig(
+        nope_interval=int(md.get(f"{a}.no_rope_layer_interval", 0)),
+        rope_interleaved=(a == "ernie4_5"),
         qk_norm=a in ("qwen3", "qwen3moe"),
         embd_scale=float(md.get(f"{a}.embedding_scale", 1.0)),
         resid_scale=float(md.get(f"{a}.residual_scale", 1.0)),
@@ -326,8 +335,17 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
             q = _rms_norm(q, params[pre + "attn_q_norm.weight"], cfg.rms_eps)
             k = _rms_norm(k, params[pre + "attn_k_norm.weight"], cfg.rms_eps)
 
-        q = _rope_half_scaled(q, positions, cfg).transpose(0, 2, 1, 3)
-        k = _rope_half_scaled(k, positions, cfg).transpose(0, 2, 1, 3)
+        if not (cfg.nope_interval and (i + 1) % cfg.nope_interval == 0):
+            if cfg.rope_interleaved:
+                from .gptj import _rope_interleaved
+
+                q = _rope_interleaved(q, positions, cfg.head_dim, cfg.rope_base)
+                k = _rope_interleaved(k, positions, cfg.head_dim, cfg.rope_base)
+            else:
+                q = _rope_half_scaled(q, positions, cfg)
+                k = _rope_half_scaled(k, positions, cfg)
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
         kc = _cache_write(new_cache[i][0], k.astype(cache_dtype), cache_len)

@@ -189,8 +189,18 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
                 k = _rms_norm(k, params[pre + "attn_k_norm.weight"], cfg.rms_eps)
             # scaled rope (linear/YaRN) must match the dense forward exactly —
             # a scaled-rope GGUF served paged would otherwise silently diverge
-            q = _rope_half_scaled(q, positions, cfg)[:, 0]  # (B, Hq, D)
-            k = _rope_half_scaled(k, positions, cfg)[:, 0]  # (B, Hkv, D)
+            nope = getattr(cfg, "nope_interval", 0)
+            if not (nope and (i + 1) % nope == 0):  # smollm3 NoPE layers
+                if getattr(cfg, "rope_interleaved", False):  # ernie4_5
+                    from .models.gptj import _rope_interleaved
+
+                    q = _rope_interleaved(q, positions, cfg.head_dim, cfg.rope_base)
+                    k = _rope_interleaved(k, positions, cfg.head_dim, cfg.rope_base)
+                else:
+                    q = _rope_half_scaled(q, positions, cfg)
+                    k = _rope_half_scaled(k, positions, cfg)
+            q = q[:, 0]  # (B, Hq, D)
+            k = k[:, 0]  # (B, Hkv, D)
 
             kp, vp = new_pools[i]
             cdt = kp.dtype

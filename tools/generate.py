@@ -28,7 +28,8 @@ def main():
                                        "command-r", "olmo2", "granite",
                                        "granitemoe", "nemotron",
                                        "stablelm", "glm4", "dbrx",
-                                       "phimoe"], default=None)
+                                       "phimoe", "smollm3", "ernie4_5"],
+                    default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
     ap.add_argument("--temp", type=float, default=0.8)
@@ -58,8 +59,9 @@ def main():
     if arch == "gptj":
         from ggml_tpu.models.gptj import GPTJ as Model
     elif arch in ("llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe",
-                  "granite", "granitemoe"):
-        # llama layout (+biases / +qk-norm / +MoE experts / +granite scales)
+                  "granite", "granitemoe", "smollm3", "ernie4_5"):
+        # llama layout (+biases / +qk-norm / +MoE experts / +granite scales
+        # / +NoPE layers / +interleaved rope)
         from ggml_tpu.models.llama import Llama as Model
     elif arch == "deepseek2":
         from ggml_tpu.models.deepseek import Deepseek as Model
