@@ -1,0 +1,189 @@
+"""OLMoE family (llama.cpp arch 'olmoe', AI2 OLMoE-1B-7B) — llama-shaped
+pre-norm decoder with WHOLE-PROJECTION-WIDTH q/k RMSNorm (olmo2-style,
+applied before the head split) and a 64-expert top-8 MoE with
+NON-renormalized gates (softmax over all experts, top-k taken as-is —
+HF norm_topk_prob=False), reusing models.llama.moe_ffn_block.
+
+Architecture semantics match HF transformers.models.olmoe
+(OlmoeForCausalLM).  Reference analog: MUL_MAT_ID
+(include/ggml.h:1121-1125) + rms_norm/rope.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf import GGUFFile
+from .common import cache_write as _cache_write
+from .common import linear as _linear
+from .llama import _rms_norm, _rope_half, moe_ffn_block
+
+
+@dataclass(frozen=True)
+class OlmoEConfig:
+    n_vocab: int = 50304
+    n_ctx: int = 4096
+    n_embd: int = 2048
+    n_head: int = 16
+    n_head_kv: int = 16
+    n_layer: int = 16
+    n_ff: int = 2048
+    n_expert: int = 64
+    n_expert_used: int = 8
+    rope_base: float = 10000.0
+    rms_eps: float = 1e-5
+    # moe_ffn_block contract: OLMoE takes the top-k softmax probs UNrenormalized
+    moe_renorm: bool = False
+    moe_shared: bool = False
+
+    @property
+    def head_dim(self):
+        return self.n_embd // self.n_head
+
+
+def config_from_gguf(g: GGUFFile) -> OlmoEConfig:
+    md = g.metadata
+    a = "olmoe"
+    n_head = int(md[f"{a}.attention.head_count"])
+    return OlmoEConfig(
+        n_vocab=int(md.get(f"{a}.vocab_size", 50304)),
+        n_ctx=int(md[f"{a}.context_length"]),
+        n_embd=int(md[f"{a}.embedding_length"]),
+        n_head=n_head,
+        n_head_kv=int(md.get(f"{a}.attention.head_count_kv", n_head)),
+        n_layer=int(md[f"{a}.block_count"]),
+        n_ff=int(md[f"{a}.feed_forward_length"]),
+        n_expert=int(md[f"{a}.expert_count"]),
+        n_expert_used=int(md[f"{a}.expert_used_count"]),
+        rope_base=float(md.get(f"{a}.rope.freq_base", 10000.0)),
+        rms_eps=float(md.get(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
+    )
+
+
+def init_cache(cfg: OlmoEConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
+    from .common import init_layer_cache
+
+    return init_layer_cache(cfg.n_layer, batch, cfg.n_head_kv, max_seq,
+                            cfg.head_dim, dtype)
+
+
+def forward(params: dict, cfg: OlmoEConfig, tokens, pos_start, cache,
+            cache_len, *, prefill: bool = False):
+    del prefill
+    b, t = tokens.shape
+    max_seq = cache[0][0].shape[-2]
+    positions = pos_start[:, None] + jnp.arange(t)[None, :]
+    embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
+    x = embd[tokens]
+    dt = x.dtype
+    rep = cfg.n_head // cfg.n_head_kv
+    hd = cfg.head_dim
+    scale = hd ** -0.5
+
+    cache_dtype = cache[0][0].dtype
+    new_cache = list(cache)
+    for i in range(cfg.n_layer):
+        pre = f"blk.{i}."
+        h = _rms_norm(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
+        # whole-width q/k RMSNorm BEFORE the head split (olmo2-style)
+        q = _rms_norm(_linear(h, params[pre + "attn_q.weight"]),
+                      params[pre + "attn_q_norm.weight"], cfg.rms_eps)
+        k = _rms_norm(_linear(h, params[pre + "attn_k.weight"]),
+                      params[pre + "attn_k_norm.weight"], cfg.rms_eps)
+        v = _linear(h, params[pre + "attn_v.weight"])
+        q = q.reshape(b, t, cfg.n_head, hd)
+        k = k.reshape(b, t, cfg.n_head_kv, hd)
+        v = v.reshape(b, t, cfg.n_head_kv, hd)
+
+        q = _rope_half(q, positions, cfg.rope_base).transpose(0, 2, 1, 3)
+        k = _rope_half(k, positions, cfg.rope_base).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        kc = _cache_write(new_cache[i][0], k.astype(cache_dtype), cache_len)
+        vc = _cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
+        new_cache[i] = (kc, vc)
+
+        qg = q.reshape(b, cfg.n_head_kv, rep, t, hd)
+        att = jnp.einsum("bgrqd,bgkd->bgrqk", qg.astype(jnp.float32),
+                         kc.astype(jnp.float32),
+                         preferred_element_type=jnp.float32) * scale
+        kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
+        q_pos = positions[:, None, None, :, None]
+        att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
+        att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
+        out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
+        out = out.reshape(b, cfg.n_head, t, hd).transpose(0, 2, 1, 3)
+        attn_out = _linear(out.reshape(b, t, cfg.n_embd).astype(dt),
+                           params[pre + "attn_output.weight"])
+        x = x + attn_out
+
+        h = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
+        x = x + moe_ffn_block(params, pre, h, cfg)
+
+    x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
+    w_out = params.get("output.weight", params["token_embd.weight"])
+    logits = _linear(x, w_out)
+    return logits, tuple(new_cache)
+
+
+class OlmoE:
+    """Inference wrapper (family signature — see models.phi2.Phi2)."""
+
+    def __init__(self, params: dict, cfg: OlmoEConfig, max_seq: int = 2048,
+                 batch: int = 1):
+        self.params = params
+        self.cfg = cfg
+        self.max_seq = max_seq
+        self.batch = batch
+
+        self._step = jax.jit(
+            lambda p, tok, pos, cache, clen: forward(p, cfg, tok, pos, cache, clen),
+            donate_argnums=(3,))
+
+        def decode_loop(params, cache, first_token, n_past, steps_tokens):
+            def body(carry, _):
+                cache, tok, n_past = carry
+                pos0 = jnp.full((tok.shape[0],), n_past, jnp.int32)
+                logits, cache = forward(params, cfg, tok, pos0, cache, n_past)
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+                return (cache, nxt, n_past + 1), nxt[:, 0]
+
+            (cache, tok, n_past), toks = jax.lax.scan(
+                body, (cache, first_token, n_past), steps_tokens)
+            return cache, toks
+
+        self._decode_loop = jax.jit(decode_loop, donate_argnums=(1,))
+
+    @classmethod
+    def from_gguf(cls, path, dtype=jnp.float32, keep_quantized: bool = False, **kw):
+        from .gpt2 import load_params
+
+        g = GGUFFile(path)
+        return cls(load_params(g, dtype, keep_quantized=keep_quantized),
+                   config_from_gguf(g), **kw)
+
+    def new_cache(self, dtype=jnp.bfloat16):
+        return init_cache(self.cfg, self.batch, self.max_seq, dtype)
+
+    def prefill(self, cache, tokens: np.ndarray):
+        tokens = np.asarray(tokens)
+        logits, cache = self._step(self.params, jnp.asarray(tokens),
+                                   jnp.zeros((tokens.shape[0],), jnp.int32),
+                                   cache, jnp.int32(0))
+        return logits[:, -1, :], cache, tokens.shape[1]
+
+    def decode_greedy(self, cache, first_token, n_past: int, n_tokens: int):
+        cache, toks = self._decode_loop(
+            self.params, cache, jnp.asarray(first_token), jnp.int32(n_past),
+            jnp.zeros((n_tokens,), jnp.int32))
+        return cache, np.asarray(toks)
+
+    def generate(self, prompt_tokens: np.ndarray, n_tokens: int, sampler=None,
+                 key=None):
+        from .common import generate
+
+        return generate(self, prompt_tokens, n_tokens, sampler=sampler, key=key)

@@ -104,8 +104,8 @@ class Engine:
         head-sharded NamedSharding)."""
         from .models import (bloom, cohere, dbrx, deepseek, falcon, gemma2,
                              glm4, gpt2, gptj, gptoss, llama, mamba, mamba2,
-                             mpt, nemotron, neox, olmo2, phi2, phi3, phimoe,
-                             stablelm, starcoder, starcoder2)
+                             mpt, nemotron, neox, olmo2, olmoe, phi2, phi3,
+                             phimoe, stablelm, starcoder, starcoder2)
 
         self.model = model
         self.cfg = model.cfg
@@ -154,6 +154,8 @@ class Engine:
             self._fwd = dbrx.forward
         elif isinstance(model, phimoe.PhiMoE):
             self._fwd = phimoe.forward
+        elif isinstance(model, olmoe.OlmoE):
+            self._fwd = olmoe.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):

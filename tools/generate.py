@@ -28,7 +28,8 @@ def main():
                                        "command-r", "olmo2", "granite",
                                        "granitemoe", "nemotron",
                                        "stablelm", "glm4", "dbrx",
-                                       "phimoe", "smollm3", "ernie4_5"],
+                                       "phimoe", "smollm3", "ernie4_5",
+                                       "olmoe"],
                     default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
@@ -93,6 +94,8 @@ def main():
         from ggml_tpu.models.dbrx import DBRX as Model
     elif arch == "phimoe":
         from ggml_tpu.models.phimoe import PhiMoE as Model
+    elif arch == "olmoe":
+        from ggml_tpu.models.olmoe import OlmoE as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
