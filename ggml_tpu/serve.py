@@ -102,8 +102,9 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import (bloom, cohere, dbrx, deepseek, falcon, gemma2,
-                             glm4, gpt2, gptj, gptoss, llama, mamba, mamba2,
+        from .models import (bamba, bloom, cohere, dbrx, deepseek, falcon,
+                             gemma2, glm4, gpt2, gptj, gptoss, llama, mamba,
+                             mamba2,
                              mpt, nemotron, neox, olmo2, olmoe, phi2, phi3,
                              phimoe, stablelm, starcoder, starcoder2)
 
@@ -156,6 +157,13 @@ class Engine:
             self._fwd = phimoe.forward
         elif isinstance(model, olmoe.OlmoE):
             self._fwd = olmoe.forward
+        elif isinstance(model, bamba.Bamba):
+            # hybrid: positions drive the attention layers; the SSD layers
+            # carry their own state in the same (mixed) cache pytree.
+            # Prefill must be EXACT-length — bucket pads would pollute the
+            # SSD recurrence (the attention mask can't hide them there).
+            self._fwd = bamba.forward
+            self._exact_prefill = True
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):
@@ -174,11 +182,12 @@ class Engine:
                 else mamba.forward)
         else:
             raise TypeError(f"Engine cannot drive {type(model).__name__}")
-        if self._recurrent and (paged is not None or draft is not None or prefill_chunk):
+        if (self._recurrent or getattr(self, "_exact_prefill", False)) and (
+                paged is not None or draft is not None or prefill_chunk):
             raise ValueError(
-                "recurrent-state models drive the plain dense engine path "
-                "(no paged KV, no speculative draft, no chunked prefill — "
-                "state cannot be paged or rolled back)"
+                "recurrent-state (and hybrid SSD) models drive the plain "
+                "dense engine path (no paged KV, no speculative draft, no "
+                "chunked prefill — state cannot be paged or rolled back)"
             )
 
         cfgv = self.cfg
@@ -190,6 +199,9 @@ class Engine:
             self._make_cache = lambda b: _rinit(cfgv, b, cache_dtype)
         elif isinstance(model, deepseek.Deepseek):
             self._make_cache = lambda b: deepseek.init_cache(
+                cfgv, b, max_seq, cache_dtype)
+        elif isinstance(model, bamba.Bamba):
+            self._make_cache = lambda b: bamba.init_cache(
                 cfgv, b, max_seq, cache_dtype)
         else:
             n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
@@ -534,7 +546,7 @@ class Engine:
         chunked prefill, which also bounds per-tick latency spikes)."""
         if self.prefill_chunk:
             return self._prefill_chunked(seq)
-        if self._recurrent:
+        if self._recurrent or getattr(self, "_exact_prefill", False):
             bucket = 1  # exact length: pads would pollute the recurrent state
         t = len(seq)
         tb = min(self.max_seq, -(-t // bucket) * bucket)  # padded prompt bucket
