@@ -103,8 +103,8 @@ class Engine:
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
         from .models import (bamba, bloom, cohere, dbrx, deepseek, falcon,
-                             gemma2, glm4, gpt2, gptj, gptoss, llama, mamba,
-                             mamba2,
+                             gemma2, glm4, glm4moe, gpt2, gptj, gptoss,
+                             llama, mamba, mamba2,
                              mpt, nemotron, neox, olmo2, olmoe, phi2, phi3,
                              phimoe, stablelm, starcoder, starcoder2)
 
@@ -151,6 +151,8 @@ class Engine:
             self._fwd = stablelm.forward
         elif isinstance(model, glm4.GLM4):
             self._fwd = glm4.forward
+        elif isinstance(model, glm4moe.GLM4MoE):
+            self._fwd = glm4moe.forward
         elif isinstance(model, dbrx.DBRX):
             self._fwd = dbrx.forward
         elif isinstance(model, phimoe.PhiMoE):
