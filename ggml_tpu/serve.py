@@ -106,7 +106,8 @@ class Engine:
                              gemma2, glm4, glm4moe, gpt2, gptj, gptoss,
                              llama, mamba, mamba2,
                              mpt, nemotron, neox, olmo2, olmoe, phi2, phi3,
-                             phimoe, stablelm, starcoder, starcoder2)
+                             phimoe, qwen3next, stablelm, starcoder,
+                             starcoder2)
 
         self.model = model
         self.cfg = model.cfg
@@ -166,6 +167,10 @@ class Engine:
             # SSD recurrence (the attention mask can't hide them there).
             self._fwd = bamba.forward
             self._exact_prefill = True
+        elif isinstance(model, qwen3next.Qwen3Next):
+            # deltanet hybrid: same mixed-state discipline as bamba
+            self._fwd = qwen3next.forward
+            self._exact_prefill = True
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):
@@ -204,6 +209,9 @@ class Engine:
                 cfgv, b, max_seq, cache_dtype)
         elif isinstance(model, bamba.Bamba):
             self._make_cache = lambda b: bamba.init_cache(
+                cfgv, b, max_seq, cache_dtype)
+        elif isinstance(model, qwen3next.Qwen3Next):
+            self._make_cache = lambda b: qwen3next.init_cache(
                 cfgv, b, max_seq, cache_dtype)
         else:
             n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)

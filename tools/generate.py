@@ -29,7 +29,7 @@ def main():
                                        "granitemoe", "nemotron",
                                        "stablelm", "glm4", "dbrx",
                                        "phimoe", "smollm3", "ernie4_5",
-                                       "olmoe", "glm4moe"],
+                                       "olmoe", "glm4moe", "qwen3next"],
                     default=None)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
@@ -98,6 +98,8 @@ def main():
         from ggml_tpu.models.olmoe import OlmoE as Model
     elif arch == "glm4moe":
         from ggml_tpu.models.glm4moe import GLM4MoE as Model
+    elif arch == "qwen3next":
+        from ggml_tpu.models.qwen3next import Qwen3Next as Model
     elif arch == "gptneox":
         from ggml_tpu.models.neox import NeoX as Model
     elif arch == "falcon":
