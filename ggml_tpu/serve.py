@@ -104,7 +104,7 @@ class Engine:
         head-sharded NamedSharding)."""
         from .models import (bamba, bloom, cohere, dbrx, deepseek, falcon,
                              gemma2, glm4, glm4moe, gpt2, gptj, gptoss,
-                             llama, mamba, mamba2,
+                             jamba, llama, mamba, mamba2,
                              mpt, nemotron, neox, olmo2, olmoe, phi2, phi3,
                              phimoe, qwen3next, stablelm, starcoder,
                              starcoder2)
@@ -171,6 +171,9 @@ class Engine:
             # deltanet hybrid: same mixed-state discipline as bamba
             self._fwd = qwen3next.forward
             self._exact_prefill = True
+        elif isinstance(model, jamba.Jamba):
+            self._fwd = jamba.forward
+            self._exact_prefill = True
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):
@@ -212,6 +215,9 @@ class Engine:
                 cfgv, b, max_seq, cache_dtype)
         elif isinstance(model, qwen3next.Qwen3Next):
             self._make_cache = lambda b: qwen3next.init_cache(
+                cfgv, b, max_seq, cache_dtype)
+        elif isinstance(model, jamba.Jamba):
+            self._make_cache = lambda b: jamba.init_cache(
                 cfgv, b, max_seq, cache_dtype)
         else:
             n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
