@@ -104,10 +104,10 @@ class Engine:
         head-sharded NamedSharding)."""
         from .models import (bamba, bloom, cohere, dbrx, deepseek, falcon,
                              gemma2, glm4, glm4moe, gpt2, gptj, gptoss,
-                             jamba, llama, mamba, mamba2,
+                             jamba, lfm2, llama, llama4, mamba, mamba2,
                              mpt, nemotron, neox, olmo2, olmoe, phi2, phi3,
-                             phimoe, qwen3next, stablelm, starcoder,
-                             starcoder2)
+                             phimoe, qwen3next, recurrentgemma, stablelm,
+                             starcoder, starcoder2)
 
         self.model = model
         self.cfg = model.cfg
@@ -174,6 +174,16 @@ class Engine:
         elif isinstance(model, jamba.Jamba):
             self._fwd = jamba.forward
             self._exact_prefill = True
+        elif isinstance(model, recurrentgemma.RecurrentGemma):
+            # RG-LRU hybrid: pads would poison the conv/LRU recurrence
+            self._fwd = recurrentgemma.forward
+            self._exact_prefill = True
+        elif isinstance(model, lfm2.LFM2):
+            # short-conv hybrid: trailing pads would poison the conv window
+            self._fwd = lfm2.forward
+            self._exact_prefill = True
+        elif isinstance(model, llama4.Llama4):
+            self._fwd = llama4.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):
@@ -218,6 +228,12 @@ class Engine:
                 cfgv, b, max_seq, cache_dtype)
         elif isinstance(model, jamba.Jamba):
             self._make_cache = lambda b: jamba.init_cache(
+                cfgv, b, max_seq, cache_dtype)
+        elif isinstance(model, recurrentgemma.RecurrentGemma):
+            self._make_cache = lambda b: recurrentgemma.init_cache(
+                cfgv, b, max_seq, cache_dtype)
+        elif isinstance(model, lfm2.LFM2):
+            self._make_cache = lambda b: lfm2.init_cache(
                 cfgv, b, max_seq, cache_dtype)
         else:
             n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
