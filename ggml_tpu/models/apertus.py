@@ -1,13 +1,15 @@
-"""GLM-4-MoE family (llama.cpp arch 'glm4moe' — GLM-4.5 / GLM-4.6) — GQA
-with partial rotate-half rope and optional per-head q/k RMSNorm, a
-DeepSeek-style routed MoE (sigmoid scores, selection-only correction
-bias, group-limited top-k, renormalized, routed scaling factor) with one
-always-on shared expert, and the first first_k_dense_replace layers
-running a plain dense SwiGLU instead of the MoE.
+"""Apertus family (Swiss AI Apertus-8B/70B, HF arch 'apertus') — llama-
+shaped GQA decoder with two twists: per-head q/k RMSNorm applied BEFORE
+rope (qwen3 order), and a NON-gated MLP with the xIELU activation
+(arXiv:2411.13010) whose alpha_p/alpha_n are LEARNED per layer:
 
-Routing/expert compute is SHARED with models.deepseek (deepseek_route /
-_moe_block — gate-for-gate the HF Glm4MoeTopkRouter semantics).
-Architecture matches HF transformers.models.glm4_moe (Glm4MoeForCausalLM).
+    xielu(x) = a_p·x² + β·x                      for x > 0
+             = a_n·(expm1(min(x, eps)) − x) + β·x otherwise
+    a_p = softplus(alpha_p),  a_n = β + softplus(alpha_n)
+
+β=0.5 and eps≈−1e-6 are bf16 buffers in the HF reference
+(transformers.activations.XIELUActivation._xielu_python) — the converter
+stores the bf16-rounded values so parity is exact in f32.
 """
 
 from __future__ import annotations
@@ -20,113 +22,92 @@ import numpy as np
 
 from ..gguf import GGUFFile
 from .common import cache_write as _cache_write
+from .common import init_layer_cache
 from .common import linear as _linear
-from .deepseek import _moe_block
-from .llama import _rms_norm
-from .phi2 import _rope_half_partial
+from .llama import _rms_norm, _rope_half
 
 
 @dataclass(frozen=True)
-class GLM4MoEConfig:
-    n_vocab: int = 151552
-    n_ctx: int = 131072
+class ApertusConfig:
+    n_vocab: int = 131072
+    n_ctx: int = 65536
     n_embd: int = 4096
-    n_head: int = 96
+    n_head: int = 32
     n_head_kv: int = 8
+    n_layer: int = 32
+    n_ff: int = 14336
     head_dim: int = 128
-    n_layer: int = 46
-    n_ff: int = 10944  # dense layers
-    n_rot: int = 64
-    rope_base: float = 10000.0
+    rope_base: float = 12000000.0
     rms_eps: float = 1e-5
-    qk_norm: bool = False  # per-head (head_dim,) RMSNorm
-    first_dense: int = 1  # first_k_dense_replace
-    # deepseek_route / _moe_block contract
-    n_expert: int = 128
-    n_expert_used: int = 8
-    n_group: int = 1
-    topk_group: int = 1
-    score_func: str = "sigmoid"
-    moe_renorm: bool = True
-    routed_scale: float = 1.0
+    xielu_beta: float = 0.5
+    xielu_eps: float = -1e-6
 
 
-def config_from_gguf(g: GGUFFile) -> GLM4MoEConfig:
-    """Also reads the 'dots1' arch (rednote dots.llm1): identical DeepSeek
-    routing under qwen3-style attention — full-dim rope (the converter sets
-    rope.dimension_count = head_dim) and optional renorm
-    (dots1.expert_weights_norm = norm_topk_prob)."""
+def config_from_gguf(g: GGUFFile) -> ApertusConfig:
     md = g.metadata
-    a = md.get("general.architecture", "glm4moe")
-    if a not in ("glm4moe", "dots1"):
-        a = "glm4moe"
+    a = "apertus"
     n_head = int(md[f"{a}.attention.head_count"])
     n_embd = int(md[f"{a}.embedding_length"])
-    head_dim = int(md.get(f"{a}.attention.key_length", n_embd // n_head))
-    gating = int(md.get(f"{a}.expert_gating_func", 2))  # 1 softmax, 2 sigmoid
-    return GLM4MoEConfig(
-        n_vocab=int(md.get(f"{a}.vocab_size", 151552)),
+    return ApertusConfig(
+        n_vocab=int(md[f"{a}.vocab_size"]),
         n_ctx=int(md[f"{a}.context_length"]),
         n_embd=n_embd,
         n_head=n_head,
         n_head_kv=int(md.get(f"{a}.attention.head_count_kv", n_head)),
-        head_dim=head_dim,
         n_layer=int(md[f"{a}.block_count"]),
         n_ff=int(md[f"{a}.feed_forward_length"]),
-        n_rot=int(md.get(f"{a}.rope.dimension_count", head_dim // 2)),
-        rope_base=float(md.get(f"{a}.rope.freq_base", 10000.0)),
+        head_dim=int(md.get(f"{a}.attention.key_length", n_embd // n_head)),
+        rope_base=float(md.get(f"{a}.rope.freq_base", 12000000.0)),
         rms_eps=float(md.get(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
-        qk_norm="blk.0.attn_q_norm.weight" in g.tensors,
-        first_dense=int(md.get(f"{a}.leading_dense_block_count", 1)),
-        n_expert=int(md[f"{a}.expert_count"]),
-        n_expert_used=int(md[f"{a}.expert_used_count"]),
-        n_group=int(md.get(f"{a}.expert_group_count", 1)),
-        topk_group=int(md.get(f"{a}.expert_group_used_count", 1)),
-        score_func="sigmoid" if gating == 2 else "softmax",
-        routed_scale=float(md.get(f"{a}.expert_weights_scale", 1.0)),
-        moe_renorm=bool(md.get(f"{a}.expert_weights_norm", True)),
+        xielu_beta=float(md.get(f"{a}.xielu.beta", 0.5)),
+        xielu_eps=float(md.get(f"{a}.xielu.eps", -1e-6)),
     )
 
 
-def init_cache(cfg: GLM4MoEConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
-    from .common import init_layer_cache
-
+def init_cache(cfg: ApertusConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
     return init_layer_cache(cfg.n_layer, batch, cfg.n_head_kv, max_seq,
                             cfg.head_dim, dtype)
 
 
-def forward(params: dict, cfg: GLM4MoEConfig, tokens, pos_start, cache,
+def _xielu(x, a_p, a_n, beta: float, eps: float):
+    """a_p/a_n are the RESOLVED coefficients: the converter applies the
+    softplus (in bf16, matching HF's bf16 activation parameters) so the
+    hot path is two fused polynomials and a select."""
+    xf = x.astype(jnp.float32)
+    pos = a_p.astype(jnp.float32) * xf * xf + beta * xf
+    neg = (a_n.astype(jnp.float32) * (jnp.expm1(jnp.minimum(xf, eps)) - xf)
+           + beta * xf)
+    return jnp.where(xf > 0, pos, neg).astype(x.dtype)
+
+
+def forward(params: dict, cfg: ApertusConfig, tokens, pos_start, cache,
             cache_len, *, prefill: bool = False):
     del prefill
     b, t = tokens.shape
-    max_seq = cache[0][0].shape[-2]
     positions = pos_start[:, None] + jnp.arange(t)[None, :]
+    max_seq = cache[0][0].shape[-2]
     embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
     x = embd[tokens]
-    dt = x.dtype
-    rep = cfg.n_head // cfg.n_head_kv
     hd = cfg.head_dim
-    scale = hd ** -0.5
+    rep = cfg.n_head // cfg.n_head_kv
+    kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
+    q_pos = positions[:, None, None, :, None]
 
-    cache_dtype = cache[0][0].dtype
     new_cache = list(cache)
     for i in range(cfg.n_layer):
         pre = f"blk.{i}."
         h = _rms_norm(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
-        q = _linear(h, params[pre + "attn_q.weight"], params.get(pre + "attn_q.bias"))
-        k = _linear(h, params[pre + "attn_k.weight"], params.get(pre + "attn_k.bias"))
-        v = _linear(h, params[pre + "attn_v.weight"], params.get(pre + "attn_v.bias"))
-        q = q.reshape(b, t, cfg.n_head, hd)
-        k = k.reshape(b, t, cfg.n_head_kv, hd)
-        v = v.reshape(b, t, cfg.n_head_kv, hd)
-        if cfg.qk_norm:  # per-head RMSNorm over head_dim, pre-rope
-            q = _rms_norm(q, params[pre + "attn_q_norm.weight"], cfg.rms_eps)
-            k = _rms_norm(k, params[pre + "attn_k_norm.weight"], cfg.rms_eps)
-
-        q = _rope_half_partial(q, positions, cfg.n_rot, cfg.rope_base).transpose(0, 2, 1, 3)
-        k = _rope_half_partial(k, positions, cfg.n_rot, cfg.rope_base).transpose(0, 2, 1, 3)
+        dt_ = h.dtype
+        q = _linear(h, params[pre + "attn_q.weight"]).reshape(b, t, cfg.n_head, hd)
+        k = _linear(h, params[pre + "attn_k.weight"]).reshape(b, t, cfg.n_head_kv, hd)
+        v = _linear(h, params[pre + "attn_v.weight"]).reshape(b, t, cfg.n_head_kv, hd)
+        q = _rms_norm(q, params[pre + "attn_q_norm.weight"], cfg.rms_eps)
+        k = _rms_norm(k, params[pre + "attn_k_norm.weight"], cfg.rms_eps)
+        q = _rope_half(q, positions, cfg.rope_base).transpose(0, 2, 1, 3)
+        k = _rope_half(k, positions, cfg.rope_base).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
+        cache_dtype = new_cache[i][0].dtype
         kc = _cache_write(new_cache[i][0], k.astype(cache_dtype), cache_len)
         vc = _cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
         new_cache[i] = (kc, vc)
@@ -134,24 +115,20 @@ def forward(params: dict, cfg: GLM4MoEConfig, tokens, pos_start, cache,
         qg = q.reshape(b, cfg.n_head_kv, rep, t, hd)
         att = jnp.einsum("bgrqd,bgkd->bgrqk", qg.astype(jnp.float32),
                          kc.astype(jnp.float32),
-                         preferred_element_type=jnp.float32) * scale
-        kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
-        q_pos = positions[:, None, None, :, None]
+                         preferred_element_type=jnp.float32) * (hd ** -0.5)
         att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
         att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
         out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
         out = out.reshape(b, cfg.n_head, t, hd).transpose(0, 2, 1, 3)
-        attn_out = _linear(out.reshape(b, t, cfg.n_head * hd).astype(dt),
-                           params[pre + "attn_output.weight"])
-        x = x + attn_out
+        x = x + _linear(out.reshape(b, t, cfg.n_head * hd).astype(dt_),
+                        params[pre + "attn_output.weight"])
 
         h = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
-        if i < cfg.first_dense:
-            gate = _linear(h, params[pre + "ffn_gate.weight"])
-            up = _linear(h, params[pre + "ffn_up.weight"])
-            x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
-        else:
-            x = x + _moe_block(params, pre, h, cfg)
+        up = _linear(h, params[pre + "ffn_up.weight"])
+        act = _xielu(up, params[pre + "ffn_act.alpha_p"],
+                     params[pre + "ffn_act.alpha_n"],
+                     cfg.xielu_beta, cfg.xielu_eps)
+        x = x + _linear(act, params[pre + "ffn_down.weight"])
 
     x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
     w_out = params.get("output.weight", params["token_embd.weight"])
@@ -159,10 +136,10 @@ def forward(params: dict, cfg: GLM4MoEConfig, tokens, pos_start, cache,
     return logits, tuple(new_cache)
 
 
-class GLM4MoE:
+class Apertus:
     """Inference wrapper (family signature — see models.phi2.Phi2)."""
 
-    def __init__(self, params: dict, cfg: GLM4MoEConfig, max_seq: int = 2048,
+    def __init__(self, params: dict, cfg: ApertusConfig, max_seq: int = 2048,
                  batch: int = 1):
         self.params = params
         self.cfg = cfg

@@ -91,11 +91,12 @@ def config_from_gguf(g: GGUFFile) -> LlamaConfig:
     md = g.metadata
     a = md.get("general.architecture", "llama")
     if a not in ("llama", "qwen2", "qwen3", "qwen2moe", "qwen3moe",
-                 "granite", "granitemoe", "smollm3", "ernie4_5"):
+                 "granite", "granitemoe", "smollm3", "ernie4_5",
+                 "helium", "seed_oss"):
         a = "llama"
     return LlamaConfig(
         nope_interval=int(md.get(f"{a}.no_rope_layer_interval", 0)),
-        rope_interleaved=(a == "ernie4_5"),
+        rope_interleaved=(a in ("ernie4_5", "helium")),
         qk_norm=a in ("qwen3", "qwen3moe"),
         embd_scale=float(md.get(f"{a}.embedding_scale", 1.0)),
         resid_scale=float(md.get(f"{a}.residual_scale", 1.0)),

@@ -102,7 +102,8 @@ class Engine:
         for tensor-parallel multi-chip serving.  cache_put: optional callable
         applied to the freshly created KV cache (e.g. a device_put with a
         head-sharded NamedSharding)."""
-        from .models import (bamba, bloom, cohere, dbrx, deepseek, falcon,
+        from .models import (apertus, bamba, bloom, cohere, dbrx, deepseek,
+                             falcon,
                              gemma2, glm4, glm4moe, gpt2, gptj, gptoss,
                              jamba, lfm2, llama, llama4, mamba, mamba2,
                              mpt, nemotron, neox, olmo2, olmoe, phi2, phi3,
@@ -184,6 +185,8 @@ class Engine:
             self._exact_prefill = True
         elif isinstance(model, llama4.Llama4):
             self._fwd = llama4.forward
+        elif isinstance(model, apertus.Apertus):
+            self._fwd = apertus.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):

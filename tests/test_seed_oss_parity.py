@@ -1,0 +1,71 @@
+"""Seed-OSS (ByteDance) parity vs HF transformers through the llama
+family: llama layout + qkv biases (attention_bias=True, out bias off) +
+decoupled head_dim."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax.numpy as jnp
+
+from tools.convert_hf_seed_oss import convert_state_dict
+
+from ggml_tpu.gguf import GGUFFile
+from ggml_tpu.models.gpt2 import load_params
+from ggml_tpu.models.llama import Llama, config_from_gguf, forward, init_cache
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    cfg = transformers.SeedOssConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rope_theta=10000.0,
+        rope_scaling=None, rms_norm_eps=1e-6, tie_word_embeddings=False,
+        attention_bias=True, attention_out_bias=False, mlp_bias=False,
+        attention_dropout=0.0, pad_token_id=0,
+    )
+    torch.manual_seed(88)
+    hf = transformers.SeedOssForCausalLM(cfg).eval()
+    path = tmp_path_factory.mktemp("seedoss") / "seedoss_tiny.gguf"
+    convert_state_dict(hf.state_dict(), cfg).write(path)
+    return hf, path
+
+
+def test_seed_oss_logits_match_hf(tiny):
+    hf, path = tiny
+    g = GGUFFile(path)
+    cfg = config_from_gguf(g)
+    assert cfg.head_dim == 16
+    params = load_params(g)
+    assert "blk.0.attn_q.bias" in params  # qkv biases survived the round trip
+    assert "blk.0.attn_output.bias" not in params
+
+    toks = np.asarray([[3, 14, 15, 92, 6, 53, 8, 1, 77, 30, 200, 4]], np.int32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(toks.astype(np.int64))).logits.numpy()[0]
+    cache = init_cache(cfg, 1, 32, jnp.float32)
+    full, _ = forward(params, cfg, jnp.asarray(toks), jnp.zeros((1,), jnp.int32),
+                      cache, jnp.int32(0))
+    got = np.asarray(full[0], np.float32)
+    nmse = float(((got - want) ** 2).sum() / (want ** 2).sum())
+    assert nmse < 1e-7, nmse
+
+
+def test_seed_oss_greedy_generation_matches_hf(tiny):
+    hf, path = tiny
+    g = GGUFFile(path)
+    m = Llama(load_params(g), config_from_gguf(g), max_seq=32, batch=1)
+    toks = np.asarray([[3, 14, 15, 92, 6]], np.int32)
+    out = m.generate(toks, 8)
+    with torch.no_grad():
+        hf_out = hf.generate(torch.from_numpy(toks.astype(np.int64)),
+                             max_new_tokens=8, do_sample=False, num_beams=1)
+    assert [int(x) for x in out] == [int(x) for x in hf_out[0, toks.shape[1]:]]
