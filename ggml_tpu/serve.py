@@ -105,6 +105,7 @@ class Engine:
         from .models import (apertus, bamba, bloom, cohere, dbrx, deepseek,
                              falcon,
                              gemma2, glm4, glm4moe, gpt2, gptj, gptoss,
+                             granitehybrid,
                              jamba, lfm2, llama, llama4, mamba, mamba2,
                              mpt, nemotron, neox, olmo2, olmoe, phi2, phi3,
                              phimoe, qwen3next, recurrentgemma, stablelm,
@@ -175,6 +176,9 @@ class Engine:
         elif isinstance(model, jamba.Jamba):
             self._fwd = jamba.forward
             self._exact_prefill = True
+        elif isinstance(model, granitehybrid.GraniteHybrid):
+            self._fwd = granitehybrid.forward
+            self._exact_prefill = True
         elif isinstance(model, recurrentgemma.RecurrentGemma):
             # RG-LRU hybrid: pads would poison the conv/LRU recurrence
             self._fwd = recurrentgemma.forward
@@ -237,6 +241,9 @@ class Engine:
                 cfgv, b, max_seq, cache_dtype)
         elif isinstance(model, lfm2.LFM2):
             self._make_cache = lambda b: lfm2.init_cache(
+                cfgv, b, max_seq, cache_dtype)
+        elif isinstance(model, granitehybrid.GraniteHybrid):
+            self._make_cache = lambda b: granitehybrid.init_cache(
                 cfgv, b, max_seq, cache_dtype)
         else:
             n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
