@@ -107,6 +107,7 @@ class Engine:
                              gemma2, glm4, glm4moe, gpt2, gptj, gptoss,
                              granitehybrid,
                              jamba, lfm2, llama, llama4, mamba, mamba2,
+                             minimax,
                              mpt, nemotron, neox, olmo2, olmoe, phi2, phi3,
                              phimoe, qwen3next, recurrentgemma, stablelm,
                              starcoder, starcoder2)
@@ -179,6 +180,10 @@ class Engine:
         elif isinstance(model, granitehybrid.GraniteHybrid):
             self._fwd = granitehybrid.forward
             self._exact_prefill = True
+        elif isinstance(model, minimax.MiniMax):
+            # lightning-attention hybrid: pads would decay into the state
+            self._fwd = minimax.forward
+            self._exact_prefill = True
         elif isinstance(model, recurrentgemma.RecurrentGemma):
             # RG-LRU hybrid: pads would poison the conv/LRU recurrence
             self._fwd = recurrentgemma.forward
@@ -244,6 +249,9 @@ class Engine:
                 cfgv, b, max_seq, cache_dtype)
         elif isinstance(model, granitehybrid.GraniteHybrid):
             self._make_cache = lambda b: granitehybrid.init_cache(
+                cfgv, b, max_seq, cache_dtype)
+        elif isinstance(model, minimax.MiniMax):
+            self._make_cache = lambda b: minimax.init_cache(
                 cfgv, b, max_seq, cache_dtype)
         else:
             n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
