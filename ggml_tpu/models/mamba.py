@@ -10,6 +10,10 @@ ssm state) per layer instead of a KV cache.
 
 GGUF tensor naming follows llama.cpp's mamba converter (ssm_in / ssm_conv1d /
 ssm_x / ssm_dt / ssm_a / ssm_d / ssm_out).
+
+Also serves the 'falcon_mamba' arch (TII FalconMamba): identical mixer
+plus a WEIGHTLESS RMS normalization of the dt/B/C selection streams
+(HF falcon_mamba rms_forward, eps = mixer_rms_eps > 0 enables it).
 """
 
 from __future__ import annotations
@@ -35,21 +39,33 @@ class MambaConfig:
     dt_rank: int = 48
     n_layer: int = 24
     rms_eps: float = 1e-5
+    mixer_rms_eps: float = 0.0  # falcon_mamba: weightless rms on dt/B/C
 
 
 def config_from_gguf(g: GGUFFile) -> MambaConfig:
     md = g.metadata
+    a = md.get("general.architecture", "mamba")
+    if a not in ("mamba", "falcon_mamba"):
+        a = "mamba"
     return MambaConfig(
-        n_vocab=int(md.get("mamba.vocab_size", 50280)),
-        n_ctx=int(md.get("mamba.context_length", 2048)),
-        n_embd=int(md["mamba.embedding_length"]),
-        d_inner=int(md["mamba.ssm.inner_size"]),
-        d_conv=int(md["mamba.ssm.conv_kernel"]),
-        d_state=int(md["mamba.ssm.state_size"]),
-        dt_rank=int(md["mamba.ssm.time_step_rank"]),
-        n_layer=int(md["mamba.block_count"]),
-        rms_eps=float(md.get("mamba.attention.layer_norm_rms_epsilon", 1e-5)),
+        n_vocab=int(md.get(f"{a}.vocab_size", 50280)),
+        n_ctx=int(md.get(f"{a}.context_length", 2048)),
+        n_embd=int(md[f"{a}.embedding_length"]),
+        d_inner=int(md[f"{a}.ssm.inner_size"]),
+        d_conv=int(md[f"{a}.ssm.conv_kernel"]),
+        d_state=int(md[f"{a}.ssm.state_size"]),
+        dt_rank=int(md[f"{a}.ssm.time_step_rank"]),
+        n_layer=int(md[f"{a}.block_count"]),
+        rms_eps=float(md.get(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)),
+        mixer_rms_eps=float(md.get(f"{a}.ssm.mixer_rms_eps", 0.0)),
     )
+
+
+def _rms_plain(x, eps):
+    """Weightless RMS normalization (falcon_mamba rms_forward)."""
+    xf = x.astype(jnp.float32)
+    v = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(v + eps)).astype(x.dtype)
 
 
 def _rms_norm(x, w, eps):
@@ -98,6 +114,10 @@ def forward(params: dict, cfg: MambaConfig, tokens, state):
 
         x_dbl = _linear(xc, params[pre + "ssm_x.weight"])
         dt, Bm, Cm = jnp.split(x_dbl, [cfg.dt_rank, cfg.dt_rank + cfg.d_state], axis=-1)
+        if cfg.mixer_rms_eps:  # falcon_mamba: weightless rms on the selection
+            dt = _rms_plain(dt, cfg.mixer_rms_eps)
+            Bm = _rms_plain(Bm, cfg.mixer_rms_eps)
+            Cm = _rms_plain(Cm, cfg.mixer_rms_eps)
         dt = _linear(dt, params[pre + "ssm_dt.weight"], params[pre + "ssm_dt.bias"])
         A = -jnp.exp(params[pre + "ssm_a"].astype(jnp.float32))  # (d_inner, d_state)
 

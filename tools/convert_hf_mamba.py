@@ -1,5 +1,7 @@
-"""Convert a HuggingFace Mamba checkpoint to GGUF (llama.cpp 'mamba' keys:
-ssm_in / ssm_conv1d / ssm_x / ssm_dt / ssm_a / ssm_d / ssm_out)."""
+"""Convert a HuggingFace Mamba or FalconMamba checkpoint to GGUF
+(llama.cpp 'mamba' keys: ssm_in / ssm_conv1d / ssm_x / ssm_dt / ssm_a /
+ssm_d / ssm_out).  FalconMamba configs (mixer_rms_eps attribute) land as
+arch 'falcon_mamba' with the ssm.mixer_rms_eps key — same tensor map."""
 
 import sys
 
@@ -14,16 +16,19 @@ def convert_state_dict(sd: dict, cfg, ftype: GGMLType = GGMLType.F32) -> GGUFWri
     w = GGUFWriter()
     d_inner = cfg.intermediate_size if getattr(cfg, "intermediate_size", None) else cfg.expand * cfg.hidden_size
     dt_rank = cfg.time_step_rank
-    w.add_string("general.architecture", "mamba")
-    w.add_u32("mamba.context_length", getattr(cfg, "max_position_embeddings", 2048) or 2048)
-    w.add_u32("mamba.embedding_length", cfg.hidden_size)
-    w.add_u32("mamba.block_count", cfg.num_hidden_layers)
-    w.add_u32("mamba.vocab_size", cfg.vocab_size)
-    w.add_u32("mamba.ssm.conv_kernel", cfg.conv_kernel)
-    w.add_u32("mamba.ssm.inner_size", d_inner)
-    w.add_u32("mamba.ssm.state_size", cfg.state_size)
-    w.add_u32("mamba.ssm.time_step_rank", dt_rank)
-    w.add_f32("mamba.attention.layer_norm_rms_epsilon", getattr(cfg, "layer_norm_epsilon", 1e-5))
+    a = "falcon_mamba" if getattr(cfg, "mixer_rms_eps", None) else "mamba"
+    w.add_string("general.architecture", a)
+    if a == "falcon_mamba":
+        w.add_f32(f"{a}.ssm.mixer_rms_eps", float(cfg.mixer_rms_eps))
+    w.add_u32(f"{a}.context_length", getattr(cfg, "max_position_embeddings", 2048) or 2048)
+    w.add_u32(f"{a}.embedding_length", cfg.hidden_size)
+    w.add_u32(f"{a}.block_count", cfg.num_hidden_layers)
+    w.add_u32(f"{a}.vocab_size", cfg.vocab_size)
+    w.add_u32(f"{a}.ssm.conv_kernel", cfg.conv_kernel)
+    w.add_u32(f"{a}.ssm.inner_size", d_inner)
+    w.add_u32(f"{a}.ssm.state_size", cfg.state_size)
+    w.add_u32(f"{a}.ssm.time_step_rank", dt_rank)
+    w.add_f32(f"{a}.attention.layer_norm_rms_epsilon", getattr(cfg, "layer_norm_epsilon", 1e-5))
 
     def np_(t):
         return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
