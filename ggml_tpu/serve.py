@@ -43,6 +43,9 @@ class Request:
     on_token: Callable | None = None  # streaming callback (rid, token, done)
     priority: int = 0  # lower = more urgent
     preempted: int = 0  # times evicted back to the queue
+    # per-request sampling overrides ({"temperature", "top_p"}; top_k is
+    # engine-static): temperature == 0 means exact greedy for this request
+    sampling: dict | None = None
     share: "_PrefillShare | None" = None  # forked-generation prefill share
     # device->host KV snapshot taken at eviction: {"cache": host pytree,
     # "n_past": int, "cur_tok": int, "draft": host pytree | None}.  Resume
@@ -297,6 +300,40 @@ class Engine:
         self._pick = pick
         self._pick_jit = jax.jit(pick)
 
+        # -- per-request sampling (the server path) --------------------------
+        # slot-vector temperature/top_p with an engine-static top_k; a slot
+        # with temperature == 0 gets exact greedy argmax.  Activated by the
+        # first submit(sampling=...) — pure engine-level sampling keeps the
+        # original (cheaper) paths and token-for-token reproducibility.
+        base_s = self.sampler or {}
+        self._default_temp = float(base_s.get("temperature", 1.0)) if self.sampler else 0.0
+        self._default_topp = float(base_s.get("top_p", 0.9)) if self.sampler else 1.0
+        self._slot_top_k = int(base_s.get("top_k", 40))
+        self._slot_temp = np.full(max_batch, self._default_temp, np.float32)
+        self._slot_topp = np.full(max_batch, self._default_topp, np.float32)
+        self._any_slot_sampling = False
+
+        def pick_slot_vec(logits2d, key, temp, topp):
+            """(B, vocab) logits + per-slot (B,) temperature/top_p."""
+            from .sampling import sample_top_k_top_p
+
+            k = min(self._slot_top_k, logits2d.shape[-1])
+            sampled, key = sample_top_k_top_p(
+                logits2d, key, temperature=jnp.maximum(temp, 1e-6)[:, None],
+                top_k=k, top_p=topp[:, None])
+            greedy = jnp.argmax(logits2d, axis=-1).astype(jnp.int32)
+            return jnp.where(temp > 0, sampled, greedy), key
+
+        self._pick_slot_vec_jit = jax.jit(pick_slot_vec)
+
+        def step_vec(params, cache, tokens, n_past, active, key, temp, topp):
+            logits, cache = self._fwd(params, cfgv, tokens, n_past, cache, n_past)
+            nxt, key = pick_slot_vec(logits[:, -1, :], key, temp, topp)
+            nxt = jnp.where(active, nxt, 0)
+            return nxt, cache, key
+
+        self._step_vec = jax.jit(step_vec, donate_argnums=(1,))
+
         def step(params, cache, tokens, n_past, active, key):
             """tokens (B,1); n_past (B,) per-slot positions; active (B,) bool.
             Returns (next_token (B,), cache, key)."""
@@ -424,20 +461,32 @@ class Engine:
 
     # -- public API -------------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int, on_token=None, priority: int = 0) -> int:
+    def submit(self, prompt, max_new_tokens: int, on_token=None, priority: int = 0,
+               sampling: dict | None = None) -> int:
         """on_token: optional streaming callback (rid, token, done) invoked as
         each token is produced — tokens arrive before the request completes.
         priority: lower is more urgent; when all slots are busy, an arriving
         higher-priority request preempts the lowest-priority running one
-        (which is requeued and later resumes by re-prefilling its sequence)."""
+        (which is requeued and later resumes by re-prefilling its sequence).
+        sampling: per-request {"temperature", "top_p"} overrides (top_k is
+        engine-static); temperature == 0 -> exact greedy for this request."""
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) >= self.max_seq:
             raise ValueError(
                 f"prompt length {len(prompt)} exceeds engine max_seq {self.max_seq}"
             )
+        if sampling is not None:
+            if self.draft is not None:
+                raise ValueError("per-request sampling is not supported in "
+                                 "speculative mode (engine-level sampler only)")
+            bad = set(sampling) - {"temperature", "top_p"}
+            if bad:
+                raise ValueError(f"unknown sampling keys: {sorted(bad)}")
+            self._any_slot_sampling = True
         self._rid += 1
         self.queue.append(
-            Request(self._rid, prompt, max_new_tokens, on_token=on_token, priority=priority)
+            Request(self._rid, prompt, max_new_tokens, on_token=on_token,
+                    priority=priority, sampling=sampling)
         )
         return self._rid
 
@@ -493,6 +542,27 @@ class Engine:
                     if self.paged is not None:
                         self.mgr.release(i)
         return results
+
+    def serve_forever(self, stop_event, bucket: int = 32, idle_sleep: float = 0.005):
+        """Long-running server loop: keeps admitting/ticking as requests
+        arrive (submit() may be called from other threads BETWEEN ticks —
+        the HTTP front end in tools/server.py routes all engine calls
+        through one worker thread) until stop_event is set.  Completed
+        requests are released from their slots; results are delivered via
+        each request's on_token streaming callback."""
+        import time as _time
+
+        while not stop_event.is_set():
+            if not self.queue and not any(s is not None for s in self.slots):
+                _time.sleep(idle_sleep)
+                continue
+            self._admit(bucket)
+            self._tick()
+            for i, s in enumerate(self.slots):
+                if s is not None and s.done:
+                    self.slots[i] = None
+                    if self.paged is not None:
+                        self.mgr.release(i)
 
     # -- internals ----------------------------------------------------------------
 
@@ -559,6 +629,7 @@ class Engine:
                 self.draft_cache, jax.tree.map(jnp.asarray, snap["draft"]), i
             )
         self.slots[i] = req
+        self._slot_sampling_set(i, req)
         self.n_past[i] = t
         self.cur_tok[i] = snap["cur_tok"]
         req.snapshot = None
@@ -667,9 +738,21 @@ class Engine:
             self._pending_draft_slot = dslot
         return None, slot_cache, t, t
 
+    def _slot_sampling_set(self, i: int, req: Request):
+        """Install the slot's sampling params when it takes slot i."""
+        s = req.sampling or {}
+        self._slot_temp[i] = float(s.get("temperature", self._default_temp))
+        self._slot_topp[i] = float(s.get("top_p", self._default_topp))
+
     def _emit_first(self, req: Request, i: int, logits):
         """Sample/argmax the first post-prefill token for slot i."""
-        tok_arr, self._key = self._pick(logits, self._key)
+        if self._any_slot_sampling:
+            tok_arr, self._key = self._pick_slot_vec_jit(
+                logits, self._key,
+                jnp.asarray(self._slot_temp[i:i + 1]),
+                jnp.asarray(self._slot_topp[i:i + 1]))
+        else:
+            tok_arr, self._key = self._pick(logits, self._key)
         tok = int(np.asarray(tok_arr)[0])
         self.cur_tok[i] = tok
         req.out.append(tok)
@@ -728,6 +811,7 @@ class Engine:
                         self.draft_cache, self._pending_draft_slot, i
                     )
                 self.slots[i] = req
+                self._slot_sampling_set(i, req)
                 self.n_past[i] = t
                 if logits is not None:
                     self._emit_first(req, i, logits)
@@ -825,9 +909,21 @@ class Engine:
                 jnp.asarray(self.mgr.lengths), jnp.asarray(self.mgr.tables),
                 jnp.asarray(wpage), jnp.asarray(woff), jnp.asarray(active),
             )
-            nxt_arr, self._key = self._pick_jit(logits, self._key)
+            if self._any_slot_sampling:
+                nxt_arr, self._key = self._pick_slot_vec_jit(
+                    logits, self._key, jnp.asarray(self._slot_temp),
+                    jnp.asarray(self._slot_topp))
+            else:
+                nxt_arr, self._key = self._pick_jit(logits, self._key)
             nxt = np.where(active, np.asarray(nxt_arr), 0)
             self.mgr.lengths[active] += 1
+        elif self._any_slot_sampling:
+            nxt, self.cache, self._key = self._step_vec(
+                self.model.params, self.cache, toks, jnp.asarray(self.n_past),
+                jnp.asarray(active), self._key,
+                jnp.asarray(self._slot_temp), jnp.asarray(self._slot_topp),
+            )
+            nxt = np.asarray(nxt)
         else:
             nxt, self.cache, self._key = self._step(
                 self.model.params, self.cache, toks, jnp.asarray(self.n_past),

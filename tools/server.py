@@ -1,0 +1,298 @@
+"""OpenAI-compatible HTTP serving front end over serve.Engine — the
+llama.cpp `llama-server` analog, stdlib-only (ThreadingHTTPServer + SSE).
+
+    python tools/server.py model.gguf --port 8080 --max-batch 8
+
+Endpoints:
+  GET  /health               -> {"status": "ok"}
+  GET  /v1/models            -> model listing
+  POST /v1/completions       -> text or token-array prompt; stream via SSE
+  POST /v1/chat/completions  -> messages with a plain role template
+
+Per-request temperature/top_p ride the engine's slot-vector sampler
+(serve.Engine submit(sampling=...)); temperature 0 = greedy.  All engine
+interaction happens on ONE worker thread (the engine is not thread-safe);
+HTTP handler threads communicate through queue.Queue handoffs, so
+continuous batching interleaves concurrent requests into shared ticks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import sys
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+class ServerState:
+    """Model + engine + the single engine worker thread."""
+
+    def __init__(self, model_path: str, max_batch: int = 4, max_seq: int = 512,
+                 arch: str | None = None, quantized: bool = False,
+                 cache_dtype=None):
+        import jax.numpy as jnp
+
+        from ggml_tpu.gguf import GGUFFile
+        from ggml_tpu.models.registry import load_model, load_tokenizer
+        from ggml_tpu.serve import Engine
+
+        g = GGUFFile(model_path)
+        self.model_id = model_path.rsplit("/", 1)[-1]
+        self.model = load_model(model_path, arch=arch, max_seq=max_seq,
+                                batch=1, keep_quantized=quantized)
+        self.tok = load_tokenizer(g)
+        eos = g.metadata.get("tokenizer.ggml.eos_token_id", -1)
+        eos = int(eos[0] if isinstance(eos, (list, tuple)) else eos)
+        self.eos_id = eos
+        self.engine = Engine(self.model, max_batch=max_batch, max_seq=max_seq,
+                             eos_id=eos,
+                             cache_dtype=cache_dtype or jnp.bfloat16)
+        self.max_seq = max_seq
+        self._lock = threading.Lock()  # serializes submit/cancel vs the loop
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        # one tick at a time; submissions interleave between ticks
+        eng = self.engine
+        while not self._stop.is_set():
+            with self._lock:
+                busy = bool(eng.queue) or any(s is not None for s in eng.slots)
+                if busy:
+                    eng._admit(32)
+                    eng._tick()
+                    for i, s in enumerate(eng.slots):
+                        if s is not None and s.done:
+                            eng.slots[i] = None
+                            if eng.paged is not None:
+                                eng.mgr.release(i)
+            if not busy:
+                time.sleep(0.005)
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def submit(self, prompt_ids, max_new, sampling, on_token):
+        with self._lock:
+            return self.engine.submit(prompt_ids, max_new, on_token=on_token,
+                                      sampling=sampling)
+
+    def cancel(self, rid):
+        with self._lock:
+            return self.engine.cancel(rid)
+
+    # -- text helpers -----------------------------------------------------------
+
+    def encode(self, prompt):
+        if isinstance(prompt, list):  # OpenAI token-array prompts
+            return [int(t) for t in prompt]
+        if self.tok is None:
+            raise ValueError("model GGUF has no tokenizer; pass token-id lists")
+        return self.tok.encode(prompt)
+
+    def decode(self, ids):
+        if self.tok is None:
+            return " ".join(str(i) for i in ids)
+        return self.tok.decode(list(ids))
+
+    def chat_prompt(self, messages) -> str:
+        """Plain role template (no jinja): role: content lines + cue."""
+        lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
+                 for m in messages]
+        return "\n".join(lines) + "\nassistant:"
+
+
+def _sampling_from(body) -> dict | None:
+    temp = float(body.get("temperature", 1.0))
+    top_p = float(body.get("top_p", 1.0))
+    if temp == 0.0:
+        return {"temperature": 0.0}
+    return {"temperature": temp, "top_p": top_p}
+
+
+class _Generation:
+    """Bridges the engine's on_token callback to an HTTP handler thread,
+    applying stop-sequence scanning on the decoded text."""
+
+    def __init__(self, state: ServerState, prompt_ids, max_new, sampling, stops):
+        self.state = state
+        self.q: queue.Queue = queue.Queue()
+        self.ids: list[int] = []
+        self.stops = stops or []
+        self.rid = state.submit(prompt_ids, max_new, sampling,
+                                lambda rid, tok, done: self.q.put((tok, done)))
+
+    def events(self):
+        """Yields (delta_text, finish_reason|None); finish_reason arrives
+        exactly once, on the final event.  Stop strings use holdback: text
+        that could still be the prefix of a stop sequence is withheld until
+        disambiguated, so streamed output never needs retraction."""
+        emitted = 0
+        holdback = max((len(s) - 1 for s in self.stops), default=0)
+        eos = self.state.eos_id
+        while True:
+            tok, done = self.q.get()
+            if tok == eos and eos >= 0:
+                yield "", "stop"
+                return
+            self.ids.append(tok)
+            text = self.state.decode(self.ids)
+            hit_at = min((text.index(s) for s in self.stops if s in text),
+                         default=-1)
+            if hit_at >= 0:
+                self.state.cancel(self.rid)
+                yield text[emitted:hit_at] if hit_at > emitted else "", "stop"
+                return
+            if done:
+                yield text[emitted:], "length"
+                return
+            safe = max(emitted, len(text) - holdback)
+            if safe > emitted:
+                yield text[emitted:safe], None
+                emitted = safe
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code, obj):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._json(200, {"status": "ok"})
+            if self.path == "/v1/models":
+                return self._json(200, {"object": "list", "data": [
+                    {"id": state.model_id, "object": "model",
+                     "owned_by": "ggml_tpu"}]})
+            return self._json(404, {"error": "not found"})
+
+        def _read_body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
+        def do_POST(self):
+            try:
+                if self.path == "/v1/completions":
+                    return self._completions(chat=False)
+                if self.path == "/v1/chat/completions":
+                    return self._completions(chat=True)
+                return self._json(404, {"error": "not found"})
+            except ValueError as e:
+                return self._json(400, {"error": {"message": str(e)}})
+
+        def _completions(self, chat: bool):
+            body = self._read_body()
+            if chat:
+                prompt_ids = state.encode(state.chat_prompt(body.get("messages", [])))
+            else:
+                prompt_ids = state.encode(body.get("prompt", ""))
+            if len(prompt_ids) >= state.max_seq:
+                raise ValueError(f"prompt of {len(prompt_ids)} tokens exceeds "
+                                 f"max_seq {state.max_seq}")
+            max_new = int(body.get("max_tokens", 16))
+            max_new = min(max_new, state.max_seq - len(prompt_ids) - 1)
+            stops = body.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
+            gen = _Generation(state, prompt_ids, max_new,
+                              _sampling_from(body), stops)
+            rid = f"cmpl-{uuid.uuid4().hex[:12]}"
+            created = int(time.time())
+            kind = "chat.completion" if chat else "text_completion"
+
+            if body.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def raw_chunk(data: bytes):
+                    self.wfile.write(hex(len(data))[2:].encode() + b"\r\n"
+                                     + data + b"\r\n")
+
+                for delta, fin in gen.events():
+                    if chat:
+                        d = {"delta": ({"content": delta} if delta else {}),
+                             "index": 0, "finish_reason": fin}
+                    else:
+                        d = {"text": delta, "index": 0, "finish_reason": fin}
+                    raw_chunk(b"data: " + json.dumps(
+                        {"id": rid, "object": kind + ".chunk",
+                         "created": created, "model": state.model_id,
+                         "choices": [d]}).encode() + b"\n\n")
+                raw_chunk(b"data: [DONE]\n\n")
+                self.wfile.write(b"0\r\n\r\n")
+                return
+
+            parts, fin = [], "length"
+            for delta, f in gen.events():
+                parts.append(delta)
+                if f:
+                    fin = f
+            text = "".join(parts)
+            usage = {"prompt_tokens": len(prompt_ids),
+                     "completion_tokens": len(gen.ids),
+                     "total_tokens": len(prompt_ids) + len(gen.ids)}
+            if chat:
+                choice = {"index": 0, "finish_reason": fin,
+                          "message": {"role": "assistant", "content": text}}
+            else:
+                choice = {"index": 0, "finish_reason": fin, "text": text}
+            return self._json(200, {"id": rid, "object": kind,
+                                    "created": created,
+                                    "model": state.model_id,
+                                    "choices": [choice], "usage": usage})
+
+    return Handler
+
+
+def serve(state: ServerState, host: str = "127.0.0.1", port: int = 8080):
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    return httpd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--max-seq", type=int, default=512)
+    ap.add_argument("--arch", default=None)
+    ap.add_argument("--quantized", action="store_true")
+    args = ap.parse_args()
+    state = ServerState(args.model, max_batch=args.max_batch,
+                        max_seq=args.max_seq, arch=args.arch,
+                        quantized=args.quantized)
+    httpd = serve(state, args.host, args.port)
+    print(f"listening on http://{args.host}:{args.port} "
+          f"(model {state.model_id}, batch {args.max_batch})")
+    try:
+        httpd.serve_forever()
+    finally:
+        state.shutdown()
+
+
+if __name__ == "__main__":
+    main()
