@@ -42,7 +42,9 @@ ARCHS: dict[str, tuple[str, str]] = {
     "starcoder": ("starcoder", "StarCoder"),
     "starcoder2": ("starcoder2", "StarCoder2"),
     "command-r": ("cohere", "Cohere"),
+    "olmo": ("olmo", "Olmo"),
     "olmo2": ("olmo2", "Olmo2"),
+    "persimmon": ("persimmon", "Persimmon"),
     "olmoe": ("olmoe", "OlmoE"),
     "nemotron": ("nemotron", "Nemotron"),
     "stablelm": ("stablelm", "StableLM"),

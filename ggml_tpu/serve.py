@@ -111,7 +111,8 @@ class Engine:
                              granitehybrid,
                              jamba, lfm2, llama, llama4, mamba, mamba2,
                              minimax,
-                             mpt, nemotron, neox, olmo2, olmoe, phi2, phi3,
+                             mpt, nemotron, neox, olmo, olmo2, olmoe,
+                             persimmon, phi2, phi3,
                              phimoe, qwen3next, recurrentgemma, stablelm,
                              starcoder, starcoder2)
 
@@ -199,6 +200,10 @@ class Engine:
             self._fwd = llama4.forward
         elif isinstance(model, apertus.Apertus):
             self._fwd = apertus.forward
+        elif isinstance(model, olmo.Olmo):
+            self._fwd = olmo.forward
+        elif isinstance(model, persimmon.Persimmon):
+            self._fwd = persimmon.forward
         elif isinstance(model, neox.NeoX):
             self._fwd = neox.forward
         elif isinstance(model, falcon.Falcon):
