@@ -65,6 +65,7 @@ ARCHS: dict[str, tuple[str, str]] = {
     "apertus": ("apertus", "Apertus"),
     "granitehybrid": ("granitehybrid", "GraniteHybrid"),
     "minimax": ("minimax", "MiniMax"),
+    "zamba2": ("zamba2", "Zamba2"),
 }
 
 # recurrent/O(1)-state families take (batch,) only — no max_seq kwarg

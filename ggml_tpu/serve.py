@@ -114,7 +114,7 @@ class Engine:
                              mpt, nemotron, neox, olmo, olmo2, olmoe,
                              persimmon, phi2, phi3,
                              phimoe, qwen3next, recurrentgemma, stablelm,
-                             starcoder, starcoder2)
+                             starcoder, starcoder2, zamba2)
 
         self.model = model
         self.cfg = model.cfg
@@ -188,6 +188,9 @@ class Engine:
             # lightning-attention hybrid: pads would decay into the state
             self._fwd = minimax.forward
             self._exact_prefill = True
+        elif isinstance(model, zamba2.Zamba2):
+            self._fwd = zamba2.forward
+            self._exact_prefill = True
         elif isinstance(model, recurrentgemma.RecurrentGemma):
             # RG-LRU hybrid: pads would poison the conv/LRU recurrence
             self._fwd = recurrentgemma.forward
@@ -260,6 +263,9 @@ class Engine:
                 cfgv, b, max_seq, cache_dtype)
         elif isinstance(model, minimax.MiniMax):
             self._make_cache = lambda b: minimax.init_cache(
+                cfgv, b, max_seq, cache_dtype)
+        elif isinstance(model, zamba2.Zamba2):
+            self._make_cache = lambda b: zamba2.init_cache(
                 cfgv, b, max_seq, cache_dtype)
         else:
             n_kv = getattr(cfgv, "n_head_kv", cfgv.n_head)
