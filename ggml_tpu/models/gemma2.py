@@ -51,8 +51,9 @@ class Gemma2Config:
     rope_base: float = 10000.0
     rms_eps: float = 1e-6
     sliding_window: int = 4096
-    attn_softcap: float = 50.0  # 0 disables (gemma3)
-    final_softcap: float = 30.0  # 0 disables (gemma3)
+    attn_softcap: float = 50.0  # 0 disables (gemma3, gemma1)
+    final_softcap: float = 30.0  # 0 disables (gemma3, gemma1)
+    sandwich: bool = True  # False (gemma1): pre-norm only, no post-norms
     query_pre_attn_scalar: float = 256.0
     # gemma3 additions: layers slide except every `sliding_pattern`-th
     # (gemma2 == pattern 2: even slide, odd global; gemma3 == pattern 6),
@@ -67,11 +68,13 @@ class Gemma2Config:
 def config_from_gguf(g: GGUFFile) -> Gemma2Config:
     md = g.metadata
     a = md.get("general.architecture", "gemma2")
-    if a not in ("gemma2", "gemma3"):
+    if a not in ("gemma", "gemma2", "gemma3"):
         a = "gemma2"
     g3 = a == "gemma3"
+    g1 = a == "gemma"  # v1: pre-norm only, no softcaps, no sliding window
     n_head = int(md[f"{a}.attention.head_count"])
     return Gemma2Config(
+        sandwich=not g1,
         sliding_pattern=int(md.get(f"{a}.attention.sliding_window_pattern",
                                    6 if g3 else 2)),
         qk_norm=g3,
@@ -89,11 +92,12 @@ def config_from_gguf(g: GGUFFile) -> Gemma2Config:
         n_ff=int(md[f"{a}.feed_forward_length"]),
         rope_base=float(md.get(f"{a}.rope.freq_base", 10000.0)),
         rms_eps=float(md.get(f"{a}.attention.layer_norm_rms_epsilon", 1e-6)),
-        sliding_window=int(md.get(f"{a}.attention.sliding_window", 4096)),
+        sliding_window=int(md.get(f"{a}.attention.sliding_window",
+                                  0 if g1 else 4096)),
         attn_softcap=float(md.get(f"{a}.attn_logit_softcapping",
-                                  0.0 if g3 else 50.0)),
+                                  0.0 if (g3 or g1) else 50.0)),
         final_softcap=float(md.get(f"{a}.final_logit_softcapping",
-                                   0.0 if g3 else 30.0)),
+                                   0.0 if (g3 or g1) else 30.0)),
         query_pre_attn_scalar=float(md.get(
             f"{a}.attention.query_pre_attn_scalar",
             int(md.get(f"{a}.attention.key_length",
@@ -172,7 +176,7 @@ def forward(params: dict, cfg: Gemma2Config, tokens, pos_start, cache, cache_len
         kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
         q_pos = positions[:, None, None, :, None]
         keep = kv_pos <= q_pos
-        if sliding:  # HF layer_types alternation (gemma2: 1:1, gemma3: 5:1)
+        if sliding and cfg.sliding_window:  # gemma2: 1:1, gemma3: 5:1; gemma1: none
             keep = keep & (kv_pos > q_pos - cfg.sliding_window)
         att = jnp.where(keep, att, -jnp.inf)
         att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
@@ -180,14 +184,16 @@ def forward(params: dict, cfg: Gemma2Config, tokens, pos_start, cache, cache_len
         out = out.reshape(b, cfg.n_head, t, cfg.head_dim).transpose(0, 2, 1, 3)
         attn_out = out.reshape(b, t, cfg.n_head * cfg.head_dim).astype(dt)
         o = _linear(attn_out, params[pre + "attn_output.weight"])
-        x = x + _rms_norm_gemma(o, params[pre + "attn_post_norm.weight"], cfg.rms_eps)
+        x = x + (_rms_norm_gemma(o, params[pre + "attn_post_norm.weight"],
+                                 cfg.rms_eps) if cfg.sandwich else o)
 
         h = _rms_norm_gemma(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
         gate = _linear(h, params[pre + "ffn_gate.weight"])
         up = _linear(h, params[pre + "ffn_up.weight"])
         f = _linear(jax.nn.gelu(gate, approximate=True) * up,
                     params[pre + "ffn_down.weight"])
-        x = x + _rms_norm_gemma(f, params[pre + "ffn_post_norm.weight"], cfg.rms_eps)
+        x = x + (_rms_norm_gemma(f, params[pre + "ffn_post_norm.weight"],
+                                 cfg.rms_eps) if cfg.sandwich else f)
 
     x = _rms_norm_gemma(x, params["output_norm.weight"], cfg.rms_eps)
     w_out = params.get("output.weight", params["token_embd.weight"])  # tied

@@ -29,6 +29,7 @@ ARCHS: dict[str, tuple[str, str]] = {
     "helium": ("llama", "Llama"),
     "seed_oss": ("llama", "Llama"),
     "deepseek2": ("deepseek", "Deepseek"),
+    "gemma": ("gemma2", "Gemma2"),
     "gemma2": ("gemma2", "Gemma2"),
     "gemma3": ("gemma2", "Gemma2"),
     "phi2": ("phi2", "Phi2"),
