@@ -67,6 +67,7 @@ ARCHS: dict[str, tuple[str, str]] = {
     "granitehybrid": ("granitehybrid", "GraniteHybrid"),
     "minimax": ("minimax", "MiniMax"),
     "zamba2": ("zamba2", "Zamba2"),
+    "chameleon": ("chameleon", "Chameleon"),
 }
 
 # recurrent/O(1)-state families take (batch,) only — no max_seq kwarg
