@@ -38,11 +38,16 @@ class GLM4Config:
     n_rot: int = 64  # partial_rotary_factor * head_dim
     rope_base: float = 10000.0
     rms_eps: float = 1.5625e-07
+    sandwich: bool = True  # False ('glm'/chatglm, GLM-4-9b-hf): pre-norm only
 
 
 def config_from_gguf(g: GGUFFile) -> GLM4Config:
+    """Also reads the 'glm' arch (HF transformers glm, GLM-4-9b-chat-hf):
+    identical layout minus the sandwich post-norms."""
     md = g.metadata
-    a = "glm4"
+    a = md.get("general.architecture", "glm4")
+    if a not in ("glm4", "glm"):
+        a = "glm4"
     n_head = int(md[f"{a}.attention.head_count"])
     n_embd = int(md[f"{a}.embedding_length"])
     head_dim = int(md.get(f"{a}.attention.key_length", n_embd // n_head))
@@ -58,6 +63,7 @@ def config_from_gguf(g: GGUFFile) -> GLM4Config:
         n_rot=int(md.get(f"{a}.rope.dimension_count", head_dim // 2)),
         rope_base=float(md.get(f"{a}.rope.freq_base", 10000.0)),
         rms_eps=float(md.get(f"{a}.attention.layer_norm_rms_epsilon", 1.5625e-07)),
+        sandwich=(a == "glm4"),
     )
 
 
@@ -114,14 +120,15 @@ def forward(params: dict, cfg: GLM4Config, tokens, pos_start, cache,
         attn_out = _linear(out.reshape(b, t, cfg.n_head * hd).astype(dt),
                            params[pre + "attn_output.weight"])
         # sandwich: post-norm on the sublayer output, then residual add
-        x = x + _rms_norm(attn_out, params[pre + "attn_post_norm.weight"],
-                          cfg.rms_eps)
+        x = x + (_rms_norm(attn_out, params[pre + "attn_post_norm.weight"],
+                           cfg.rms_eps) if cfg.sandwich else attn_out)
 
         h = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
         gate = _linear(h, params[pre + "ffn_gate.weight"])
         up = _linear(h, params[pre + "ffn_up.weight"])
         ff = _linear(up * jax.nn.silu(gate), params[pre + "ffn_down.weight"])
-        x = x + _rms_norm(ff, params[pre + "ffn_post_norm.weight"], cfg.rms_eps)
+        x = x + (_rms_norm(ff, params[pre + "ffn_post_norm.weight"],
+                           cfg.rms_eps) if cfg.sandwich else ff)
 
     x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
     w_out = params.get("output.weight", params["token_embd.weight"])

@@ -49,6 +49,7 @@ ARCHS: dict[str, tuple[str, str]] = {
     "olmoe": ("olmoe", "OlmoE"),
     "nemotron": ("nemotron", "Nemotron"),
     "stablelm": ("stablelm", "StableLM"),
+    "glm": ("glm4", "GLM4"),
     "glm4": ("glm4", "GLM4"),
     "glm4moe": ("glm4moe", "GLM4MoE"),
     "dots1": ("glm4moe", "GLM4MoE"),
