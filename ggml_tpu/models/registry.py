@@ -69,6 +69,7 @@ ARCHS: dict[str, tuple[str, str]] = {
     "minimax": ("minimax", "MiniMax"),
     "zamba2": ("zamba2", "Zamba2"),
     "chameleon": ("chameleon", "Chameleon"),
+    "jetmoe": ("jetmoe", "JetMoe"),
 }
 
 # recurrent/O(1)-state families take (batch,) only — no max_seq kwarg
