@@ -61,6 +61,7 @@ ARCHS: dict[str, tuple[str, str]] = {
     "falcon_mamba": ("mamba", "Mamba"),
     "mamba2": ("mamba2", "Mamba2"),
     "rwkv": ("rwkv", "RWKV"),
+    "xlstm": ("xlstm", "XLSTM"),
     "recurrentgemma": ("recurrentgemma", "RecurrentGemma"),
     "lfm2": ("lfm2", "LFM2"),
     "llama4": ("llama4", "Llama4"),
@@ -73,7 +74,7 @@ ARCHS: dict[str, tuple[str, str]] = {
 }
 
 # recurrent/O(1)-state families take (batch,) only — no max_seq kwarg
-_STATE_ONLY = {"mamba", "falcon_mamba", "mamba2", "rwkv"}
+_STATE_ONLY = {"mamba", "falcon_mamba", "mamba2", "rwkv", "xlstm"}
 
 
 def model_class(arch: str):
