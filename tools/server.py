@@ -37,12 +37,25 @@ class ServerState:
 
     def __init__(self, model_path: str, max_batch: int = 4, max_seq: int = 512,
                  arch: str | None = None, quantized: bool = False,
-                 cache_dtype=None):
+                 cache_dtype=None, embed_model: str | None = None):
         import jax.numpy as jnp
 
         from ggml_tpu.gguf import GGUFFile
         from ggml_tpu.models.registry import load_model, load_tokenizer
         from ggml_tpu.serve import Engine
+
+        self.embedder = self.embed_tok = None
+        self.embed_model_id = None
+        if embed_model:  # BERT-family GGUF behind /v1/embeddings
+            from ggml_tpu.models.bert import Bert
+            from ggml_tpu.tokenizer import WPMTokenizer
+
+            eg = GGUFFile(embed_model)
+            self.embedder = Bert.from_gguf(embed_model)
+            if "tokenizer.ggml.tokens" in eg.metadata:
+                self.embed_tok = WPMTokenizer.from_gguf(eg)
+            self.embed_model_id = embed_model.rsplit("/", 1)[-1]
+            self._embed_lock = threading.Lock()
 
         g = GGUFFile(model_path)
         self.model_id = model_path.rsplit("/", 1)[-1]
@@ -110,6 +123,33 @@ class ServerState:
         lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
                  for m in messages]
         return "\n".join(lines) + "\nassistant:"
+
+    def embed(self, inputs) -> list[list[float]]:
+        """inputs: str | [str] | [ids] | [[ids]] -> L2-normalized vectors."""
+        if self.embedder is None:
+            raise ValueError("no embedding model loaded (--embed-model)")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        if inputs and isinstance(inputs[0], int):
+            inputs = [inputs]
+        seqs = []
+        for item in inputs:
+            if isinstance(item, str):
+                if self.embed_tok is None:
+                    raise ValueError("embed model GGUF has no tokenizer; "
+                                     "pass token-id lists")
+                seqs.append(self.embed_tok.encode(item))
+            else:
+                seqs.append([int(t) for t in item])
+        t = max(len(s) for s in seqs)
+        toks = np.zeros((len(seqs), t), np.int32)
+        mask = np.zeros((len(seqs), t), np.float32)
+        for r, s in enumerate(seqs):
+            toks[r, :len(s)] = s
+            mask[r, :len(s)] = 1.0
+        with self._embed_lock:
+            _, e = self.embedder.encode(toks, mask, normalize=True)
+        return [list(map(float, row)) for row in np.asarray(e)]
 
 
 def _sampling_from(body) -> dict | None:
@@ -181,9 +221,12 @@ def make_handler(state: ServerState):
             if self.path == "/health":
                 return self._json(200, {"status": "ok"})
             if self.path == "/v1/models":
-                return self._json(200, {"object": "list", "data": [
-                    {"id": state.model_id, "object": "model",
-                     "owned_by": "ggml_tpu"}]})
+                data = [{"id": state.model_id, "object": "model",
+                         "owned_by": "ggml_tpu"}]
+                if state.embed_model_id:
+                    data.append({"id": state.embed_model_id, "object": "model",
+                                 "owned_by": "ggml_tpu"})
+                return self._json(200, {"object": "list", "data": data})
             return self._json(404, {"error": "not found"})
 
         def _read_body(self):
@@ -196,6 +239,14 @@ def make_handler(state: ServerState):
                     return self._completions(chat=False)
                 if self.path == "/v1/chat/completions":
                     return self._completions(chat=True)
+                if self.path == "/v1/embeddings":
+                    body = self._read_body()
+                    vecs = state.embed(body.get("input", []))
+                    return self._json(200, {
+                        "object": "list", "model": state.embed_model_id,
+                        "data": [{"object": "embedding", "index": i,
+                                  "embedding": v} for i, v in enumerate(vecs)],
+                        "usage": {"prompt_tokens": 0, "total_tokens": 0}})
                 return self._json(404, {"error": "not found"})
             except ValueError as e:
                 return self._json(400, {"error": {"message": str(e)}})
@@ -281,10 +332,12 @@ def main():
     ap.add_argument("--max-seq", type=int, default=512)
     ap.add_argument("--arch", default=None)
     ap.add_argument("--quantized", action="store_true")
+    ap.add_argument("--embed-model", default=None,
+                    help="BERT-family GGUF served at /v1/embeddings")
     args = ap.parse_args()
     state = ServerState(args.model, max_batch=args.max_batch,
                         max_seq=args.max_seq, arch=args.arch,
-                        quantized=args.quantized)
+                        quantized=args.quantized, embed_model=args.embed_model)
     httpd = serve(state, args.host, args.port)
     print(f"listening on http://{args.host}:{args.port} "
           f"(model {state.model_id}, batch {args.max_batch})")
