@@ -17,6 +17,7 @@ import enum
 import io
 import mmap
 import os
+import re
 import struct
 from dataclasses import dataclass, field
 
@@ -174,7 +175,35 @@ class GGUFFile:
             if self.data_offset + t.offset + t.n_bytes > len(self._mm):
                 raise ValueError(f"tensor {t.name} extends past end of file")
 
+        # multi-shard models (llama.cpp gguf-split convention): opening the
+        # FIRST shard transparently merges the siblings' tensor tables, so
+        # every consumer (load_params, converters, tools) sees one file.
+        # Shard names: <prefix>-00001-of-0000N.gguf; keys split.no/count.
+        self._shards: dict[str, "GGUFFile"] = {}
+        self._shard_files: list["GGUFFile"] = []
+        n_split = int(self.metadata.get("split.count", 0) or 0)
+        if n_split > 1 and int(self.metadata.get("split.no", 0)) == 0:
+            m = re.match(r"^(.*)-(\d{5})-of-(\d{5})\.gguf$", self.path)
+            if m is None:
+                raise ValueError(
+                    f"{self.path}: split.count={n_split} but the filename does "
+                    "not follow <prefix>-00001-of-0000N.gguf")
+            prefix, _, total = m.groups()
+            for i in range(1, n_split):
+                sib_path = f"{prefix}-{i + 1:05d}-of-{total}.gguf"
+                sib = GGUFFile(sib_path)
+                if int(sib.metadata.get("split.no", -1)) != i:
+                    raise ValueError(f"{sib_path}: unexpected split.no")
+                self._shard_files.append(sib)
+                for name, info in sib.tensors.items():
+                    if name in self.tensors:
+                        raise ValueError(f"duplicate tensor {name} in {sib_path}")
+                    self.tensors[name] = info
+                    self._shards[name] = sib
+
     def close(self):
+        for sib in self._shard_files:
+            sib.close()
         self._mm.close()
         self._f.close()
 
@@ -186,6 +215,8 @@ class GGUFFile:
 
     def tensor_bytes(self, name: str) -> np.ndarray:
         """Raw packed bytes as a zero-copy uint8 view."""
+        if name in self._shards:
+            return self._shards[name].tensor_bytes(name)
         t = self.tensors[name]
         start = self.data_offset + t.offset
         return np.frombuffer(self._mm, dtype=np.uint8, count=t.n_bytes, offset=start)
