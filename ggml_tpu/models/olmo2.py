@@ -35,6 +35,9 @@ class Olmo2Config:
     n_ff: int = 11008
     rope_base: float = 500000.0
     rms_eps: float = 1e-6
+    # olmo3: every full_interval-th layer is global, the rest slide
+    sliding_window: int = 0  # 0 disables (olmo2)
+    full_interval: int = 4
 
     @property
     def head_dim(self):
@@ -42,8 +45,12 @@ class Olmo2Config:
 
 
 def config_from_gguf(g: GGUFFile) -> Olmo2Config:
+    """Also reads the 'olmo3' arch: olmo2 ops plus a sliding window on all
+    but every full_interval-th layer (HF Olmo3 layer_types default)."""
     md = g.metadata
-    a = "olmo2"
+    a = md.get("general.architecture", "olmo2")
+    if a not in ("olmo2", "olmo3"):
+        a = "olmo2"
     n_head = int(md[f"{a}.attention.head_count"])
     return Olmo2Config(
         n_vocab=int(md.get(f"{a}.vocab_size", 100352)),
@@ -55,6 +62,8 @@ def config_from_gguf(g: GGUFFile) -> Olmo2Config:
         n_ff=int(md[f"{a}.feed_forward_length"]),
         rope_base=float(md.get(f"{a}.rope.freq_base", 500000.0)),
         rms_eps=float(md.get(f"{a}.attention.layer_norm_rms_epsilon", 1e-6)),
+        sliding_window=int(md.get(f"{a}.attention.sliding_window", 0)),
+        full_interval=int(md.get(f"{a}.attention.full_attention_interval", 4)),
     )
 
 
@@ -107,7 +116,10 @@ def forward(params: dict, cfg: Olmo2Config, tokens, pos_start, cache,
                          preferred_element_type=jnp.float32) * scale
         kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
         q_pos = positions[:, None, None, :, None]
-        att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
+        keep = kv_pos <= q_pos
+        if cfg.sliding_window and (i + 1) % cfg.full_interval != 0:
+            keep = keep & (kv_pos > q_pos - cfg.sliding_window)
+        att = jnp.where(keep, att, -jnp.inf)
         att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
         out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
         out = out.reshape(b, cfg.n_head, t, hd).transpose(0, 2, 1, 3)

@@ -45,6 +45,7 @@ ARCHS: dict[str, tuple[str, str]] = {
     "command-r": ("cohere", "Cohere"),
     "olmo": ("olmo", "Olmo"),
     "olmo2": ("olmo2", "Olmo2"),
+    "olmo3": ("olmo2", "Olmo2"),
     "persimmon": ("persimmon", "Persimmon"),
     "olmoe": ("olmoe", "OlmoE"),
     "nemotron": ("nemotron", "Nemotron"),
