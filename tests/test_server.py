@@ -49,6 +49,10 @@ def server(tmp_path_factory):
     w.add_array("tokenizer.ggml.tokens", [b2u[b] for b in range(256)])
     w.add_array("tokenizer.ggml.merges", [])
     w.add_u32("tokenizer.ggml.eos_token_id", 254)
+    w.add_string("tokenizer.chat_template",
+                 "{% for m in messages %}<{{ m.role }}>{{ m.content }}"
+                 "{% endfor %}{% if add_generation_prompt %}<assistant>"
+                 "{% endif %}")
     w.write(path)
 
     from tools.server import ServerState, serve
@@ -168,6 +172,14 @@ def test_chat_endpoint(server):
                  "max_tokens": 4, "temperature": 0})
     msg = res["choices"][0]["message"]
     assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+
+
+def test_chat_template_renders(server):
+    """tokenizer.chat_template from the GGUF drives the chat prompt."""
+    state, _, _ = server
+    out = state.chat_prompt([{"role": "user", "content": "hi"},
+                             {"role": "assistant", "content": "yo"}])
+    assert out == "<user>hi<assistant>yo<assistant>"
 
 
 def test_sampled_request(server):

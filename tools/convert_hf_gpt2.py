@@ -64,6 +64,8 @@ def add_tokenizer(w: GGUFWriter, tokenizer):
         tokens[idx] = tok
     w.add_array("tokenizer.ggml.model", ["gpt2"])
     w.add_array("tokenizer.ggml.tokens", tokens)
+    if getattr(tokenizer, "chat_template", None):
+        w.add_string("tokenizer.chat_template", tokenizer.chat_template)
     merges = []
     try:
         import json

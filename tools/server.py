@@ -65,6 +65,19 @@ class ServerState:
         eos = g.metadata.get("tokenizer.ggml.eos_token_id", -1)
         eos = int(eos[0] if isinstance(eos, (list, tuple)) else eos)
         self.eos_id = eos
+        ct = g.metadata.get("tokenizer.chat_template", "")
+        self.chat_template = ct[0] if isinstance(ct, (list, tuple)) else ct
+        toks_meta = g.metadata.get("tokenizer.ggml.tokens")
+
+        def _tok_str(key):
+            tid = g.metadata.get(key)
+            if tid is None or toks_meta is None:
+                return ""
+            tid = int(tid[0] if isinstance(tid, (list, tuple)) else tid)
+            return str(toks_meta[tid]) if 0 <= tid < len(toks_meta) else ""
+
+        self.bos_token = _tok_str("tokenizer.ggml.bos_token_id")
+        self.eos_token = _tok_str("tokenizer.ggml.eos_token_id")
         self.engine = Engine(self.model, max_batch=max_batch, max_seq=max_seq,
                              eos_id=eos,
                              cache_dtype=cache_dtype or jnp.bfloat16)
@@ -119,7 +132,18 @@ class ServerState:
         return self.tok.decode(list(ids))
 
     def chat_prompt(self, messages) -> str:
-        """Plain role template (no jinja): role: content lines + cue."""
+        """Render tokenizer.chat_template from the GGUF when present
+        (jinja2, add_generation_prompt=True — the llama.cpp chat-template
+        path); otherwise a plain role: content fallback."""
+        if self.chat_template:
+            import jinja2
+
+            env = jinja2.Environment(trim_blocks=True, lstrip_blocks=True)
+            env.globals["raise_exception"] = lambda msg: (_ for _ in ()).throw(
+                ValueError(msg))
+            return env.from_string(self.chat_template).render(
+                messages=messages, add_generation_prompt=True,
+                bos_token=self.bos_token, eos_token=self.eos_token)
         lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
                  for m in messages]
         return "\n".join(lines) + "\nassistant:"
