@@ -36,6 +36,12 @@ class PagedConfig:
     n_pages: int  # pool size (shared by all slots, per layer)
     page_size: int  # tokens per page; multiple of 8 keeps sublane tiling clean
     max_pages_per_seq: int  # logical window = page_size * max_pages_per_seq
+    # automatic prefix caching (the vLLM idea): completed prompt prefills
+    # publish their FULL pages under a token-chain hash; a new request whose
+    # prompt shares a page-aligned prefix attaches those pages read-only and
+    # prefills only the suffix.  Unreferenced published pages form an LRU
+    # reserve reclaimed under memory pressure.
+    prefix_cache: bool = False
 
 
 class PagedKVManager:
@@ -61,6 +67,82 @@ class PagedKVManager:
         self.lengths = np.zeros((max_batch,), np.int32)
         self._free = list(range(pcfg.n_pages - 1, -1, -1))  # pop() -> page 0 first
         self._owned: list[list[int]] = [[] for _ in range(max_batch)]
+        # prefix cache state: published pages are keyed by the hash CHAIN of
+        # their page-aligned token history; _shared_ref counts live slot
+        # users; _lru orders reclaimable (ref==0) published pages.
+        self._attached: list[list[int]] = [[] for _ in range(max_batch)]
+        self._hash_to_page: dict = {}
+        self._page_hash: dict[int, object] = {}
+        self._shared_ref: dict[int, int] = {}
+        self._lru: list[int] = []  # ref==0 published pages, oldest first
+
+    # -- prefix cache -------------------------------------------------------------
+
+    @staticmethod
+    def _chain_hashes(tokens, page_size: int):
+        """Hash chain over full pages of the token sequence."""
+        out, h = [], "root"
+        for j in range(len(tokens) // page_size):
+            h = hash((h, tuple(int(t) for t in
+                               tokens[j * page_size:(j + 1) * page_size])))
+            out.append(h)
+        return out
+
+    def match_prefix(self, tokens) -> list[int]:
+        """Longest chain of published pages covering a page-aligned prefix."""
+        if not self.pcfg.prefix_cache:
+            return []
+        pages = []
+        for h in self._chain_hashes(tokens, self.pcfg.page_size):
+            pg = self._hash_to_page.get(h)
+            if pg is None:
+                break
+            pages.append(pg)
+        return pages
+
+    def attach_prefix(self, slot: int, pages: list[int]):
+        """Point the slot's leading table entries at shared pages."""
+        for j, pg in enumerate(pages):
+            self.tables[slot, j] = pg
+            self._shared_ref[pg] = self._shared_ref.get(pg, 0) + 1
+            if pg in self._lru:
+                self._lru.remove(pg)
+        self._attached[slot] = list(pages)
+
+    def publish_prefix(self, slot: int, tokens):
+        """Publish the slot's FULL prompt pages (beyond any attached prefix)
+        so later prompts can share them."""
+        if not self.pcfg.prefix_cache:
+            return
+        hashes = self._chain_hashes(tokens, self.pcfg.page_size)
+        n_att = len(self._attached[slot])
+        own = list(self._owned[slot])
+        for j in range(n_att, len(hashes)):
+            h = hashes[j]
+            if h in self._hash_to_page:
+                continue
+            pg = int(self.tables[slot, j])
+            if pg not in own:
+                continue  # page is attached/shared already
+            # transfer ownership: the page becomes shared (this slot holds
+            # one reference); it outlives the slot in the LRU reserve
+            own.remove(pg)
+            self._attached[slot].append(pg)
+            self._hash_to_page[h] = pg
+            self._page_hash[pg] = h
+            self._shared_ref[pg] = self._shared_ref.get(pg, 0) + 1
+        self._owned[slot] = own
+
+    def _reclaim_one(self) -> bool:
+        """Unpublish the least-recently-used unreferenced shared page."""
+        if not self._lru:
+            return False
+        pg = self._lru.pop(0)
+        h = self._page_hash.pop(pg)
+        del self._hash_to_page[h]
+        self._shared_ref.pop(pg, None)
+        self._free.append(pg)
+        return True
 
     def step_coords(self, active: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(wpage, woff) for EVERY batch row: live rows get their next
@@ -79,7 +161,7 @@ class PagedKVManager:
     # -- host-side allocation ---------------------------------------------------
 
     def free_pages(self) -> int:
-        return len(self._free)
+        return len(self._free) + len(self._lru)  # LRU pages are reclaimable
 
     def ensure_capacity(self, slot: int, n_tokens: int) -> bool:
         """Grow slot's page list to cover n_tokens positions.  Returns False
@@ -92,25 +174,28 @@ class PagedKVManager:
                 f"{n_tokens} tokens exceed the logical window "
                 f"({self.pcfg.max_pages_per_seq} pages x {ps})"
             )
-        have = len(self._owned[slot])
-        if need - have > len(self._free):
+        have = len(self._attached[slot]) + len(self._owned[slot])
+        if need - have > self.free_pages():
             return False
         for j in range(have, need):
+            if not self._free:
+                assert self._reclaim_one()
             pg = self._free.pop()
             self._owned[slot].append(pg)
             self.tables[slot, j] = pg
         return True
 
-    def install_prefill(self, slot: int, slot_cache, t: int):
+    def install_prefill(self, slot: int, slot_cache, t: int, from_page: int = 0):
         """Copy a dense single-slot prefill cache (tuple of (k, v) with
         (1, H, S, D) leaves) into this slot's pages — prefill runs through
-        the ordinary dense forward, then pages take over for decode."""
+        the ordinary dense forward, then pages take over for decode.
+        from_page skips attached (shared) prefix pages."""
         ps = self.pcfg.page_size
         npg = -(-t // ps)
         new_pools = list(self.pools)
         for li, (kc, vc) in enumerate(slot_cache):
             kp, vp = new_pools[li]
-            for j in range(npg):
+            for j in range(from_page, npg):
                 pg = int(self.tables[slot, j])
                 kp = kp.at[pg].set(kc[0, :, j * ps : (j + 1) * ps, :])
                 vp = vp.at[pg].set(vc[0, :, j * ps : (j + 1) * ps, :])
@@ -118,7 +203,25 @@ class PagedKVManager:
         self.pools = tuple(new_pools)
         self.lengths[slot] = t
 
+    def gather_prefix(self, slot: int, n_pages: int):
+        """Dense (1, H, n_pages*ps, D) views of the slot's leading pages per
+        layer — the context for suffix prefill after a prefix-cache hit."""
+        table = self.tables[slot, :n_pages]
+        out = []
+        for kp, vp in self.pools:
+            kd = kp[table]  # (n, H, ps, D)
+            vd = vp[table]
+            to_dense = lambda a: a.transpose(1, 0, 2, 3).reshape(
+                1, a.shape[1], n_pages * self.pcfg.page_size, a.shape[3])
+            out.append((to_dense(kd), to_dense(vd)))
+        return tuple(out)
+
     def release(self, slot: int):
+        for pg in self._attached[slot]:
+            self._shared_ref[pg] -= 1
+            if self._shared_ref[pg] == 0:
+                self._lru.append(pg)  # stays published, reclaimable
+        self._attached[slot] = []
         for pg in self._owned[slot]:
             self._free.append(pg)
         self._owned[slot] = []

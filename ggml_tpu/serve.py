@@ -364,6 +364,8 @@ class Engine:
             return logits[:, -1, :], cache_slot
 
         self._prefill_cache = {}  # per prompt-length compiled prefill
+        self._suffix_cache = {}  # per suffix-length compiled prefix-hit prefill
+        self.cached_prefix_tokens = 0  # prefix-cache observability
 
         self.draft = draft
         self.draft_k = draft_k
@@ -706,6 +708,42 @@ class Engine:
             self._pending_draft_slot = dslot
         return (logits if t == tb else None), slot_cache, t, tb
 
+    def _prefill_suffix(self, seq, pre_len: int, slot: int, bucket: int):
+        """Prefix-cache hit: the shared pages already hold KV for positions
+        [0, pre_len); gather them as the dense context and run the
+        populated-cache forward over only the suffix tokens.  Returns
+        (last logits | None, dense slot cache) following _prefill's
+        bucket-padding contract."""
+        t = len(seq)
+        suffix = list(seq[pre_len:])
+        st = len(suffix)
+        sb = min(self.max_seq - pre_len, -(-st // bucket) * bucket)
+        toks = np.zeros((1, sb), np.int32)
+        toks[0, :st] = suffix
+        slot_cache = self._make_cache(1)
+        if self._cache_put_slot is not None:
+            slot_cache = self._cache_put_slot(slot_cache)
+        prefix = self.mgr.gather_prefix(slot, pre_len // self.paged.page_size)
+        slot_cache = tuple(
+            (k.at[:, :, :pre_len, :].set(pk.astype(k.dtype)),
+             v.at[:, :, :pre_len, :].set(pv.astype(v.dtype)))
+            for (k, v), (pk, pv) in zip(slot_cache, prefix))
+        if sb not in self._suffix_cache:
+            cfgv = self.cfg
+
+            def suffix_step(params, cache_slot, toks, pos0):
+                logits, cache_slot = self._fwd(params, cfgv, toks, pos0,
+                                               cache_slot, pos0)
+                return logits[:, -1, :], cache_slot
+
+            self._suffix_cache[sb] = jax.jit(suffix_step, donate_argnums=(1,))
+        self.prefill_count += 1
+        self.cached_prefix_tokens += pre_len
+        logits, slot_cache = self._suffix_cache[sb](
+            self.model.params, slot_cache, jnp.asarray(toks),
+            jnp.full((1,), pre_len, jnp.int32))
+        return (logits if st == sb else None), slot_cache
+
     def _prefill_chunked(self, seq):
         """Fixed-chunk prefill: every chunk reuses the same compiled forward
         (positions carried via cache_len, attention masks the pad).  Returns
@@ -789,13 +827,22 @@ class Engine:
                     req.done = True
                     self.slots[i] = req
                     continue
+                matched_pages = 0
                 if self.paged is not None:
                     # reserve prompt + one decode step BEFORE prefilling so a
                     # request that cannot get pages is not re-prefilled on
                     # every admission sweep while it waits (and a fresh
                     # admission cannot immediately trigger eviction ping-pong)
                     ps = self.paged.page_size
-                    need = -(-(t + 1) // ps)
+                    # automatic prefix caching: attach published pages that
+                    # cover a page-aligned prompt prefix (keep >= 1 suffix
+                    # token so prefill still yields next-token logits)
+                    matched = (self.mgr.match_prefix(seq)
+                               if req.share is None and self.draft is None
+                               else [])
+                    matched = matched[: max(0, (t - 1) // ps)]
+                    matched_pages = len(matched)
+                    need = -(-(t + 1) // ps) - matched_pages
                     if need > self.mgr.free_pages():
                         if self.mgr.free_pages() == self.paged.n_pages:
                             raise ValueError(
@@ -804,17 +851,25 @@ class Engine:
                             )
                         self.queue.append(req)  # wait for pages
                         continue
+                    if matched_pages:
+                        self.mgr.attach_prefix(i, matched)
                 if req.share is not None and not req.out:
                     if req.share.cache is None:  # first of the fork group
                         req.share.logits, req.share.cache, req.share.t, _ = (
                             self._prefill(seq, bucket)
                         )
                     logits, slot_cache, t = req.share.logits, req.share.cache, req.share.t
+                elif matched_pages:
+                    assert self.mgr.ensure_capacity(i, t + 1)
+                    logits, slot_cache = self._prefill_suffix(
+                        seq, matched_pages * self.paged.page_size, i, bucket)
                 else:
                     logits, slot_cache, t, _ = self._prefill(seq, bucket)
                 if self.paged is not None:
                     assert self.mgr.ensure_capacity(i, t + 1)
-                    self.mgr.install_prefill(i, slot_cache, t)
+                    self.mgr.install_prefill(i, slot_cache, t,
+                                             from_page=matched_pages)
+                    self.mgr.publish_prefix(i, req.prompt)
                 else:
                     self.cache = cache_set_slot(self.cache, slot_cache, i)
                 if self.draft is not None:
