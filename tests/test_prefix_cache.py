@@ -115,3 +115,57 @@ def test_concurrent_mixed_prefix_requests(model):
     for r, s, p in zip(rids, sids, prompts):
         assert got[s] == want[r], p
     assert eng.cached_prefix_tokens >= 16  # two hits x 8 shared tokens
+
+
+def test_server_prefix_cache_over_http(model, tmp_path_factory):
+    """tools/server.py --prefix-cache: repeated prompts over HTTP reuse
+    published pages and return identical greedy completions."""
+    import json
+    import socket
+    import threading
+    import urllib.request
+
+    tmp = tmp_path_factory.mktemp("pfx_srv")
+    # write the fixture model to its own GGUF for the server to load
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, attention_dropout=0.0,
+    )
+    torch.manual_seed(11)
+    hf = transformers.LlamaForCausalLM(cfg).eval()
+    path = tmp / "srv.gguf"
+    convert_state_dict(hf.state_dict(), cfg).write(path)
+
+    from tools.server import ServerState, serve
+
+    pcfg = PagedConfig(page_size=4, n_pages=40, max_pages_per_seq=16,
+                       prefix_cache=True)
+    state = ServerState(str(path), max_batch=2, max_seq=64,
+                        cache_dtype=jnp.float32, paged=pcfg)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    httpd = serve(state, "127.0.0.1", port)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        prompt = [3, 14, 15, 92, 65, 35, 89, 79, 32, 38]  # 2 full pages + 2
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/completions",
+                json.dumps({"prompt": prompt, "max_tokens": 5,
+                            "temperature": 0}).encode(),
+                {"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())["choices"][0]["text"]
+
+        first = post()
+        hits0 = state.engine.cached_prefix_tokens
+        second = post()
+        assert second == first
+        assert state.engine.cached_prefix_tokens > hits0
+    finally:
+        httpd.shutdown()
+        state.shutdown()

@@ -37,7 +37,8 @@ class ServerState:
 
     def __init__(self, model_path: str, max_batch: int = 4, max_seq: int = 512,
                  arch: str | None = None, quantized: bool = False,
-                 cache_dtype=None, embed_model: str | None = None):
+                 cache_dtype=None, embed_model: str | None = None,
+                 paged=None):
         import jax.numpy as jnp
 
         from ggml_tpu.gguf import GGUFFile
@@ -79,7 +80,7 @@ class ServerState:
         self.bos_token = _tok_str("tokenizer.ggml.bos_token_id")
         self.eos_token = _tok_str("tokenizer.ggml.eos_token_id")
         self.engine = Engine(self.model, max_batch=max_batch, max_seq=max_seq,
-                             eos_id=eos,
+                             eos_id=eos, paged=paged,
                              cache_dtype=cache_dtype or jnp.bfloat16)
         self.max_seq = max_seq
         self._lock = threading.Lock()  # serializes submit/cancel vs the loop
@@ -358,10 +359,28 @@ def main():
     ap.add_argument("--quantized", action="store_true")
     ap.add_argument("--embed-model", default=None,
                     help="BERT-family GGUF served at /v1/embeddings")
+    ap.add_argument("--paged", action="store_true",
+                    help="paged KV cache (llama/gptj families)")
+    ap.add_argument("--page-size", type=int, default=16)
+    ap.add_argument("--n-pages", type=int, default=0,
+                    help="page pool size (default: max_batch x max_seq worth)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="automatic prefix caching (implies --paged)")
     args = ap.parse_args()
+    paged = None
+    if args.paged or args.prefix_cache:
+        from ggml_tpu.paged_kv import PagedConfig
+
+        per_seq = -(-args.max_seq // args.page_size)
+        paged = PagedConfig(
+            page_size=args.page_size,
+            n_pages=args.n_pages or args.max_batch * per_seq + per_seq,
+            max_pages_per_seq=per_seq,
+            prefix_cache=args.prefix_cache)
     state = ServerState(args.model, max_batch=args.max_batch,
                         max_seq=args.max_seq, arch=args.arch,
-                        quantized=args.quantized, embed_model=args.embed_model)
+                        quantized=args.quantized, embed_model=args.embed_model,
+                        paged=paged)
     httpd = serve(state, args.host, args.port)
     print(f"listening on http://{args.host}:{args.port} "
           f"(model {state.model_id}, batch {args.max_batch})")
