@@ -556,27 +556,6 @@ class Engine:
                         self.mgr.release(i)
         return results
 
-    def serve_forever(self, stop_event, bucket: int = 32, idle_sleep: float = 0.005):
-        """Long-running server loop: keeps admitting/ticking as requests
-        arrive (submit() may be called from other threads BETWEEN ticks —
-        the HTTP front end in tools/server.py routes all engine calls
-        through one worker thread) until stop_event is set.  Completed
-        requests are released from their slots; results are delivered via
-        each request's on_token streaming callback."""
-        import time as _time
-
-        while not stop_event.is_set():
-            if not self.queue and not any(s is not None for s in self.slots):
-                _time.sleep(idle_sleep)
-                continue
-            self._admit(bucket)
-            self._tick()
-            for i, s in enumerate(self.slots):
-                if s is not None and s.done:
-                    self.slots[i] = None
-                    if self.paged is not None:
-                        self.mgr.release(i)
-
     # -- internals ----------------------------------------------------------------
 
     def _snapshot_slot(self, i: int, req: Request):
