@@ -10,6 +10,57 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.tree_util.register_pytree_node_class
+class QuantKV:
+    """int8-quantized KV cache buffer: codes (B, H, S, D) int8 with one f32
+    scale per (B, H, S) row — the llama.cpp `-ctk q8_0` analog.  Halves KV
+    HBM traffic vs bf16; XLA fuses the dequant multiply into the attention
+    reads.  Registered as a pytree node so slot views, snapshots and
+    donation treat it like any cache leaf."""
+
+    def __init__(self, codes, scales):
+        self.codes = codes
+        self.scales = scales
+
+    # array-like surface the family forwards touch
+    @property
+    def shape(self):
+        return self.codes.shape
+
+    @property
+    def dtype(self):
+        # the dtype incoming rows are cast to BEFORE quantization — callers
+        # do k.astype(cache.dtype) generically, so this must be castable
+        return jnp.bfloat16
+
+    def dequant(self):
+        return self.codes.astype(jnp.bfloat16) * self.scales.astype(jnp.bfloat16)
+
+    def tree_flatten(self):
+        return (self.codes, self.scales), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+QUANT_KV_DTYPE = "q8_kv"  # pass as cache dtype to quantize the KV cache
+
+
+def _quantize_rows(kv):
+    """kv (b, h, t, d) f32/bf16 -> (int8 codes, (b, h, t, 1) f32 scales)."""
+    kf = kv.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kf), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    codes = jnp.round(kf / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
+    return codes, scale
+
+
+def dequant_cache(c):
+    """Dense view of a cache leaf: QuantKV -> bf16, arrays pass through."""
+    return c.dequant() if isinstance(c, QuantKV) else c
+
+
 def init_layer_cache(n_layer: int, batch: int, n_kv_head: int, max_seq: int,
                      head_dim: int, dtype=jnp.bfloat16):
     """KV cache as a tuple of per-layer (k, v) pairs, each (B, H, S, D).
@@ -19,7 +70,15 @@ def init_layer_cache(n_layer: int, batch: int, n_kv_head: int, max_seq: int,
     copy of every layer's K and V each step (~1.8 GB/s of pure copy traffic
     at GPT-J-6B decode scale) and re-insert them with
     dynamic-update-slices.  With per-layer leaves the donated buffers update
-    in place — the zero-alloc steady state at pytree granularity."""
+    in place — the zero-alloc steady state at pytree granularity.
+
+    dtype=QUANT_KV_DTYPE ("q8_kv") stores int8 codes + per-row scales
+    (QuantKV) instead of a dense array."""
+    if dtype == QUANT_KV_DTYPE:
+        mk = lambda: QuantKV(
+            jnp.zeros((batch, n_kv_head, max_seq, head_dim), jnp.int8),
+            jnp.zeros((batch, n_kv_head, max_seq, 1), jnp.float32))
+        return tuple((mk(), mk()) for _ in range(n_layer))
     mk = lambda: jnp.zeros((batch, n_kv_head, max_seq, head_dim), dtype)
     return tuple((mk(), mk()) for _ in range(n_layer))
 
@@ -43,7 +102,12 @@ def cache_write(cache_layer, kv, cache_len):
     """Write kv (b, h, t, d) into cache_layer (b, h, S, d) at position(s)
     cache_len: scalar (all rows share one position — the single-sequence
     path) or (b,) vector (per-slot positions — continuous batching;
-    vmapped dynamic_update_slice lowers to a scatter)."""
+    vmapped dynamic_update_slice lowers to a scatter).  A QuantKV cache
+    quantizes the incoming rows (codes + per-row scale) on write."""
+    if isinstance(cache_layer, QuantKV):
+        codes, scales = _quantize_rows(kv)
+        return QuantKV(cache_write(cache_layer.codes, codes, cache_len),
+                       cache_write(cache_layer.scales, scales, cache_len))
     if getattr(cache_len, "ndim", 0) == 0:
         return jax.lax.dynamic_update_slice(cache_layer, kv, (0, 0, cache_len, 0))
     return jax.vmap(

@@ -298,6 +298,7 @@ def init_cache(cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
 
 
 from .common import cache_write as _cache_write, causal_mask as _causal_mask  # noqa: E402
+from .common import dequant_cache as _dq  # noqa: E402  (q8 KV cache view)
 
 
 def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
@@ -361,13 +362,15 @@ def forward(params: dict, cfg: LlamaConfig, tokens, pos_start, cache, cache_len,
         else:
             # GQA: each kv head serves n_head/n_head_kv query heads
             qg = q.reshape(b, cfg.n_head_kv, rep, t, cfg.head_dim)
-            att = jnp.einsum("bgrqd,bgkd->bgrqk", qg.astype(jnp.float32), kc.astype(jnp.float32),
+            att = jnp.einsum("bgrqd,bgkd->bgrqk", qg.astype(jnp.float32),
+                             _dq(kc).astype(jnp.float32),
                              preferred_element_type=jnp.float32) * scale
             kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
             q_pos = positions[:, None, None, :, None]
             att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
-            att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
-            out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
+            vcd = _dq(vc)
+            att = jax.nn.softmax(att, axis=-1).astype(vcd.dtype)
+            out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vcd)
             out = out.reshape(b, cfg.n_head, t, cfg.head_dim).transpose(0, 2, 1, 3)
             attn_out = out.reshape(b, t, cfg.n_head * cfg.head_dim).astype(dt)
         x = x + res(_linear(attn_out, params[pre + "attn_output.weight"]))

@@ -281,6 +281,11 @@ class Engine:
 
             if not isinstance(model, (_llama.Llama, _gptj.GPTJ)):
                 raise TypeError("paged KV drives Llama- and GPT-J-family models")
+            from .models.common import QUANT_KV_DTYPE
+
+            if cache_dtype == QUANT_KV_DTYPE:
+                raise ValueError("q8 KV cache is dense-engine only (the page "
+                                 "pools keep their own dtype)")
             if paged.page_size * paged.max_pages_per_seq < max_seq:
                 raise ValueError("paged logical window smaller than max_seq")
             self.mgr = PagedKVManager(
