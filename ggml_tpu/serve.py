@@ -509,23 +509,29 @@ class Engine:
         return self._rid
 
     def submit_many(self, prompt, n: int, max_new_tokens: int, on_token=None,
-                    priority: int = 0) -> list[int]:
+                    priority: int = 0, sampling: dict | None = None) -> list[int]:
         """Fork n sampled continuations of ONE prompt: the prompt is prefilled
         once and its KV cache copied into every sequence's slot — the
         shared-prefix batching of examples/gpt-2/main-batched.cpp:81-145.
-        Meaningful with a sampler configured (greedy forks are identical)."""
+        Meaningful with sampling configured (greedy forks are identical).
+        sampling: per-request overrides, as in submit()."""
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if len(prompt) >= self.max_seq:
             raise ValueError(
                 f"prompt length {len(prompt)} exceeds engine max_seq {self.max_seq}"
             )
+        if sampling is not None:
+            if self.draft is not None:
+                raise ValueError("per-request sampling is not supported in "
+                                 "speculative mode (engine-level sampler only)")
+            self._any_slot_sampling = True
         share = _PrefillShare()
         rids = []
         for _ in range(n):
             self._rid += 1
             self.queue.append(
                 Request(self._rid, prompt, max_new_tokens, on_token=on_token,
-                        priority=priority, share=share)
+                        priority=priority, share=share, sampling=sampling)
             )
             rids.append(self._rid)
         return rids

@@ -189,3 +189,18 @@ def test_sampled_request(server):
                  "top_p": 0.9})
     assert isinstance(res["choices"][0]["text"], str)
     assert res["usage"]["completion_tokens"] >= 1
+
+
+def test_n_completions_shared_prefill(server):
+    """n>1 forks share ONE prefill (Engine.submit_many) and each choice is
+    a separate sampled continuation."""
+    state, base, _ = server
+    before = state.engine.prefill_count
+    res = _post(base, "/v1/completions",
+                {"prompt": [11, 22, 33, 44], "max_tokens": 5,
+                 "temperature": 0.9, "top_p": 0.95, "n": 3})
+    assert len(res["choices"]) == 3
+    assert [c["index"] for c in res["choices"]] == [0, 1, 2]
+    assert all(isinstance(c["text"], str) for c in res["choices"])
+    assert state.engine.prefill_count == before + 1  # one shared prefill
+    assert res["usage"]["completion_tokens"] >= 3

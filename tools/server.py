@@ -114,6 +114,12 @@ class ServerState:
             return self.engine.submit(prompt_ids, max_new, on_token=on_token,
                                       sampling=sampling)
 
+    def submit_many(self, prompt_ids, n, max_new, sampling, on_token):
+        with self._lock:
+            return self.engine.submit_many(prompt_ids, n, max_new,
+                                           on_token=on_token,
+                                           sampling=sampling)
+
     def cancel(self, rid):
         with self._lock:
             return self.engine.cancel(rid)
@@ -189,13 +195,31 @@ class _Generation:
     """Bridges the engine's on_token callback to an HTTP handler thread,
     applying stop-sequence scanning on the decoded text."""
 
-    def __init__(self, state: ServerState, prompt_ids, max_new, sampling, stops):
+    def __init__(self, state: ServerState, prompt_ids, max_new, sampling,
+                 stops, _fork=None):
         self.state = state
-        self.q: queue.Queue = queue.Queue()
         self.ids: list[int] = []
         self.stops = stops or []
-        self.rid = state.submit(prompt_ids, max_new, sampling,
-                                lambda rid, tok, done: self.q.put((tok, done)))
+        if _fork is None:
+            self.q: queue.Queue = queue.Queue()
+            self.rid = state.submit(prompt_ids, max_new, sampling,
+                                    lambda rid, tok, done: self.q.put((tok, done)))
+        else:
+            self.rid, self.q = _fork
+
+    @staticmethod
+    def fork(state: ServerState, prompt_ids, n: int, max_new, sampling, stops):
+        """n shared-prefix continuations (Engine.submit_many): the prompt
+        prefills once; each choice gets its own event stream."""
+        qs: dict = {}
+
+        def cb(rid, tok, done):
+            qs.setdefault(rid, queue.Queue()).put((tok, done))
+
+        rids = state.submit_many(prompt_ids, n, max_new, sampling, cb)
+        return [_Generation(state, prompt_ids, max_new, sampling, stops,
+                            _fork=(rid, qs.setdefault(rid, queue.Queue())))
+                for rid in rids]
 
     def events(self):
         """Yields (delta_text, finish_reason|None); finish_reason arrives
@@ -290,8 +314,16 @@ def make_handler(state: ServerState):
             stops = body.get("stop") or []
             if isinstance(stops, str):
                 stops = [stops]
-            gen = _Generation(state, prompt_ids, max_new,
-                              _sampling_from(body), stops)
+            n = int(body.get("n", 1))
+            if n > 1 and body.get("stream"):
+                raise ValueError("stream with n > 1 is not supported")
+            if n > 1:
+                gens = _Generation.fork(state, prompt_ids, n, max_new,
+                                        _sampling_from(body), stops)
+            else:
+                gens = [_Generation(state, prompt_ids, max_new,
+                                    _sampling_from(body), stops)]
+            gen = gens[0]
             rid = f"cmpl-{uuid.uuid4().hex[:12]}"
             created = int(time.time())
             kind = "chat.completion" if chat else "text_completion"
@@ -321,24 +353,29 @@ def make_handler(state: ServerState):
                 self.wfile.write(b"0\r\n\r\n")
                 return
 
-            parts, fin = [], "length"
-            for delta, f in gen.events():
-                parts.append(delta)
-                if f:
-                    fin = f
-            text = "".join(parts)
+            choices, n_out = [], 0
+            for idx, g in enumerate(gens):
+                parts, fin = [], "length"
+                for delta, f in g.events():
+                    parts.append(delta)
+                    if f:
+                        fin = f
+                text = "".join(parts)
+                n_out += len(g.ids)
+                if chat:
+                    choices.append({"index": idx, "finish_reason": fin,
+                                    "message": {"role": "assistant",
+                                                "content": text}})
+                else:
+                    choices.append({"index": idx, "finish_reason": fin,
+                                    "text": text})
             usage = {"prompt_tokens": len(prompt_ids),
-                     "completion_tokens": len(gen.ids),
-                     "total_tokens": len(prompt_ids) + len(gen.ids)}
-            if chat:
-                choice = {"index": 0, "finish_reason": fin,
-                          "message": {"role": "assistant", "content": text}}
-            else:
-                choice = {"index": 0, "finish_reason": fin, "text": text}
+                     "completion_tokens": n_out,
+                     "total_tokens": len(prompt_ids) + n_out}
             return self._json(200, {"id": rid, "object": kind,
                                     "created": created,
                                     "model": state.model_id,
-                                    "choices": [choice], "usage": usage})
+                                    "choices": choices, "usage": usage})
 
     return Handler
 
