@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--lora", default=None,
                     help="adapter GGUF (tools/finetune.py --lora-out) merged "
                          "into the dense weights at load")
+    ap.add_argument("--grammar", default=None,
+                    help="GBNF grammar file constraining generation "
+                         "(llama.cpp grammars; host-side sampling)")
     args = ap.parse_args()
     if args.lora and args.quantized:
         raise SystemExit("--lora merges into dense weights; drop --quantized")
@@ -67,10 +70,22 @@ def main():
 
     key = jax.random.PRNGKey(args.seed if args.seed >= 0 else int(time.time()))
 
-    def sampler(logits, key):
-        return sample_top_k_top_p(
-            logits, key, top_k=args.top_k, top_p=args.top_p, temperature=args.temp
-        )
+    if args.grammar:
+        from ggml_tpu.grammar import GrammarSampler
+
+        if tok is None:
+            raise SystemExit("--grammar needs a tokenizer in the GGUF")
+        eos_meta = g.metadata.get("tokenizer.ggml.eos_token_id", -1)
+        eos_meta = int(eos_meta[0] if isinstance(eos_meta, (list, tuple))
+                       else eos_meta)
+        sampler = GrammarSampler(open(args.grammar).read(), tok,
+                                 eos_id=eos_meta)
+    else:
+        def sampler(logits, key):
+            return sample_top_k_top_p(
+                logits, key, top_k=args.top_k, top_p=args.top_p,
+                temperature=args.temp
+            )
 
     t0 = time.perf_counter()
     out = m.generate(ids, args.n_predict, sampler=sampler, key=key)
