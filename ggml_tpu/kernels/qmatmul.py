@@ -378,7 +378,11 @@ def _q4gemv_bd_kernel(x_lo, x_hi, qp, s_lo, s_hi, out, *, G: int, ng: int):
     mask = gi == gk
 
     def bd(x):  # (1, kt2) int8 -> (ng, kt2) block-diagonal
-        return jnp.where(mask, jnp.broadcast_to(x, (ng, kt2)), jnp.int8(0))
+        # select in i32 (matching the iota mask's layout), truncate to i8
+        # at the end: an i1 mask relayout from (8,128) to the i8 (32,128)
+        # tiling is unsupported by Mosaic
+        xb = jnp.broadcast_to(x.astype(jnp.int32), (ng, kt2))
+        return jnp.where(mask, xb, 0).astype(jnp.int8)
 
     Pl = jax.lax.dot_general(bd(x_lo[:]), lo, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)  # (ng, bn)
@@ -407,7 +411,8 @@ def _q4gemv_bd_off_kernel(x_lo, x_hi, qp, s_lo, s_hi, o_lo, o_hi, out, *, G: int
     mask = gi == gk
 
     def bd(x):
-        return jnp.where(mask, jnp.broadcast_to(x, (ng, kt2)), jnp.int8(0))
+        xb = jnp.broadcast_to(x.astype(jnp.int32), (ng, kt2))
+        return jnp.where(mask, xb, 0).astype(jnp.int8)
 
     Pl = jax.lax.dot_general(bd(x_lo[:]), lo, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)
@@ -417,8 +422,10 @@ def _q4gemv_bd_off_kernel(x_lo, x_hi, qp, s_lo, s_hi, o_lo, o_hi, out, *, G: int
     sh = s_hi[0].astype(jnp.float32)
     ol = o_lo[:].astype(jnp.float32)
     oh = o_hi[:].astype(jnp.float32)
-    xsl = x_lo[:].reshape(ng, G).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
-    xsh = x_hi[:].reshape(ng, G).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+    # per-group activation sums via the already-built block-diagonal rows
+    # (a (1,kt2)->(ng,G) reshape is an unsupported Mosaic shape cast)
+    xsl = bd(x_lo[:]).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+    xsh = bd(x_hi[:]).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
     contrib = (Pl.astype(jnp.float32) * sl + xsl * ol
                + Ph.astype(jnp.float32) * sh + xsh * oh)
     out[:] = out[:] + contrib.sum(axis=0, keepdims=True)

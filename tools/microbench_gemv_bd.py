@@ -111,16 +111,16 @@ def gemv_q4_bd(xq, packed, scales, offsets, kt2, bn):
         kidx = jax.lax.broadcasted_iota(jnp.int32, (ng, kt2), 1) // G
 
         def bd(x):  # (1, kt2) int8 -> (ng, kt2) block-diagonal
-            xb = jnp.broadcast_to(x, (ng, kt2))
-            return jnp.where(gidx == kidx, xb, jnp.int8(0))
+            xb = jnp.broadcast_to(x.astype(jnp.int32), (ng, kt2))
+            return jnp.where(gidx == kidx, xb, 0).astype(jnp.int8)
 
         xl, xh = x_lo[:], x_hi[:]
         Pl = jax.lax.dot_general(bd(xl), lo, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)  # (ng, bn)
         Ph = jax.lax.dot_general(bd(xh), hi, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
-        xsl = xl.reshape(ng, G).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
-        xsh = xh.reshape(ng, G).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+        xsl = bd(xl).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+        xsh = bd(xh).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
         contrib = (Pl.astype(jnp.float32) * sl + xsl * ol
                    + Ph.astype(jnp.float32) * sh + xsh * oh)
         out[:] = out[:] + contrib.sum(axis=0, keepdims=True)
