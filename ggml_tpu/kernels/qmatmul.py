@@ -414,9 +414,11 @@ def _q4gemv_bd_off_kernel(x_lo, x_hi, qp, s_lo, s_hi, o_lo, o_hi, out, *, G: int
         xb = jnp.broadcast_to(x.astype(jnp.int32), (ng, kt2))
         return jnp.where(mask, xb, 0).astype(jnp.int8)
 
-    Pl = jax.lax.dot_general(bd(x_lo[:]), lo, (((1,), (0,)), ((), ())),
+    bdl = bd(x_lo[:])
+    bdh = bd(x_hi[:])
+    Pl = jax.lax.dot_general(bdl, lo, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)
-    Ph = jax.lax.dot_general(bd(x_hi[:]), hi, (((1,), (0,)), ((), ())),
+    Ph = jax.lax.dot_general(bdh, hi, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.int32)
     sl = s_lo[0].astype(jnp.float32)
     sh = s_hi[0].astype(jnp.float32)
@@ -424,17 +426,18 @@ def _q4gemv_bd_off_kernel(x_lo, x_hi, qp, s_lo, s_hi, o_lo, o_hi, out, *, G: int
     oh = o_hi[:].astype(jnp.float32)
     # per-group activation sums via the already-built block-diagonal rows
     # (a (1,kt2)->(ng,G) reshape is an unsupported Mosaic shape cast)
-    xsl = bd(x_lo[:]).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
-    xsh = bd(x_hi[:]).astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+    xsl = bdl.astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+    xsh = bdh.astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
     contrib = (Pl.astype(jnp.float32) * sl + xsl * ol
                + Ph.astype(jnp.float32) * sh + xsh * oh)
     out[:] = out[:] + contrib.sum(axis=0, keepdims=True)
 
 
-# opt-in until measured on hardware (the relay died mid-round-2 before the
-# microbench completed): GGML_TPU_GEMV_BD=1 selects the block-diagonal
-# kernels at m=1
-_GEMV_BD = os.environ.get("GGML_TPU_GEMV_BD", "0") == "1"
+# DEFAULT ON since round 3: measured on v5e hardware 2026-08-19 —
+# GPT-J-6B Q4_K decode 6.69 ms/tok (bd) vs 7.29 ms/tok (loop), an 8.2% e2e
+# win (BENCH_AUTOTUNE_DETAIL.json); GGML_TPU_GEMV_BD=0 restores the
+# per-group-loop kernels at m=1
+_GEMV_BD = os.environ.get("GGML_TPU_GEMV_BD", "1") == "1"
 
 
 def _q4_gemv(xq, packed, scales, G: int, interpret: bool, offsets=None):

@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
+import functools
 import os
 
 import jax
@@ -280,7 +281,6 @@ def synth_quantized_params(
     Default on for q4-capable types; GGML_TPU_SYNTH_Q4=0 forces int8 codes."""
     from ..quant.planar import _Q4_PLANE_TYPES, PlanarWeight
 
-    rng = np.random.default_rng(seed)
     if use_q4 is None:
         use_q4 = (
             os.environ.get("GGML_TPU_SYNTH_Q4", "1") != "0"
@@ -290,67 +290,107 @@ def synth_quantized_params(
     affine = ggml_type in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q2_K, GGMLType.Q3_K,
                            GGMLType.Q4_K, GGMLType.Q5_K)
     s_val = np.float32(0.02 / 8)
-    s_dt = "bfloat16"  # group scales/offsets in bf16: -10% HBM traffic/token
 
-    # one random megabyte tiled out: distinct HBM buffers (capacity + traffic
-    # are real), byte values repeat (throughput never depends on values)
-    _pool = np.frombuffer(rng.bytes(1 << 20), np.uint8)
+    # Synthesis happens ON DEVICE: codes come straight from the on-device
+    # PRNG (jax.random.bits) — nothing but PRNG keys crosses the host->TPU
+    # tunnel.  Shipping the full ~3.4 GB of synthesized planes through the
+    # tunnel instead is what blew round 2's bench window (85 s -> 722 s when
+    # the relay was slow), and device-side jnp.tile/broadcast+reshape of a
+    # byte pool compiles in O(minutes) at this size.  All plane builders for
+    # one weight group collapse into a single jitted program per DISTINCT
+    # SHAPE SET (one for the 28 identical layers, one for the head) so
+    # remote-compile count and dispatch round-trips stay O(1), not O(params).
+    sdt = jnp.bfloat16  # group scales/offsets in bf16: -10% HBM traffic/token
 
-    def _fill(nbytes):
-        reps = -(-nbytes // len(_pool))
-        return np.tile(_pool, reps)[:nbytes]
-
-    def qweight(n, k):
-        # 512-multiple pads for wide outputs -> bigger bn tiles in the kernels
-        # 2048-multiple pads for wide outputs: the GEMV's widest N tile
-        # (bn=2048) measured ~9% faster e2e than bn<=1024 on v5e
+    def _plane_graph(key, n, k):
+        """Traced plane builders for one weight (runs inside jit)."""
         wide_pad = int(os.environ.get("GGML_TPU_SYNTH_PAD", "2048"))
         pad_to = wide_pad if n > 8192 else 128
         npad = -(-n // pad_to) * pad_to
-        import ml_dtypes
-
-        sdt = np.dtype(ml_dtypes.bfloat16) if s_dt == "bfloat16" else np.float32
         if use_q4:
-            codes = _fill(k // 2 * npad).reshape(k // 2, npad)
-            scales = np.full((2, (k // 2) // G, npad), s_val, sdt)
+            codes = jax.random.bits(key, (k // 2, npad), jnp.uint8)
+            scales = jnp.full((2, (k // 2) // G, npad), s_val, sdt)
         else:
-            codes = _fill(k * npad).reshape(k, npad).view(np.int8)
-            scales = np.full((k // G, npad), s_val, sdt)
-        offsets = np.full((k // G, npad), -8.0 * s_val, sdt) if affine else None
+            codes = jax.lax.bitcast_convert_type(
+                jax.random.bits(key, (k, npad), jnp.uint8), jnp.int8)
+            scales = jnp.full((k // G, npad), s_val, sdt)
+        offsets = jnp.full((k // G, npad), -8.0 * s_val, sdt) if affine else None
+        return {"codes": codes, "scales": scales, "offsets": offsets}
+
+    def _wrap(planes, n, k):
         return PlanarWeight(
-            kind="q4" if use_q4 else "q8", codes=codes, scales=scales,
-            offsets=offsets, group=G, n=n, k=k, orig_type=ggml_type,
-        ).to_device()
+            kind="q4" if use_q4 else "q8", codes=planes["codes"],
+            scales=planes["scales"], offsets=planes.get("offsets"),
+            group=G, n=n, k=k, orig_type=ggml_type,
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _group_prog(shapes: tuple):
+        """One compiled program building the planes for a tuple of (n, k)."""
+
+        @jax.jit
+        def build(key):
+            keys = jax.random.split(key, len(shapes))
+            return [_plane_graph(keys[i], n, k) for i, (n, k) in enumerate(shapes)]
+
+        return build
+
+    _qkey = [jax.random.PRNGKey(seed + 7)]
+
+    def qweights(*shapes):
+        _qkey[0], sub = jax.random.split(_qkey[0])
+        planes = _group_prog(tuple(shapes))(sub)
+        return [_wrap(p, n, k) for p, (n, k) in zip(planes, shapes)]
+
+    def qweight(n, k):
+        return qweights((n, k))[0]
+
+    _key = [jax.random.PRNGKey(seed)]
 
     def dense(*shape, s=0.02):
-        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * s, dtype=dtype)
+        _key[0], sub = jax.random.split(_key[0])
+        return (jax.random.normal(sub, shape, jnp.float32) * s).astype(dtype)
 
     E = cfg.n_embd
+    fuse_up = fuse_qkv and os.environ.get("GGML_TPU_FUSE_QKVUP", "0") == "1"
+
+    # every small dense tensor (embedding, norms, biases) in ONE program:
+    # a compile + dispatch per tensor costs ~0.1-1 s each over the relay
+    @jax.jit
+    def small_tensors(key):
+        embd = (jax.random.normal(key, (cfg.n_vocab, E), jnp.float32) * 0.02).astype(dtype)
+        ones_e = jnp.ones((E,), dtype)
+        zeros_e = jnp.zeros((E,), dtype)
+        zeros_4e = jnp.zeros((4 * E,), dtype)
+        zeros_v = jnp.zeros((cfg.n_vocab,), dtype)
+        return embd, ones_e, zeros_e, zeros_4e, zeros_v
+
+    embd, ones_e, zeros_e, zeros_4e, zeros_v = small_tensors(jax.random.PRNGKey(seed))
     p: dict[str, Any] = {
-        "token_embd.weight": dense(cfg.n_vocab, E),
-        "output_norm.weight": jnp.ones((E,), dtype),
-        "output_norm.bias": jnp.zeros((E,), dtype),
+        "token_embd.weight": embd,
+        "output_norm.weight": ones_e,
+        "output_norm.bias": zeros_e,
         "output.weight": qweight(cfg.n_vocab, E),
-        "output.bias": jnp.zeros((cfg.n_vocab,), dtype),
+        "output.bias": zeros_v,
     }
+    if fuse_up:  # parallel residual: qkv AND ffn_up read the same h ->
+        # one widest kernel per layer (N = 7E), one fewer ramp
+        layer_shapes = [(7 * E, E), (E, E), (E, 4 * E)]
+        layer_names = ["attn_qkvup.weight", "attn_output.weight", "ffn_down.weight"]
+    elif fuse_qkv:  # fused q|k|v: fewer, wider kernels (single-chip decode)
+        layer_shapes = [(3 * E, E), (E, E), (4 * E, E), (E, 4 * E)]
+        layer_names = ["attn_qkv.weight", "attn_output.weight",
+                       "ffn_up.weight", "ffn_down.weight"]
+    else:  # separate projections (column-sharded tensor parallelism)
+        layer_shapes = [(E, E), (E, E), (E, E), (E, E), (4 * E, E), (E, 4 * E)]
+        layer_names = ["attn_q.weight", "attn_k.weight", "attn_v.weight",
+                       "attn_output.weight", "ffn_up.weight", "ffn_down.weight"]
     for i in range(cfg.n_layer):
         pre = f"blk.{i}."
-        p[pre + "attn_norm.weight"] = jnp.ones((E,), dtype)
-        p[pre + "attn_norm.bias"] = jnp.zeros((E,), dtype)
-        fuse_up = fuse_qkv and os.environ.get("GGML_TPU_FUSE_QKVUP", "0") == "1"
-        if fuse_up:  # parallel residual: qkv AND ffn_up read the same h ->
-            # one widest kernel per layer (N = 7E), one fewer ramp
-            p[pre + "attn_qkvup.weight"] = qweight(7 * E, E)
-        elif fuse_qkv:  # fused q|k|v: fewer, wider kernels (single-chip decode)
-            p[pre + "attn_qkv.weight"] = qweight(3 * E, E)
-        else:  # separate projections (column-sharded tensor parallelism)
-            p[pre + "attn_q.weight"] = qweight(E, E)
-            p[pre + "attn_k.weight"] = qweight(E, E)
-            p[pre + "attn_v.weight"] = qweight(E, E)
-        p[pre + "attn_output.weight"] = qweight(E, E)
-        if not fuse_up:
-            p[pre + "ffn_up.weight"] = qweight(4 * E, E)
-        p[pre + "ffn_up.bias"] = jnp.zeros((4 * E,), dtype)
-        p[pre + "ffn_down.weight"] = qweight(E, 4 * E)
-        p[pre + "ffn_down.bias"] = jnp.zeros((E,), dtype)
+        for name, pw in zip(layer_names, qweights(*layer_shapes)):
+            p[pre + name] = pw
+        p[pre + "attn_norm.weight"] = ones_e
+        p[pre + "attn_norm.bias"] = zeros_e
+        p[pre + "ffn_up.bias"] = zeros_4e
+        p[pre + "ffn_down.bias"] = zeros_e
     return p
