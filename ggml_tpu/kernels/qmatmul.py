@@ -433,6 +433,150 @@ def _q4gemv_bd_off_kernel(x_lo, x_hi, qp, s_lo, s_hi, o_lo, o_hi, out, *, G: int
     out[:] = out[:] + contrib.sum(axis=0, keepdims=True)
 
 
+def _sb_expand(d, sb: int, ng: int, bn: int):
+    """(ng/sb, bn) superblock plane -> (ng, bn) f32, element-repeat along
+    sublanes (broadcast+reshape; pltpu.repeat is whole-array tile semantics)."""
+    d = d.astype(jnp.float32)
+    ng_sb = ng // sb
+    return jnp.broadcast_to(d[:, None, :], (ng_sb, sb, bn)).reshape(ng, bn)
+
+
+def _q4gemv_sb_kernel(x_lo, x_hi, qp, sc_lo, sc_hi, m_lo, m_hi,
+                      d_lo, d_hi, dm_lo, dm_hi, out, *, G: int, ng: int, sb: int):
+    """Per-group-loop q4 GEMV over COMPACT K-quant planes: int8 sub-scale/min
+    codes per group + d/dmin per superblock of `sb` groups (reference
+    block_q4_K factoring, src/ggml-common.h:279-290).  Effective planes are
+    reconstructed once per tile in fp32 — the same arithmetic the reference
+    dequantizer does, at 2.5-3 B/group of HBM traffic instead of 4."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    codes = qp[:].astype(jnp.int32)
+    lo = (codes & 0xF).astype(jnp.int8)
+    hi = (codes >> 4).astype(jnp.int8)
+    bn = out.shape[-1]
+    sl = _sb_expand(d_lo[0], sb, ng, bn) * sc_lo[0].astype(jnp.int32).astype(jnp.float32)
+    sh = _sb_expand(d_hi[0], sb, ng, bn) * sc_hi[0].astype(jnp.int32).astype(jnp.float32)
+    ol = -_sb_expand(dm_lo[0], sb, ng, bn) * m_lo[:].astype(jnp.int32).astype(jnp.float32)
+    oh = -_sb_expand(dm_hi[0], sb, ng, bn) * m_hi[:].astype(jnp.int32).astype(jnp.float32)
+    xl, xh = x_lo[:], x_hi[:]
+    acc = out[:]
+    for j in range(ng):
+        xg = xl[:, j * G : (j + 1) * G]
+        p = jax.lax.dot_general(xg, lo[j * G : (j + 1) * G, :],
+                                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        acc = acc + p.astype(jnp.float32) * sl[j : j + 1, :] + xsum * ol[j : j + 1, :]
+        xg = xh[:, j * G : (j + 1) * G]
+        p = jax.lax.dot_general(xg, hi[j * G : (j + 1) * G, :],
+                                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        acc = acc + p.astype(jnp.float32) * sh[j : j + 1, :] + xsum * oh[j : j + 1, :]
+    out[:] = acc
+
+
+def _q4gemv_bd_sb_kernel(x_lo, x_hi, qp, sc_lo, sc_hi, m_lo, m_hi,
+                         d_lo, d_hi, dm_lo, dm_hi, out, *, G: int, ng: int, sb: int):
+    """Block-diagonal q4 GEMV over compact K-quant planes (see
+    _q4gemv_bd_kernel for the block-diagonal trick, _q4gemv_sb_kernel for the
+    compact-plane math).  Measured on v5e 2026-08-19: 66.0 us vs 70.3 us for
+    bf16 eff-scale planes at K=4096 N=16384 (tools/microbench_r3.py compact)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    codes = qp[:].astype(jnp.int32)
+    lo = (codes & 0xF).astype(jnp.int8)
+    hi = (codes >> 4).astype(jnp.int8)
+    kt2 = ng * G
+    bn = out.shape[-1]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ng, kt2), 0)
+    gk = jax.lax.broadcasted_iota(jnp.int32, (ng, kt2), 1) // G
+    mask = gi == gk
+
+    def bd(x):
+        xb = jnp.broadcast_to(x.astype(jnp.int32), (ng, kt2))
+        return jnp.where(mask, xb, 0).astype(jnp.int8)
+
+    bdl = bd(x_lo[:])
+    bdh = bd(x_hi[:])
+    Pl = jax.lax.dot_general(bdl, lo, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    Ph = jax.lax.dot_general(bdh, hi, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    sl = _sb_expand(d_lo[0], sb, ng, bn) * sc_lo[0].astype(jnp.int32).astype(jnp.float32)
+    sh = _sb_expand(d_hi[0], sb, ng, bn) * sc_hi[0].astype(jnp.int32).astype(jnp.float32)
+    ol = -_sb_expand(dm_lo[0], sb, ng, bn) * m_lo[:].astype(jnp.int32).astype(jnp.float32)
+    oh = -_sb_expand(dm_hi[0], sb, ng, bn) * m_hi[:].astype(jnp.int32).astype(jnp.float32)
+    xsl = bdl.astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+    xsh = bdh.astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+    contrib = (Pl.astype(jnp.float32) * sl + xsl * ol
+               + Ph.astype(jnp.float32) * sh + xsh * oh)
+    out[:] = out[:] + contrib.sum(axis=0, keepdims=True)
+
+
+def _sb_gemv_k_tile(k2: int, G: int, sb: int) -> int | None:
+    """k-tile for the compact-plane GEMV, or None if no VMEM-safe legal tile
+    exists.  Legality: superblock-plane tiles need (kt2/(G*sb)) % 8 == 0, or
+    kt2 == k2 (the (1, rows, bn) block then spans the plane's row dim)."""
+    for c in (2048, 4096):
+        if c <= k2 and k2 % c == 0 and c % G == 0 and (c // (G * sb)) % 8 == 0:
+            return c
+    return k2 if k2 <= 4096 else None  # whole-half-plane tile, VMEM-bounded
+
+
+def _q4_gemv_sb(xq, packed, sc, m_codes, d_pl, dmin_pl, G: int, sb: int, interpret: bool):
+    """Dispatch the compact-plane q4 GEMV (tile rules: _sb_gemv_k_tile)."""
+    m, k = xq.shape
+    k2, npad = packed.shape
+    assert k == 2 * k2
+    # bn capped at 1024: kt2=2048 x bn=2048 crashes the Mosaic compiler
+    # (internal error; tools/microbench_r3.py compact) and 1024 measured best
+    bn = _pick_tile(npad, (1024, 512, 384, 256, 128))
+    kt2 = _sb_gemv_k_tile(k2, G, sb)
+    assert kt2 is not None
+    ng = kt2 // G
+    n_ktiles = k2 // kt2
+    ng8 = ng // sb
+    grid = (npad // bn, n_ktiles)
+    use_bd = _GEMV_BD and m == 1
+
+    in_specs = [
+        pl.BlockSpec((m, kt2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, kt2), lambda i, kk: (0, kk + n_ktiles), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kt2, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng, bn), lambda i, kk: (0, kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng, bn), lambda i, kk: (1, kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ng, bn), lambda i, kk: (kk + n_ktiles, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng8, bn), lambda i, kk: (0, kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng8, bn), lambda i, kk: (1, kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng8, bn), lambda i, kk: (0, kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ng8, bn), lambda i, kk: (1, kk, i), memory_space=pltpu.VMEM),
+    ]
+    kern = functools.partial(
+        _q4gemv_bd_sb_kernel if use_bd else _q4gemv_sb_kernel, G=G, ng=ng, sb=sb
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
+        compiler_params=_gemv_compiler_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * npad,
+            bytes_accessed=k2 * npad + sc.nbytes + m_codes.nbytes + d_pl.nbytes
+            + dmin_pl.nbytes + m * k + m * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, xq, packed, sc, sc, m_codes, m_codes, d_pl, d_pl, dmin_pl, dmin_pl)
+
+
 # DEFAULT ON since round 3: measured on v5e hardware 2026-08-19 —
 # GPT-J-6B Q4_K decode 6.69 ms/tok (bd) vs 7.29 ms/tok (loop), an 8.2% e2e
 # win (BENCH_AUTOTUNE_DETAIL.json); GGML_TPU_GEMV_BD=0 restores the
@@ -565,12 +709,34 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
 
     offsets = None if pw.offsets is None else jnp.asarray(pw.offsets)
 
+    has_sb = pw.supers is not None
+    if has_sb:
+        d_pl = jnp.asarray(pw.supers[0])
+        dmin_pl = None if pw.supers[1] is None else jnp.asarray(pw.supers[1])
+
+    def _effective_planes():
+        """Multiply the compact K-quant factoring back out (jnp, fused by
+        XLA) for the paths whose kernels read effective planes directly —
+        prefill matmuls amortize scale traffic over many rows, so the
+        reconstruction cost is noise there."""
+        sc_f = scales.astype(jnp.float32)
+        eff_s = jnp.repeat(d_pl.astype(jnp.float32), pw.sb, axis=-2) * sc_f
+        eff_o = None
+        if offsets is not None:
+            # dmin is plane-major 3D; offsets are natural element order 2D
+            dmin_nat = dmin_pl.astype(jnp.float32).reshape(-1, offsets.shape[-1])
+            eff_o = -jnp.repeat(dmin_nat, pw.sb, axis=0) * offsets.astype(jnp.float32)
+        return eff_s, eff_o
+
     def dense_fallback(xc):
         """Shapes too small for legal Mosaic lane tiling (q4 half-planes need
         K/2 % 128 == 0): dequantize in jnp and matmul — XLA handles tiny
         models fine; the kernels exist for the big ones."""
         g = pw.group
-        sc = scales.astype(jnp.float32)
+        if has_sb:
+            sc, off = _effective_planes()
+        else:
+            sc, off = scales.astype(jnp.float32), offsets
         if pw.kind == "q4":
             lo = (codes & 0xF).astype(jnp.float32)
             hi = (codes >> 4).astype(jnp.float32)
@@ -579,8 +745,8 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
             )
         else:
             w = codes.astype(jnp.float32) * jnp.repeat(sc, g, axis=0)
-        if offsets is not None:
-            w = w + jnp.repeat(offsets.astype(jnp.float32), g, axis=0)
+        if off is not None:
+            w = w + jnp.repeat(off.astype(jnp.float32), g, axis=0)
         return xc.astype(jnp.float32) @ w
 
     q4_tileable = pw.kind != "q4" or (k // 2) % 128 == 0
@@ -597,18 +763,31 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
             return dense_fallback(xc)
         if use_gemv:
             xq, sx = _quantize_activations_per_row(xc)
+            if has_sb and _sb_gemv_k_tile(k // 2, pw.group, pw.sb) is not None:
+                # compact K-quant planes straight into the kernel: the
+                # d*sc / -dmin*m reconstruction rides the VPU per tile
+                return _q4_gemv_sb(xq, codes, scales, offsets, d_pl, dmin_pl,
+                                   pw.group, pw.sb, interpret) * sx
+            if has_sb:  # no legal superblock tile at this K: expanded planes
+                eff_s, eff_o = _effective_planes()
+                return _q4_gemv(xq, codes, eff_s, pw.group, interpret,
+                                offsets=eff_o) * sx
             gemv = _q8_gemv if pw.kind == "q8" else _q4_gemv
             # affine offsets are folded into the kernel: the group offset
             # multiplies the group's int8 activation sum, and the per-row
             # scale sx outside covers both terms
             return gemv(xq, codes, scales, pw.group, interpret, offsets=offsets) * sx
-        if pw.kind == "q4":
-            y = _q4_matmul(xc, codes, scales, pw.group, interpret)
+        if has_sb:
+            eff_s, eff_o = _effective_planes()
         else:
-            y = _q8_matmul(xc, codes, scales, pw.group, interpret)
-        if offsets is not None:
+            eff_s, eff_o = scales, offsets
+        if pw.kind == "q4":
+            y = _q4_matmul(xc, codes, eff_s, pw.group, interpret)
+        else:
+            y = _q8_matmul(xc, codes, eff_s, pw.group, interpret)
+        if eff_o is not None:
             xsum = xc.astype(jnp.float32).reshape(xc.shape[0], k // pw.group, pw.group).sum(-1)
-            y = y + xsum @ offsets
+            y = y + xsum @ eff_o
         return y
 
     if m <= _M_CHUNK:

@@ -302,6 +302,15 @@ def synth_quantized_params(
     # remote-compile count and dispatch round-trips stay O(1), not O(params).
     sdt = jnp.bfloat16  # group scales/offsets in bf16: -10% HBM traffic/token
 
+    # compact K-quant planes (int8 sub-scale/min codes + bf16 d/dmin per
+    # superblock) exactly when the repack path would produce them
+    from ..quant.planar import _compact_applicable
+
+    SB = 8
+
+    def _compact(k):
+        return _compact_applicable(ggml_type, k, force_q8=not use_q4)
+
     def _plane_graph(key, n, k):
         """Traced plane builders for one weight (runs inside jit)."""
         wide_pad = int(os.environ.get("GGML_TPU_SYNTH_PAD", "2048"))
@@ -309,6 +318,18 @@ def synth_quantized_params(
         npad = -(-n // pad_to) * pad_to
         if use_q4:
             codes = jax.random.bits(key, (k // 2, npad), jnp.uint8)
+            if _compact(k):
+                # factored planes with the SAME effective values the dense
+                # planes would carry: d*sc == s_val, -dmin*m == -8*s_val
+                return {
+                    "codes": codes,
+                    "scales": jnp.full((2, (k // 2) // G, npad), 32, jnp.int8),
+                    "offsets": jnp.full((k // G, npad), 32, jnp.int8),
+                    "supers": (
+                        jnp.full((2, (k // 2) // (G * SB), npad), s_val / 32, sdt),
+                        jnp.full((2, (k // 2) // (G * SB), npad), 8.0 * s_val / 32, sdt),
+                    ),
+                }
             scales = jnp.full((2, (k // 2) // G, npad), s_val, sdt)
         else:
             codes = jax.lax.bitcast_convert_type(
@@ -322,6 +343,7 @@ def synth_quantized_params(
             kind="q4" if use_q4 else "q8", codes=planes["codes"],
             scales=planes["scales"], offsets=planes.get("offsets"),
             group=G, n=n, k=k, orig_type=ggml_type,
+            supers=planes.get("supers"), sb=SB,
         )
 
     @functools.lru_cache(maxsize=None)

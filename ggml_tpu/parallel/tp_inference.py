@@ -39,15 +39,20 @@ def _pw_spec(pw: PlanarWeight, mode: str) -> PlanarWeight:
         codes = P(None, "tp")
         scales = P(None, None, "tp") if pw.kind == "q4" else P(None, "tp")
         offsets = None if pw.offsets is None else P(None, "tp")
+        sup = P(None, None, "tp")
     elif mode == "row":  # shard K (leading axis)
         codes = P("tp", None)
         scales = P(None, "tp", None) if pw.kind == "q4" else P("tp", None)
         offsets = None if pw.offsets is None else P("tp", None)
+        sup = P(None, "tp", None)
     else:  # replicated
         codes = P(None, None)
         scales = P(None, None, None) if pw.kind == "q4" else P(None, None)
         offsets = None if pw.offsets is None else P(None, None)
-    return replace(pw, codes=codes, scales=scales, offsets=offsets)
+        sup = P(None, None, None)
+    supers = None if pw.supers is None else tuple(
+        None if s is None else sup for s in pw.supers)
+    return replace(pw, codes=codes, scales=scales, offsets=offsets, supers=supers)
 
 
 def _localize(pw: PlanarWeight) -> PlanarWeight:
@@ -78,6 +83,8 @@ def _slice_pw_cols(pw: PlanarWeight, a: int, b: int, n_pad_to: int = 128) -> Pla
         codes=cut(pw.codes),
         scales=cut(pw.scales),
         offsets=None if pw.offsets is None else cut(pw.offsets),
+        supers=None if pw.supers is None else tuple(
+            None if s is None else cut(s) for s in pw.supers),
         n=width,
     )
 

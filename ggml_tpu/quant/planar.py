@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import os
+
 import numpy as np
 
 from ..dtypes import GGMLType, get_type_traits
@@ -299,6 +301,27 @@ def _planes_tq2_0(b):
     return q, d[:, None], None, 256
 
 
+def _compact_planes_q4_k(b):
+    """Q4_K planes with the superblock structure kept FACTORED instead of
+    multiplied out: integer 6-bit sub-scale/min codes per 32-group plus fp32
+    d/dmin per 256-element superblock (reference layout:
+    src/ggml-common.h:279-290 block_q4_K).  Cuts decode scale traffic from
+    4 B/group (two bf16/fp32 planes) to 2.5-3 B/group while staying EXACT:
+    the kernel recomputes s = d * sc in fp32, the same arithmetic the
+    reference dequantizer does."""
+    d = R._f16(b, 0)
+    dmin = R._f16(b, 2)
+    sc, m = R._k4_scale_min(b[:, 4:16])  # (nb, 8) float-valued 6-bit ints
+    qs = b[:, 16:144]
+    q = np.where(R._Q4K_NIB == 0, qs[:, R._Q4K_QIDX] & 0xF, qs[:, R._Q4K_QIDX] >> 4).astype(np.int16)
+    return q, sc.astype(np.int8), m.astype(np.int8), d, dmin, 32, 8
+
+
+_COMPACT_PLANES = {
+    GGMLType.Q4_K: _compact_planes_q4_k,
+}
+
+
 _PLANES = {
     GGMLType.Q4_0: _planes_q4_0,
     GGMLType.Q4_1: _planes_q4_1,
@@ -348,12 +371,18 @@ class PlanarWeight:
 
     kind: str  # "q4" | "q8"
     codes: object  # jax/np uint8 (K//2, Npad) or int8 (K, Npad)
-    scales: object  # fp32 (K//G, Npad)
-    offsets: object | None  # fp32 (K//G, Npad) or None
+    scales: object  # fp32 (K//G, Npad); int8 sub-scale CODES when supers set
+    offsets: object | None  # fp32 (K//G, Npad) or None; int8 min codes when supers set
     group: int
     n: int  # logical N (pre-padding)
     k: int
     orig_type: GGMLType
+    # K-quant compact-scale planes: (d, dmin) per superblock of `sb` groups,
+    # fp32/bf16, shaped (2, K/2/G/sb, Npad) [q4] or (K/G/sb, Npad) [q8];
+    # dmin is None for non-affine types.  Effective scale = d_expand * scales,
+    # effective offset = -dmin_expand * offsets (codes are small ints).
+    supers: tuple | None = None
+    sb: int = 8  # groups per superblock when supers is set
 
     @property
     def shape(self):  # ggml orientation (N, K)
@@ -372,20 +401,47 @@ class PlanarWeight:
             n=self.n,
             k=self.k,
             orig_type=self.orig_type,
+            supers=None if self.supers is None else tuple(
+                None if s is None else jnp.asarray(s) for s in self.supers),
+            sb=self.sb,
         )
 
 
 def _pw_flatten(pw: PlanarWeight):
-    children = (pw.codes, pw.scales) + (() if pw.offsets is None else (pw.offsets,))
-    aux = (pw.kind, pw.offsets is None, pw.group, pw.n, pw.k, pw.orig_type)
+    children = (pw.codes, pw.scales)
+    if pw.offsets is not None:
+        children += (pw.offsets,)
+    n_sup = 0
+    if pw.supers is not None:
+        sup = tuple(s for s in pw.supers if s is not None)
+        n_sup = len(sup)
+        children += sup
+    aux = (pw.kind, pw.offsets is None, pw.group, pw.n, pw.k, pw.orig_type,
+           None if pw.supers is None else tuple(s is None for s in pw.supers),
+           pw.sb)
     return children, aux
 
 
 def _pw_unflatten(aux, children):
-    kind, no_off, group, n, k, orig_type = aux
+    kind, no_off, group, n, k, orig_type, sup_none_mask, sb = aux
     codes, scales = children[0], children[1]
-    offsets = None if no_off else children[2]
-    return PlanarWeight(kind, codes, scales, offsets, group, n, k, orig_type)
+    i = 2
+    offsets = None
+    if not no_off:
+        offsets = children[i]
+        i += 1
+    supers = None
+    if sup_none_mask is not None:
+        supers = []
+        for is_none in sup_none_mask:
+            if is_none:
+                supers.append(None)
+            else:
+                supers.append(children[i])
+                i += 1
+        supers = tuple(supers)
+    return PlanarWeight(kind, codes, scales, offsets, group, n, k, orig_type,
+                        supers, sb)
 
 
 try:  # register as a pytree so PlanarWeight params flow through jax.jit
@@ -405,7 +461,11 @@ def repack(
     backend: str = "auto",
 ) -> PlanarWeight:
     """backend: 'auto' uses the multithreaded C++ repacker when available
-    (csrc/repack.cpp, bit-identical), 'numpy' forces the pure-Python path."""
+    (csrc/repack.cpp, bit-identical), 'numpy' forces the pure-Python path.
+    Compact K-quant layouts (factored sub-scales) always take the numpy
+    path — the native repacker emits the multiplied-out fp32 planes."""
+    if _compact_applicable(ggml_type, shape[1], force_q8):
+        return _repack_numpy(raw, ggml_type, shape, n_pad_to=n_pad_to, force_q8=force_q8)
     if backend == "auto":
         try:
             from ..native import native_repack
@@ -418,6 +478,51 @@ def repack(
             if pw is not None:
                 return pw
     return _repack_numpy(raw, ggml_type, shape, n_pad_to=n_pad_to, force_q8=force_q8)
+
+
+def _compact_applicable(ggml_type: GGMLType, k: int, force_q8: bool) -> bool:
+    """Compact sub-scale planes: K-quant types where the superblock factoring
+    is implemented AND the q4 GEMV's superblock tiling constraints hold
+    ((K/2) divisible by the 2048-element kernel k-tile OR equal to it)."""
+    if force_q8 or ggml_type not in _COMPACT_PLANES:
+        return False
+    if os.environ.get("GGML_TPU_COMPACT_SCALES", "1") == "0":
+        return False
+    return k % 512 == 0  # full superblocks in each packed half-plane
+
+
+def _repack_numpy_compact(
+    blocks: np.ndarray, ggml_type: GGMLType, n: int, k: int, npad: int
+) -> PlanarWeight:
+    """Compact K-quant layout: int8 sub-scale/min codes per group + fp32
+    d/dmin per superblock (kept EXACT: fp32 holds every fp16 value)."""
+    q, sc, m, d, dmin, G, SB = _COMPACT_PLANES[ggml_type](blocks)
+    q = q.reshape(n, k)
+    sc = sc.reshape(n, k // G)
+    m = m.reshape(n, k // G)
+    d = d.reshape(n, k // (G * SB)).astype(F32)
+    dmin = dmin.reshape(n, k // (G * SB)).astype(F32)
+    if npad != n:
+        q = np.pad(q, ((0, npad - n), (0, 0)))
+        sc = np.pad(sc, ((0, npad - n), (0, 0)))
+        m = np.pad(m, ((0, npad - n), (0, 0)))
+        d = np.pad(d, ((0, npad - n), (0, 0)))
+        dmin = np.pad(dmin, ((0, npad - n), (0, 0)))
+
+    qu = q.astype(np.uint8)
+    lo, hi = qu[:, : k // 2], qu[:, k // 2 :]
+    codes = np.ascontiguousarray((lo | (hi << 4)).T)  # (K/2, Npad)
+    scales = np.ascontiguousarray(sc.T).reshape(2, (k // 2) // G, npad)
+    offsets = np.ascontiguousarray(m.T)  # (K/G, Npad), natural element order
+    # d/dmin both plane-major 3D: a (1, rows, bn) block that spans the row
+    # dim is always a legal Mosaic tile, so whole-K k-tiles work at any K
+    d_pl = np.ascontiguousarray(d.T).reshape(2, (k // 2) // (G * SB), npad)
+    dmin_pl = np.ascontiguousarray(dmin.T).reshape(2, (k // 2) // (G * SB), npad)
+    return PlanarWeight(
+        kind="q4", codes=codes, scales=scales, offsets=offsets,
+        group=G, n=n, k=k, orig_type=ggml_type,
+        supers=(d_pl, dmin_pl), sb=SB,
+    )
 
 
 def _repack_numpy(
@@ -438,6 +543,9 @@ def _repack_numpy(
     if fn is None:
         raise ValueError(f"no planar repack for {ggml_type!r}")
     blocks = raw.reshape(n * (k // tt.block_size), tt.type_size)
+    if _compact_applicable(ggml_type, k, force_q8):
+        npad_c = -(-n // n_pad_to) * n_pad_to
+        return _repack_numpy_compact(blocks, ggml_type, n, k, npad_c)
     q, s, o, G = fn(blocks)
     q = q.reshape(n, k)
     s = s.reshape(n, k // G)
@@ -478,6 +586,31 @@ def _repack_numpy(
     )
 
 
+def expand_compact(pw: PlanarWeight) -> PlanarWeight:
+    """Multiply a compact K-quant factoring back out to fp32 effective
+    scale/offset planes (supers=None).  Used where per-plane sharding layouts
+    predate the compact format (tensor-parallel repack); the decode GEMV
+    keeps the compact planes."""
+    if pw.supers is None:
+        return pw
+    d, dmin = pw.supers
+    d = np.asarray(d, F32)
+    sc = np.asarray(pw.scales, F32)
+    if pw.kind == "q4":
+        eff_s = np.repeat(d, pw.sb, axis=1) * sc
+    else:
+        eff_s = np.repeat(d, pw.sb, axis=0) * sc
+    eff_o = None
+    if pw.offsets is not None:
+        npad = eff_s.shape[-1]
+        dmin_nat = np.asarray(dmin, F32).reshape(-1, npad)
+        eff_o = -np.repeat(dmin_nat, pw.sb, axis=0) * np.asarray(pw.offsets, F32)
+    return PlanarWeight(
+        kind=pw.kind, codes=np.asarray(pw.codes), scales=eff_s, offsets=eff_o,
+        group=pw.group, n=pw.n, k=pw.k, orig_type=pw.orig_type,
+    )
+
+
 def repack_q4_rows_for_tp(pw: PlanarWeight, n_shards: int) -> PlanarWeight:
     """Permute a packed-nibble plane so CONTIGUOUS row chunks are per-shard
     self-consistent q4 half-planes — making q4 row (K) sharding legal for
@@ -493,6 +626,8 @@ def repack_q4_rows_for_tp(pw: PlanarWeight, n_shards: int) -> PlanarWeight:
     sharding + repack, src/ggml-cuda/ggml-cuda.cu:750-960.)
     """
     assert pw.kind == "q4"
+    # per-shard nibble re-pairing predates the compact factoring: expand it
+    pw = expand_compact(pw)
     K, G = pw.k, pw.group
     Kl = K // n_shards
     if K % n_shards or (Kl // 2) % G:
@@ -536,8 +671,19 @@ def dequant_planar(pw: PlanarWeight) -> np.ndarray:
     else:
         q = np.asarray(pw.codes).astype(F32)
         s_nat = np.asarray(pw.scales)
+    if pw.supers is not None:
+        d, dmin = pw.supers
+        d_nat = np.asarray(d, F32).reshape(-1, q.shape[1])
+        s_nat = np.repeat(d_nat, pw.sb, axis=0) * s_nat.astype(F32)
+        o_nat = None
+        if pw.offsets is not None:
+            dmin_nat = np.asarray(dmin, F32).reshape(-1, q.shape[1])
+            o_nat = -np.repeat(dmin_nat, pw.sb, axis=0) * np.asarray(
+                pw.offsets).astype(F32)
+    else:
+        o_nat = None if pw.offsets is None else np.asarray(pw.offsets)
     s = np.repeat(s_nat, pw.group, axis=0)
     w = s * q
-    if pw.offsets is not None:
-        w = w + np.repeat(np.asarray(pw.offsets), pw.group, axis=0)
+    if o_nat is not None:
+        w = w + np.repeat(o_nat, pw.group, axis=0)
     return w.T[: pw.n]

@@ -166,7 +166,7 @@ def test_batched_gemv_path_matches_dense(m, force_q8):
     assert _nmse(y_ref, np.asarray(y, np.float64)) < 5e-4
 
 
-def test_prefill_sized_gemv_accuracy():
+def test_prefill_sized_gemv_accuracy(monkeypatch):
     """M=512 through the int-GEMV path (the MMQ prefill experiment,
     GGML_TPU_GEMV_MAX_M=512): per-row activation quantization must stay
     inside the reference matmul gate at prompt scale."""
@@ -177,6 +177,9 @@ def test_prefill_sized_gemv_accuracy():
     rng = np.random.default_rng(77)
     raw = _random_quantized(GGMLType.Q4_K, n, k, rng)
     w_ref = R.dequantize(raw.reshape(n, -1), GGMLType.Q4_K, n * k).reshape(n, k)
+    # expanded fp32 planes: this test drives the raw _q4_gemv kernel, which
+    # reads effective scales (the compact factoring has its own kernel)
+    monkeypatch.setenv("GGML_TPU_COMPACT_SCALES", "0")
     pw = repack(raw, GGMLType.Q4_K, (n, k))
     assert pw.kind == "q4"
     x = (rng.standard_normal((m, k)) * 0.5).astype(np.float32)
@@ -212,3 +215,34 @@ def test_q4_gemv_block_diagonal_matches_loop(monkeypatch):
         # fp32 reassociation: the bd kernel reduces per-group partials in a
         # different order than the loop kernel — allow one-ulp-scale drift
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_compact_kquant_planes_match_expanded(monkeypatch):
+    """Q4_K compact factoring (int8 sub-scale/min codes + fp32 d/dmin per
+    superblock) must dequantize AND matmul identically to the multiplied-out
+    fp32 planes (reference semantics: src/ggml-common.h:279-290 block_q4_K,
+    s = d*sc and o = -dmin*m computed in fp32 either way)."""
+    import jax.numpy as jnp
+
+    n, k = 64, 1024
+    rng = np.random.default_rng(31337)
+    raw = _random_quantized(GGMLType.Q4_K, n, k, rng)
+
+    monkeypatch.setenv("GGML_TPU_COMPACT_SCALES", "1")
+    pw_c = repack(raw, GGMLType.Q4_K, (n, k))
+    assert pw_c.supers is not None and pw_c.sb == 8
+    assert np.asarray(pw_c.scales).dtype == np.int8
+    monkeypatch.setenv("GGML_TPU_COMPACT_SCALES", "0")
+    pw_e = repack(raw, GGMLType.Q4_K, (n, k), backend="numpy")
+    assert pw_e.supers is None
+
+    # identical dequantized values (fp32 d*sc in both paths)
+    np.testing.assert_allclose(dequant_planar(pw_c), dequant_planar(pw_e),
+                               rtol=1e-6, atol=1e-8)
+
+    x1 = (rng.standard_normal((1, k)) * 0.5).astype(np.float32)
+    xm = (rng.standard_normal((7, k)) * 0.5).astype(np.float32)
+    for x in (x1, xm):  # GEMV path and fused-dequant matmul path
+        y_c = np.asarray(planar_matmul(jnp.asarray(x), pw_c, interpret=True))
+        y_e = np.asarray(planar_matmul(jnp.asarray(x), pw_e, interpret=True))
+        np.testing.assert_allclose(y_c, y_e, rtol=1e-4, atol=1e-3)

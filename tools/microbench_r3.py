@@ -197,6 +197,107 @@ def make_q4_args(K, N, kt2, bn):
     return (packed, scales, kt2, bn), K * N // 2 + scales.nbytes
 
 
+# ------------------------------------------- compact sub-scale q4 bd GEMV
+def gemv_q4_bd_compact(xq, packed, sc, mm, dd, dmin, kt2, bn):
+    """Block-diagonal q4 GEMV with K-quant-style compact scales:
+    sc/mm int8 codes per 32-group, dd/dmin bf16 per 8-group superblock.
+    Effective scale s[g,n] = dd[g//8,n] * sc[g,n]; offset o = -dmin * mm."""
+    m, k = xq.shape
+    k2, npad = packed.shape
+    ng = kt2 // G
+    ng8 = ng // 8
+    n_ktiles = k2 // kt2
+
+    def kernel(x_lo, x_hi, qp, sc_lo, sc_hi, m_lo, m_hi, d_lo, d_hi, dm_lo, dm_hi, out):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out[:] = jnp.zeros_like(out)
+
+        codes = qp[:].astype(jnp.int32)
+        lo = (codes & 0xF).astype(jnp.int8)
+        hi = (codes >> 4).astype(jnp.int8)
+        kt2_ = ng * G
+        gi = jax.lax.broadcasted_iota(jnp.int32, (ng, kt2_), 0)
+        gk = jax.lax.broadcasted_iota(jnp.int32, (ng, kt2_), 1) // G
+        mask = gi == gk
+
+        def bd(x):
+            xb = jnp.broadcast_to(x.astype(jnp.int32), (ng, kt2_))
+            return jnp.where(mask, xb, 0).astype(jnp.int8)
+
+        def expand(d):  # (ng8, bn) bf16 -> (ng, bn) f32, element-repeat rows
+            d = d.astype(jnp.float32)
+            return jnp.broadcast_to(d[:, None, :], (ng8, 8, bn)).reshape(ng, bn)
+
+        bdl, bdh = bd(x_lo[:]), bd(x_hi[:])
+        Pl = jax.lax.dot_general(bdl, lo, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        Ph = jax.lax.dot_general(bdh, hi, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        sl = expand(d_lo[0]) * sc_lo[0].astype(jnp.int32).astype(jnp.float32)
+        sh = expand(d_hi[0]) * sc_hi[0].astype(jnp.int32).astype(jnp.float32)
+        ol = -expand(dm_lo[:]) * m_lo[:].astype(jnp.int32).astype(jnp.float32)
+        oh = -expand(dm_hi[:]) * m_hi[:].astype(jnp.int32).astype(jnp.float32)
+        xsl = bdl.astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+        xsh = bdh.astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+        contrib = (Pl.astype(jnp.float32) * sl + xsl * ol
+                   + Ph.astype(jnp.float32) * sh + xsh * oh)
+        out[:] = out[:] + contrib.sum(axis=0, keepdims=True)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(npad // bn, n_ktiles),
+        in_specs=[
+            pl.BlockSpec((m, kt2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, kt2), lambda i, kk: (0, kk + n_ktiles), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt2, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng, bn), lambda i, kk: (0, kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng, bn), lambda i, kk: (1, kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, bn), lambda i, kk: (kk + n_ktiles, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng8, bn), lambda i, kk: (0, kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng8, bn), lambda i, kk: (1, kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng8, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng8, bn), lambda i, kk: (kk + n_ktiles, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
+    )(xq, xq, packed, sc, sc, mm, mm, dd, dd, dmin, dmin)
+
+
+def make_compact_args(K, N, kt2, bn):
+    import ml_dtypes
+    packed = jnp.asarray(rng.integers(0, 256, (K // 2, N), dtype=np.uint8))
+    sc = jnp.asarray(rng.integers(0, 64, (2, K // 2 // G, N), dtype=np.int8))
+    mm = jnp.asarray(rng.integers(0, 64, (K // G, N), dtype=np.int8))
+    dd = jnp.asarray((np.abs(rng.standard_normal((2, K // 2 // G // 8, N))) * 0.001).astype(BF16))
+    dmin = jnp.asarray((np.abs(rng.standard_normal((K // G // 8, N))) * 0.0003).astype(BF16))
+    nbytes = packed.nbytes + sc.nbytes + mm.nbytes + dd.nbytes + dmin.nbytes
+    return (packed, sc, mm, dd, dmin, kt2, bn), nbytes
+
+
+def check_compact():
+    # K large enough that the d/dmin superblock tiles satisfy Mosaic's
+    # 8-sublane minimum: kt2=K/2=4096 -> ng8=16 rows per block
+    K, N = 8192, 256
+    (packed, sc, mm, dd, dmin, _, _), _ = make_compact_args(K, N, K // 2, N)
+    xq = rng.integers(-127, 127, (1, K), dtype=np.int8)
+    y = np.asarray(gemv_q4_bd_compact(jnp.asarray(xq), packed, sc, mm, dd, dmin, K // 2, N))
+    scn, mn = np.asarray(sc, np.float32), np.asarray(mm, np.float32)
+    ddn, dmn = np.asarray(dd, np.float32), np.asarray(dmin, np.float32)
+    s = np.concatenate([ddn[0].repeat(8, 0) * scn[0], ddn[1].repeat(8, 0) * scn[1]], 0)
+    o = -dmn.repeat(8, 0) * mn
+    lo = (np.asarray(packed) & 0xF).astype(np.float32)
+    hi = (np.asarray(packed) >> 4).astype(np.float32)
+    q = np.concatenate([lo, hi], 0)
+    w = s.repeat(G, 0) * q + o.repeat(G, 0)
+    ref = xq.astype(np.float32) @ w
+    err = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+    print(f"compact bd gemv correctness: max rel err {err:.2e}", flush=True)
+    assert err < 2e-2, err  # bf16 d/dmin rounding in-kernel vs f32 numpy
+
+
 # ------------------------------------------------- contiguous tile-major DMA
 def dma_touch_contig(xq, packed_tiled, kt2, bn):
     """packed_tiled: (n_tiles, kt2, bn) — every grid step reads one fully
@@ -295,6 +396,23 @@ def main():
                       (packed,), K * N // 2)
             except Exception as e:
                 print(f"manual nbuf={nb_} FAILED: {str(e)[:140]}", flush=True)
+
+    if "compact" in steps:
+        check_compact()
+        for kt2, bn in [(2048, 2048), (1024, 2048), (2048, 1024)]:
+            args, nb = make_compact_args(K, N, kt2, bn)
+            try:
+                bench(f"q4 bd COMPACT kt2={kt2} bn={bn}", K, N, gemv_q4_bd_compact, args, nb)
+            except Exception as e:
+                print(f"compact kt2={kt2} bn={bn} FAILED: {str(e)[:140]}", flush=True)
+        # reference point: current bf16-scales bd at same shape
+        import tools.microbench_gemv_bd as mbd
+        packed = jnp.asarray(rng.integers(0, 256, (K // 2, N), dtype=np.uint8))
+        scales = jnp.asarray((rng.standard_normal((2, K // 2 // G, N)) * 0.01).astype(BF16))
+        offsets = jnp.asarray((rng.standard_normal((K // G, N)) * 0.003).astype(BF16))
+        bench("q4 bd bf16-scales ref", K, N,
+              lambda x, *a: mbd.gemv_q4_bd(x, *a), (packed, scales, offsets, 1024, 2048),
+              packed.nbytes + scales.nbytes + offsets.nbytes)
 
     if "q8half" in steps:
         codes = jnp.asarray(rng.integers(-127, 127, (K // 2, N), dtype=np.int8))
