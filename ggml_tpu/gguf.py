@@ -337,7 +337,26 @@ class GGUFWriter:
             fmt, _ = _SCALAR_FMT[vt]
             out.write(struct.pack(fmt, val))
 
-    def write(self, path: str | os.PathLike):
+    # -- meta-only tensor declaration (streaming write) ----------------------
+    def add_tensor_info(self, name: str, ne: tuple[int, ...], ggml_type: GGMLType):
+        """Declare a tensor WITHOUT its data — the meta-only write mode
+        (reference: gguf_write_to_file(..., only_meta=true), include/
+        gguf.h:164-192, src/gguf.cpp:1303).  The data blob is streamed later
+        through the GGUFAppender returned by write_meta(), so a file larger
+        than RAM can be produced tensor-at-a-time."""
+        ggml_type = GGMLType(ggml_type)
+        ne = tuple(int(d) for d in ne)
+        self._tensors.append((name, ne, ggml_type, None))
+
+    def _tensor_nbytes(self, ne, ttype) -> int:
+        n_elems = 1
+        for d in ne:
+            n_elems *= d
+        tt = get_type_traits(ttype)
+        assert n_elems % tt.block_size == 0
+        return n_elems // tt.block_size * tt.type_size
+
+    def _serialize_meta(self) -> tuple[bytes, list[int]]:
         out = io.BytesIO()
         out.write(GGUF_MAGIC)
         out.write(struct.pack("<IQQ", GGUF_VERSION, len(self._tensors), len(self.kv)))
@@ -355,17 +374,82 @@ class GGUFWriter:
             out.write(struct.pack("<I", int(ttype)))
             out.write(struct.pack("<Q", offset))
             offsets.append(offset)
-            sz = len(blob)
+            sz = len(blob) if blob is not None else self._tensor_nbytes(ne, ttype)
             offset += (sz + self.alignment - 1) // self.alignment * self.alignment
-        meta = out.getvalue()
-        pad = (-len(meta)) % self.alignment
-        with open(path, "wb") as f:
-            f.write(meta)
-            f.write(b"\x00" * pad)
-            base = f.tell()
-            for (name, ne, ttype, blob), off in zip(self._tensors, offsets):
-                f.seek(base + off)
-                f.write(blob)
-            # pad trailing tensor to alignment
-            end = f.tell()
-            f.write(b"\x00" * ((-end) % self.alignment))
+        return out.getvalue(), offsets
+
+    def write(self, path: str | os.PathLike):
+        """Single-pass write: every declared tensor must carry its blob."""
+        assert all(blob is not None for *_, blob in self._tensors), (
+            "meta-only tensors present: use write_meta() + GGUFAppender"
+        )
+        appender = self.write_meta(path)
+        for name, _, _, blob in self._tensors:
+            appender.append(name, blob)
+        appender.close()
+
+    def write_meta(self, path: str | os.PathLike) -> "GGUFAppender":
+        """Write header + KV + tensor-info table (+ alignment pad) and return
+        an appender that streams tensor data in DECLARED ORDER — the
+        reference's meta-only + append write modes (include/gguf.h:164-192)
+        in one object, bounding writer memory to one tensor."""
+        meta, offsets = self._serialize_meta()
+        f = open(path, "wb")
+        f.write(meta)
+        f.write(b"\x00" * ((-len(meta)) % self.alignment))
+        return GGUFAppender(f, self._tensors, offsets, self.alignment)
+
+
+class GGUFAppender:
+    """Streams tensor blobs into a file opened by GGUFWriter.write_meta().
+    Tensors must arrive in declaration order; each is validated against the
+    declared type/shape byte size and padded to the file alignment."""
+
+    def __init__(self, f, tensors, offsets, alignment):
+        self._f = f
+        self._tensors = tensors
+        self._offsets = offsets
+        self._alignment = alignment
+        self._base = f.tell()
+        self._next = 0
+
+    def append(self, name: str, blob: bytes | np.ndarray):
+        if self._next >= len(self._tensors):
+            raise ValueError(f"all {len(self._tensors)} tensors already written")
+        want_name, ne, ttype, _ = self._tensors[self._next]
+        if name != want_name:
+            raise ValueError(
+                f"tensor #{self._next}: expected {want_name!r} (declared order), got {name!r}"
+            )
+        if isinstance(blob, np.ndarray):
+            blob = np.ascontiguousarray(blob).tobytes()
+        n_elems = 1
+        for d in ne:
+            n_elems *= d
+        tt = get_type_traits(ttype)
+        want = n_elems // tt.block_size * tt.type_size
+        if len(blob) != want:
+            raise ValueError(
+                f"{name}: blob is {len(blob)} bytes, {ttype.name} {ne} needs {want}"
+            )
+        self._f.seek(self._base + self._offsets[self._next])
+        self._f.write(blob)
+        self._f.write(b"\x00" * ((-len(blob)) % self._alignment))
+        self._next += 1
+
+    def close(self):
+        if self._next != len(self._tensors):
+            raise ValueError(
+                f"only {self._next} of {len(self._tensors)} declared tensors were appended"
+            )
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            self.close()
+        else:  # error path: close the handle, leave the partial file
+            self._f.close()
+        return False

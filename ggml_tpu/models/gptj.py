@@ -51,6 +51,10 @@ class GPTJConfig:
     # fp16(gelu(fp16(x))), src/ggml-cpu/ggml-cpu.c:93,104-105) — off by
     # default; the e2e reference parity gate enables it
     gelu_fp16: bool = False
+    # q/k weight columns were permuted at load (rope_permutation) so RoPE
+    # runs deinterleaved — see _rope_deinterleaved.  Set by from_gguf and
+    # synth_quantized_params; leave False for unpermuted weights
+    rope_deinterleaved: bool = False
 
     @property
     def head_dim(self):
@@ -88,6 +92,37 @@ def _rope_interleaved(x, positions, n_rot: int, base: float = 10000.0):
     o1 = x0 * sin + x1 * cos
     out = jnp.stack([o0, o1], axis=-1).reshape(rot.shape)
     return jnp.concatenate([out, rest], axis=-1) if rest.shape[-1] else out
+
+
+def _rope_deinterleaved(x, positions, n_rot: int, base: float = 10000.0):
+    """Mode-0 RoPE in a DEINTERLEAVED head layout: the q/k weight output
+    columns were permuted at load (rope_permutation) so logical pair
+    (2j, 2j+1) lives at dims (j, j+n_rot/2) — the rotation becomes two
+    contiguous half-slices and a concat, with no even/odd strided slice, no
+    stack, and no interleave relayout copy on the decode hot path (the
+    stack+reshape in _rope_interleaved costs an XLA relayout copy per q and
+    per k per layer).  Attention dots are invariant to the fixed per-head
+    permutation because q and k are permuted identically; v is untouched."""
+    half = n_rot // 2
+    inv_freq = (base ** (-2.0 * np.arange(half) / n_rot)).astype(np.float32)
+    theta = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    cos = jnp.cos(theta)[:, :, None, :]
+    sin = jnp.sin(theta)[:, :, None, :]
+    x0, x1, rest = x[..., :half], x[..., half:n_rot], x[..., n_rot:]
+    o0 = x0 * cos - x1 * sin
+    o1 = x0 * sin + x1 * cos
+    parts = (o0, o1, rest) if rest.shape[-1] else (o0, o1)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def rope_permutation(head_dim: int, n_head: int, n_rot: int) -> np.ndarray:
+    """Output-feature permutation that moves each head's even rotary dims
+    first and odd second ([0,2,..,n_rot-2, 1,3,..,n_rot-1, n_rot..]) so
+    _rope_deinterleaved applies mode-0 RoPE with contiguous slices."""
+    within = np.concatenate([
+        np.arange(0, n_rot, 2), np.arange(1, n_rot, 2), np.arange(n_rot, head_dim)
+    ])
+    return (np.arange(n_head)[:, None] * head_dim + within[None, :]).reshape(-1)
 
 
 def init_cache(cfg: GPTJConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
@@ -133,8 +168,9 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len,
         def heads(z):
             return z.reshape(b, t, cfg.n_head, cfg.head_dim)
 
-        q = _rope_interleaved(heads(q), positions, cfg.n_rot).transpose(0, 2, 1, 3)
-        k = _rope_interleaved(heads(k), positions, cfg.n_rot).transpose(0, 2, 1, 3)
+        rope = _rope_deinterleaved if cfg.rope_deinterleaved else _rope_interleaved
+        q = rope(heads(q), positions, cfg.n_rot).transpose(0, 2, 1, 3)
+        k = rope(heads(k), positions, cfg.n_rot).transpose(0, 2, 1, 3)
         v = heads(v).transpose(0, 2, 1, 3)
 
         from .common import cache_write, causal_mask
@@ -216,12 +252,30 @@ class GPTJ:
         self._decode_loop = jax.jit(decode_loop, donate_argnums=(1,))
 
     @classmethod
-    def from_gguf(cls, path, dtype=jnp.bfloat16, keep_quantized: bool = True, **kw):
+    def from_gguf(cls, path, dtype=jnp.bfloat16, keep_quantized: bool = True,
+                  rope_deinterleaved: bool = True, **kw):
         from .gpt2 import load_params  # same GGUF tensor-naming loader
 
         g = GGUFFile(path)
         cfg = config_from_gguf(g)
         params = load_params(g, dtype, keep_quantized=keep_quantized)
+        if rope_deinterleaved:
+            # on-load q/k column permutation -> contiguous-slice RoPE on the
+            # decode hot path (exact: see _rope_deinterleaved)
+            import dataclasses
+
+            from ..quant.planar import PlanarWeight, permute_output_columns
+
+            perm = rope_permutation(cfg.head_dim, cfg.n_head, cfg.n_rot)
+            for i in range(cfg.n_layer):
+                for nm in ("attn_q.weight", "attn_k.weight"):
+                    key = f"blk.{i}.{nm}"
+                    v = params[key]
+                    params[key] = (
+                        permute_output_columns(v, perm)
+                        if isinstance(v, PlanarWeight) else v[perm]
+                    )
+            cfg = dataclasses.replace(cfg, rope_deinterleaved=True)
         return cls(params, cfg, **kw)
 
     def new_cache(self, dtype=jnp.bfloat16):
@@ -256,10 +310,13 @@ class GPTJ:
 
 
 def random_config(scale: str = "6b") -> GPTJConfig:
+    # rope_deinterleaved: synthetic codes are value-free, so the bench takes
+    # the contiguous-slice RoPE path directly (no permutation needed)
     if scale == "6b":
-        return GPTJConfig()
+        return GPTJConfig(rope_deinterleaved=True)
     if scale == "tiny":
-        return GPTJConfig(n_vocab=512, n_ctx=256, n_embd=256, n_head=4, n_layer=2, n_rot=32)
+        return GPTJConfig(n_vocab=512, n_ctx=256, n_embd=256, n_head=4, n_layer=2, n_rot=32,
+                          rope_deinterleaved=True)
     raise ValueError(scale)
 
 
@@ -374,7 +431,10 @@ def synth_quantized_params(
         return (jax.random.normal(sub, shape, jnp.float32) * s).astype(dtype)
 
     E = cfg.n_embd
-    fuse_up = fuse_qkv and os.environ.get("GGML_TPU_FUSE_QKVUP", "0") == "1"
+    # DEFAULT ON since round 3 (measured on v5e 2026-08-19: 6.45 -> 6.33
+    # ms/tok): parallel residual lets qkv AND ffn_up read the same normed h,
+    # so they fuse into one widest (7E x E) kernel per layer
+    fuse_up = fuse_qkv and os.environ.get("GGML_TPU_FUSE_QKVUP", "1") == "1"
 
     # every small dense tensor (embedding, norms, biases) in ONE program:
     # a compile + dispatch per tensor costs ~0.1-1 s each over the relay

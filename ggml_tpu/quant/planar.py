@@ -586,6 +586,35 @@ def _repack_numpy(
     )
 
 
+def permute_output_columns(pw: PlanarWeight, perm) -> PlanarWeight:
+    """Reorder a weight's logical output features (planar column axis) by
+    `perm` (length pw.n); padding columns stay in place.  Columns are fully
+    independent in the planar layout (codes/scales/offsets/supers all carry
+    N last), so this is an exact relayout — used for the on-load RoPE
+    deinterleave permutation (models/gptj.rope_permutation)."""
+    npad = np.asarray(pw.codes).shape[-1] if not hasattr(pw.codes, "shape") else pw.codes.shape[-1]
+    idx = np.concatenate([np.asarray(perm), np.arange(len(perm), npad)])
+
+    def take(a):
+        if a is None:
+            return None
+        if isinstance(a, np.ndarray):
+            return np.ascontiguousarray(a[..., idx])
+        import jax.numpy as jnp
+
+        return jnp.take(a, jnp.asarray(idx), axis=-1)
+
+    from dataclasses import replace
+
+    return replace(
+        pw,
+        codes=take(pw.codes),
+        scales=take(pw.scales),
+        offsets=take(pw.offsets),
+        supers=None if pw.supers is None else tuple(take(s) for s in pw.supers),
+    )
+
+
 def expand_compact(pw: PlanarWeight) -> PlanarWeight:
     """Multiply a compact K-quant factoring back out to fp32 effective
     scale/offset planes (supers=None).  Used where per-plane sharding layouts

@@ -15,6 +15,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+if os.environ.get("GGML_TPU_TESTS", "0") != "1":
+    # the agent-shell sitecustomize registers the axon TPU plugin at
+    # interpreter startup (before this conftest), and once registered it wins
+    # over the JAX_PLATFORMS env var — the jax.config update is authoritative
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 import sys
 

@@ -122,3 +122,27 @@ def test_fused_qkvup_matches_unfused():
     # different N tiling reassociates the bf16 dequant matmul -> gate at the
     # reference matmul NMSE (tests/test-backend-ops.cpp:1915)
     assert nmse < 5e-4, nmse
+
+
+def test_rope_deinterleaved_from_gguf_matches_hf(tiny_gptj):
+    """from_gguf permutes q/k output columns at load and runs mode-0 RoPE
+    deinterleaved (contiguous slices, no interleave relayout) — logits must
+    still match HF: attention dots are invariant to the fixed per-head
+    permutation applied to both q and k."""
+    model, cfg, path = tiny_gptj
+    import jax.numpy as jnp
+
+    m = GPTJ.from_gguf(path, dtype=jnp.float32, keep_quantized=False,
+                       rope_deinterleaved=True, max_seq=32, batch=1)
+    assert m.cfg.rope_deinterleaved
+
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, 512, (1, 11)).astype(np.int32)
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(toks, dtype=torch.long)).logits.numpy()
+    cache = m.new_cache(dtype=jnp.float32)
+    logits, _ = m._step(m.params, jnp.asarray(toks), jnp.zeros((1,), jnp.int32),
+                        cache, jnp.int32(0))
+    got = np.asarray(logits[0], np.float32)
+    nmse = float(((got - hf_logits[0]) ** 2).sum() / (hf_logits[0] ** 2).sum())
+    assert nmse < 1e-9, nmse

@@ -51,31 +51,47 @@ def quantize_gguf(src_path, dst_path, ftype: GGMLType, verbose: bool = True,
         if key == "general.file_type":
             continue
         _copy_kv(w, key, val)
-    total_in = total_out = 0
-    for name, info in g.tensors.items():
-        data = g.to_float32(name)
+
+    # Two-phase STREAMING write (reference's meta-only + append modes,
+    # include/gguf.h:164-192): first declare every tensor's final type/shape,
+    # then quantize + append ONE tensor at a time — peak writer memory is one
+    # dequantized tensor, so a larger-than-RAM model converts in bounded RAM.
+    def _target_type(name, info):
+        shape = tuple(info.shape)
         quantizable = (
             name.endswith(".weight")
-            and data.ndim == 2
+            and len(shape) == 2
             and "norm" not in name
-            and data.shape[-1] % get_type_traits(ftype).block_size == 0
+            and shape[-1] % get_type_traits(ftype).block_size == 0
             and ftype in set(R.supported_quant_types()) | {GGMLType.F16}
         )
-        t = ftype if quantizable else GGMLType.F32
-        qw = imatrix.get(name) if (imatrix and quantizable) else None
-        if qw is not None and t in supported_imatrix_types():
-            qbytes = quantize_with_imatrix(data.reshape(-1, data.shape[-1]), t, qw)
-            w.add_tensor(name, qbytes.reshape(-1).view(np.uint8), t,
-                         raw_shape_ne=tuple(reversed(data.shape)))
-        else:
-            w.add_tensor(name, data, t)
-        total_in += info.n_bytes
-        from ggml_tpu.dtypes import row_size
+        return ftype if quantizable else GGMLType.F32
 
-        total_out += row_size(t, data.shape[-1]) * int(np.prod(data.shape[:-1]))
-        if verbose:
-            print(f"{name:48s} {str(data.shape):>18} {GGMLType(info.ggml_type).name:>8} -> {t.name}")
-    w.write(dst_path)
+    for name, info in g.tensors.items():
+        t = _target_type(name, info)
+        w.add_tensor_info(name, tuple(reversed(info.shape)), t)
+
+    total_in = total_out = 0
+    with w.write_meta(dst_path) as appender:
+        for name, info in g.tensors.items():
+            t = _target_type(name, info)
+            data = g.to_float32(name)
+            qw = imatrix.get(name) if (imatrix and t == ftype) else None
+            if qw is not None and t in supported_imatrix_types():
+                blob = quantize_with_imatrix(
+                    data.reshape(-1, data.shape[-1]), t, qw).reshape(-1).view(np.uint8)
+            elif t == GGMLType.F32:
+                blob = np.ascontiguousarray(data, np.float32)
+            else:
+                blob = R.quantize(np.ascontiguousarray(data, np.float32), t)
+            appender.append(name, blob)
+            total_in += info.n_bytes
+            from ggml_tpu.dtypes import row_size
+
+            total_out += row_size(t, data.shape[-1]) * int(np.prod(data.shape[:-1]))
+            if verbose:
+                print(f"{name:48s} {str(data.shape):>18} {GGMLType(info.ggml_type).name:>8} -> {t.name}")
+            del data, blob  # bound peak memory to one tensor
     if verbose:
         print(f"total: {total_in/1e6:.1f} MB -> {total_out/1e6:.1f} MB")
     g.close()
