@@ -158,6 +158,7 @@ def bench_gptj_batched():
         )
     )
     print(f"# batch={batch}: {1000*dt/n_tokens:.2f} ms/step, {agg:.1f} tok/s aggregate", file=sys.stderr)
+    _check_floor(f"gptj_6b_q4k_decode_agg_tokens_per_sec_batch{batch}", agg)
 
 
 def bench_gptj_prefill():
@@ -170,8 +171,9 @@ def bench_gptj_prefill():
 
     _enable_compile_cache()
     n_prompt = int(os.environ.get("BENCH_TOKENS", "512"))
-    # XLA's fused attention beats the Pallas flash kernel ~2x at this size
-    # (docs/kernels.md "per-op perf snapshot"): 11.0k vs 7.6k tok/s e2e
+    # kernel selection is AUTOMATIC by shape (cfg.flash_min_seq): XLA's fused
+    # attention wins below ~1k tokens, the Pallas flash kernel above
+    # (docs/kernels.md "per-op perf snapshot"); BENCH_FLASH=1 forces flash
     cfg = GPTJConfig(use_flash_prefill=os.environ.get("BENCH_FLASH", "0") == "1")
     params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
     m = GPTJ(params, cfg, max_seq=max(512, n_prompt), batch=1)
@@ -212,6 +214,7 @@ def bench_gptj_prefill():
             }
         )
     )
+    _check_floor("gptj_6b_q4k_prefill_tokens_per_sec_per_chip", n_prompt / dt)
 
 
 def bench_mnist():
@@ -604,6 +607,7 @@ def bench_serve():
     }))
     print(f"# {n_req} requests x {max_new} toks, {slots} slots: {tot} tokens in {dt:.2f}s",
           file=sys.stderr)
+    _check_floor(f"gptj_6b_q4k_serve_agg_tokens_per_sec_slots{slots}", agg)
 
 
 def bench_gptj_autotune():

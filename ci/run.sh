@@ -29,8 +29,24 @@ out = jax.jit(fn)(*args)
 print('entry ok', jax.tree.map(lambda x: x.shape, out)[0])
 "
 
+echo "== stage 3.5: real-model smoke (tiny llama -> Q4_K -> HTTP server, 3 concurrent) =="
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    python -m pytest tests/test_ci_smoke.py -q
+
 if [ "${CI_TPU:-0}" = "1" ]; then
-  echo "== stage 4: TPU decode benchmark (gated vs BENCH_FLOOR.json) =="
+  echo "== stage 4a: on-chip kernel conformance (Mosaic-compiled, interpret=False) =="
+  # the CPU suite runs Pallas in interpret mode; this stage catches
+  # Mosaic-only miscompiles on the real chip (VERDICT r2 item 3)
+  GGML_TPU_TESTS=1 python -m pytest tests/test_planar_qmatmul.py \
+      -q -k "compiled or compact or block_diagonal or int8_gemv"
+
+  echo "== stage 4b: TPU benchmarks (gated vs BENCH_FLOOR.json) =="
   CI_BENCH_GATE=1 python bench.py
+  CI_BENCH_GATE=1 BENCH=prefill python bench.py
+  CI_BENCH_GATE=1 BENCH=batch python bench.py
+  CI_BENCH_GATE=1 BENCH=serve python bench.py
+
+  echo "== stage 4c: per-op perf snapshot (OP_PERF.json) =="
+  python tools/op_perf.py --json
 fi
 echo "CI OK"

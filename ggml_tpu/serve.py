@@ -233,6 +233,24 @@ class Engine:
                 "chunked prefill — state cannot be paged or rolled back)"
             )
 
+        # feature x family gate: every request is checked against the
+        # test-enforced capability matrix (serving_matrix.features_for), so
+        # an unsupported combination fails HERE with the matrix's answer
+        # instead of crashing downstream (docs/serving.md carries the table)
+        from .models.common import QUANT_KV_DTYPE as _QKV
+        from .serving_matrix import features_for as _features_for
+
+        _feats = _features_for(model)
+        for _flag, _feat in ((paged is not None, "paged_kv"),
+                             (draft is not None, "speculative"),
+                             (cache_dtype == _QKV, "q8_kv"),
+                             (bool(prefill_chunk), "chunked_prefill")):
+            if _flag and not _feats[_feat]:
+                raise TypeError(
+                    f"{type(model).__name__} does not support '{_feat}' "
+                    "(see docs/serving.md feature matrix)"
+                )
+
         cfgv = self.cfg
         from .models.common import init_layer_cache
 

@@ -261,3 +261,59 @@ def test_reference_e2e_parity_gptj(ftype, tmp_path):
         )
         assert d_ours <= 1.5 * d_ref + 0.01
         assert dppl <= 2.5e-3 * p_ref, f"gptj {ftype.name}: |dppl| = {dppl:.4f}"
+
+
+@pytest.mark.parametrize("ftype", [GGMLType.Q8_0, GGMLType.Q4_K])
+def test_reference_ppl_2k_gate(ftype, tmp_path):
+    """The Δppl north-star over a REAL token-stream length: >=2k synthetic
+    tokens scored with the ppl.py windowed scorer through BOTH stacks
+    (reference CPU binary vs our GGUF->planar->kernels pipeline), egress-free
+    (BASELINE.json: Δppl <= 0.01 vs reference CPU Q4_K/Q8_0; at this tiny
+    random model's ppl ~N_VOCAB the equivalent relative gate is used, plus an
+    absolute gate on |Δlog-ppl| which is scale-free)."""
+    from ggml_tpu.ppl import perplexity
+    from ggml_tpu.models.gpt2 import forward as fwd, init_cache as mk_cache
+
+    N_STREAM, WINDOW, STRIDE = 2048, 128, 64
+    rng = np.random.default_rng(123)
+    stream = rng.integers(0, N_VOCAB, N_STREAM).astype(np.int32)
+
+    path = _make_gguf(tmp_path, ftype)
+
+    # ours: ppl.py scorer over the quantized pipeline
+    import dataclasses
+
+    m = GPT2.from_gguf(str(path), dtype=jnp.float32, keep_quantized=True,
+                       max_seq=WINDOW, batch=1)
+    cfg = dataclasses.replace(m.cfg, gelu_fp16=True)
+    p_ours = perplexity(fwd, m.params, cfg, stream, window=WINDOW,
+                        stride=STRIDE, init_cache_fn=mk_cache)
+
+    # reference: same windows through the reference binary, same scoring rule
+    total_nll, total_cnt = 0.0, 0
+    pos = 0
+    while pos + WINDOW <= N_STREAM:
+        toks = stream[pos : pos + WINDOW]
+        out = tmp_path / f"w{pos}.logits"
+        subprocess.run(
+            [str(REF_TOOL), str(path), str(out)] + [str(t) for t in toks],
+            check=True, capture_output=True,
+        )
+        raw = out.read_bytes()
+        n, v = np.frombuffer(raw, np.uint32, 2)
+        lg = np.frombuffer(raw, np.float32, offset=8).reshape(n, v).astype(np.float64)
+        lg = lg - lg.max(-1, keepdims=True)
+        logp = lg - np.log(np.exp(lg).sum(-1, keepdims=True))
+        nll = -logp[np.arange(WINDOW - 1), toks[1:]]
+        half = (WINDOW - 1) - STRIDE if pos > 0 else 0
+        total_nll += float(nll[half:].sum())
+        total_cnt += len(nll) - half
+        pos += STRIDE
+    p_ref = float(np.exp(total_nll / total_cnt))
+
+    # scale-free gate: |Δ log ppl| <= 2e-3 == |Δppl| <= 0.01 at ppl ~5 (real-
+    # model scale), far tighter than the mutual quantized noise would need
+    dlog = abs(np.log(p_ours) - np.log(p_ref))
+    assert dlog <= 2e-3, (
+        f"{ftype.name}: ppl ours={p_ours:.4f} ref={p_ref:.4f} |Δlog|={dlog:.2e}"
+    )

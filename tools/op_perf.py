@@ -58,15 +58,36 @@ def harness_floor():
     return _FLOOR
 
 
+RESULTS: dict[str, dict] = {}
+
+
 def bench(name, fn, x0, flops=0.0, bytes_=0.0):
     dt_raw = _measure(fn, x0)
     dt = max(dt_raw - harness_floor(), 1e-9)
     msg = f"{name:36s} {dt*1e6:10.1f} us (+floor {1e6*harness_floor():.0f})"
+    rec = {"us": round(dt * 1e6, 2)}
     if flops:
         msg += f" {flops/dt/1e12:8.2f} TFLOP/s"
+        rec["tflops"] = round(flops / dt / 1e12, 3)
     if bytes_:
         msg += f" {bytes_/dt/1e9:8.1f} GB/s"
+        rec["gbps"] = round(bytes_ / dt / 1e9, 2)
+    RESULTS[name] = rec
     print(msg, flush=True)
+
+
+def bench_host(name, fn, nbytes, iters=3):
+    """Host-side conversion-pipeline case (the test-quantize-perf analog,
+    reference tests/test-quantize-perf.cpp): MB/s of quantize / dequantize /
+    planar repack.  This is where round 2's 8.5x synth+repack regression
+    would have been caught."""
+    fn()  # warm (allocations, codebook tables)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    dt = (time.perf_counter() - t0) / iters
+    RESULTS[name] = {"us": round(dt * 1e6, 2), "mbps": round(nbytes / dt / 1e6, 1)}
+    print(f"{name:36s} {dt*1e6:10.1f} us {nbytes/dt/1e6:10.1f} MB/s", flush=True)
 
 
 def cases():
@@ -96,7 +117,35 @@ def cases():
            _r(1, 16, 512, 128), dict(flops=4 * 16 * 512 * 512 * 128))
 
 
-def main(filt=""):
+def quant_cases():
+    """Conversion-pipeline throughput (host): quantize, dequantize, planar
+    repack — numpy and the native csrc/repack.cpp path when built."""
+    from ggml_tpu.dtypes import GGMLType, row_size
+    from ggml_tpu.quant import reference as R
+    from ggml_tpu.quant import planar as P
+
+    n, k = 1024, 4096  # 16 MB f32 per pass
+    w = (RNG.standard_normal((n, k)) * 0.5).astype(np.float32)
+    nbytes = w.nbytes
+    for t in (GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K):
+        raw = R.quantize(w, t).reshape(n, -1)
+        yield (f"quantize {t.name} 1024x4096",
+               lambda t=t: R.quantize(w, t), nbytes)
+        yield (f"dequantize {t.name} 1024x4096",
+               lambda raw=raw, t=t: R.dequantize(raw, t, n * k), nbytes)
+        yield (f"repack-numpy {t.name} 1024x4096",
+               lambda raw=raw, t=t: P._repack_numpy(raw, t, (n, k)), nbytes)
+        try:
+            from ggml_tpu.native import native_repack
+
+            if native_repack(raw, t, (n, k)) is not None:
+                yield (f"repack-native {t.name} 1024x4096",
+                       lambda raw=raw, t=t: native_repack(raw, t, (n, k)), nbytes)
+        except ImportError:
+            pass
+
+
+def main(filt="", json_out=None):
     for name, f, x0, kw in cases():
         if filt and filt not in name:
             continue
@@ -104,7 +153,22 @@ def main(filt=""):
             bench(name, f, x0, **kw)
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {e}")
+    for name, f, nbytes in quant_cases():
+        if filt and filt not in name:
+            continue
+        try:
+            bench_host(name, f, nbytes)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}")
+    if json_out:
+        import json as _json
+        import pathlib
+
+        pathlib.Path(json_out).write_text(_json.dumps(RESULTS, indent=1) + "\n")
+        print(f"# wrote {json_out} ({len(RESULTS)} cases)", flush=True)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = "OP_PERF.json" if "--json" in sys.argv else None
+    main(args[0] if args else "", json_out=json_out)
