@@ -254,10 +254,13 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
     write_pages (B,), write_offs (B,), active (B,)) ->
     (logits (B, vocab), pools).  Works for any batch of slots at distinct
     positions (continuous batching)."""
+    from .models import gemma2 as _gemma2
     from .models import gptj as _gptj
 
     if isinstance(model, _gptj.GPTJ):
         return _make_paged_step_gptj(model, pcfg)
+    if isinstance(model, _gemma2.Gemma2):
+        return _make_paged_step_gemma2(model, pcfg)
     from .models.llama import _linear, _rms_norm, _rope_half_scaled
 
     cfg = model.cfg
@@ -350,9 +353,13 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
 
 def _make_paged_step_gptj(model, pcfg: PagedConfig):
     """GPT-J-family paged step: MHA, interleaved rope, parallel residual."""
-    from .models.gptj import _linear, _layer_norm, _rope_interleaved
+    from .models.gptj import _linear, _layer_norm, _rope_deinterleaved, _rope_interleaved
 
     cfg = model.cfg
+    # weights loaded with the RoPE deinterleave permutation need the matching
+    # rotation here too, or paged == dense breaks (models/gptj.py)
+    _rope_interleaved = (_rope_deinterleaved if getattr(cfg, "rope_deinterleaved", False)
+                         else _rope_interleaved)
     scale = 1.0 / np.sqrt(cfg.head_dim)
     window = pcfg.max_pages_per_seq * pcfg.page_size
 
@@ -414,6 +421,95 @@ def _make_paged_step_gptj(model, pcfg: PagedConfig):
 
         x = _layer_norm(x, params["output_norm.weight"], params["output_norm.bias"], cfg.eps)
         logits = _linear(x, params["output.weight"], params.get("output.bias"))[:, 0]
+        logits = jnp.where(active[:, None], logits, 0.0)
+        return logits, tuple(new_pools)
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def _make_paged_step_gemma2(model, pcfg: PagedConfig):
+    """Gemma family (gemma1/2/3) paged step: embedding scale, sandwich
+    norms, attention + final logit softcaps, per-layer sliding/global window
+    alternation with separate rope bases, optional per-head qk RMSNorm and
+    global-layer rope position scaling — matching models/gemma2.forward
+    exactly (paged == dense is gated by tests/test_paged_gemma2.py)."""
+    from .models.gemma2 import _linear, _rms_norm_gemma, _rope_half, _softcap
+
+    cfg = model.cfg
+    rep = cfg.n_head // cfg.n_head_kv
+    scale = cfg.query_pre_attn_scalar ** -0.5
+    window = pcfg.max_pages_per_seq * pcfg.page_size
+    embd_mult = np.sqrt(cfg.n_embd).astype(np.float32)
+
+    def step(params, pools, tokens, lengths, tables, wpage, woff, active):
+        b, t = tokens.shape
+        assert t == 1
+        positions = lengths[:, None]
+        embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
+        x = embd[tokens] * embd_mult
+        dt = x.dtype
+        new_pools = list(pools)
+        for i in range(cfg.n_layer):
+            pre = f"blk.{i}."
+            h = _rms_norm_gemma(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
+            q = _linear(h, params[pre + "attn_q.weight"]).reshape(b, 1, cfg.n_head, cfg.head_dim)
+            k = _linear(h, params[pre + "attn_k.weight"]).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
+            v = _linear(h, params[pre + "attn_v.weight"]).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
+            if cfg.qk_norm:  # gemma3
+                q = _rms_norm_gemma(q, params[pre + "attn_q_norm.weight"], cfg.rms_eps)
+                k = _rms_norm_gemma(k, params[pre + "attn_k_norm.weight"], cfg.rms_eps)
+
+            sliding = i % cfg.sliding_pattern != cfg.sliding_pattern - 1
+            base = cfg.rope_local_base if (sliding and cfg.rope_local_base) else cfg.rope_base
+            rp = positions if (sliding or cfg.rope_scale_global == 1.0) else (
+                positions.astype(jnp.float32) / cfg.rope_scale_global)
+            q = _rope_half(q, rp, base)[:, 0]   # (B, Hq, D)
+            k = _rope_half(k, rp, base)[:, 0]   # (B, Hkv, D)
+            v = v[:, 0]
+
+            kp, vp = new_pools[i]
+            cdt = kp.dtype
+            kp = paged_write(kp, k.astype(cdt), wpage, woff)
+            vp = paged_write(vp, v.astype(cdt), wpage, woff)
+            new_pools[i] = (kp, vp)
+
+            kwin = jax.vmap(lambda tr: paged_gather(kp, tr))(tables)  # (B,Hkv,W,D)
+            vwin = jax.vmap(lambda tr: paged_gather(vp, tr))(tables)
+
+            qh = q.reshape(b, cfg.n_head_kv, rep, cfg.head_dim)
+            att = jnp.einsum(
+                "bgrd,bgkd->bgrk", qh.astype(jnp.float32), kwin.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if cfg.attn_softcap:
+                att = _softcap(att, cfg.attn_softcap)
+            kv_pos = jnp.arange(window)[None, None, None, :]
+            q_pos = lengths[:, None, None, None]
+            keep = kv_pos <= q_pos
+            if sliding and cfg.sliding_window:
+                keep = keep & (kv_pos > q_pos - cfg.sliding_window)
+            att = jnp.where(keep, att, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1).astype(vwin.dtype)
+            out = jnp.einsum("bgrk,bgkd->bgrd", att, vwin)
+            attn_out = out.reshape(b, 1, cfg.n_head * cfg.head_dim).astype(dt)
+            o = _linear(attn_out, params[pre + "attn_output.weight"])
+            x = x + (_rms_norm_gemma(o, params[pre + "attn_post_norm.weight"],
+                                     cfg.rms_eps) if cfg.sandwich else o)
+
+            h2 = _rms_norm_gemma(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
+            gate = _linear(h2, params[pre + "ffn_gate.weight"])
+            up = _linear(h2, params[pre + "ffn_up.weight"])
+            f = _linear(jax.nn.gelu(gate, approximate=True) * up,
+                        params[pre + "ffn_down.weight"])
+            x = x + (_rms_norm_gemma(f, params[pre + "ffn_post_norm.weight"],
+                                     cfg.rms_eps) if cfg.sandwich else f)
+
+        x = _rms_norm_gemma(x, params["output_norm.weight"], cfg.rms_eps)
+        w_out = params.get("output.weight", params.get("token_embd.weight@dense",
+                                                       params["token_embd.weight"]))
+        logits = _linear(x, w_out)[:, 0].astype(jnp.float32)
+        if cfg.final_softcap:
+            logits = _softcap(logits, cfg.final_softcap)
         logits = jnp.where(active[:, None], logits, 0.0)
         return logits, tuple(new_pools)
 

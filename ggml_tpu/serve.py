@@ -297,8 +297,11 @@ class Engine:
 
             from .models import gptj as _gptj
 
-            if not isinstance(model, (_llama.Llama, _gptj.GPTJ)):
-                raise TypeError("paged KV drives Llama- and GPT-J-family models")
+            from .models import gemma2 as _gemma2
+
+            if not isinstance(model, (_llama.Llama, _gptj.GPTJ, _gemma2.Gemma2)):
+                raise TypeError(
+                    "paged KV drives Llama-, GPT-J- and Gemma-family models")
             from .models.common import QUANT_KV_DTYPE
 
             if cache_dtype == QUANT_KV_DTYPE:

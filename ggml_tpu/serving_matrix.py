@@ -23,8 +23,8 @@ FEATURES = (
 
 
 def _classes():
-    from .models import (bamba, deepseek, gptj, granitehybrid, jamba, lfm2,
-                         llama, mamba, mamba2, minimax, qwen3next,
+    from .models import (bamba, deepseek, gemma2, gptj, granitehybrid, jamba,
+                         lfm2, llama, mamba, mamba2, minimax, qwen3next,
                          recurrentgemma, zamba2)
 
     recurrent = (mamba.Mamba, mamba2.Mamba2)
@@ -33,15 +33,18 @@ def _classes():
     exactish = (bamba.Bamba, jamba.Jamba, qwen3next.Qwen3Next,
                 recurrentgemma.RecurrentGemma, lfm2.LFM2,
                 granitehybrid.GraniteHybrid, minimax.MiniMax, zamba2.Zamba2)
-    paged_ok = (llama.Llama, gptj.GPTJ)
+    paged_ok = (llama.Llama, gptj.GPTJ, gemma2.Gemma2)
+    # speculative draft/verify and the q8 KV cache need the llama/gptj
+    # forward conventions (draft forward table; dequant_cache reads)
+    spec_ok = (llama.Llama, gptj.GPTJ)
     q8_ok = (llama.Llama, gptj.GPTJ)
-    return recurrent, exactish, paged_ok, q8_ok, deepseek.Deepseek
+    return recurrent, exactish, paged_ok, spec_ok, q8_ok
 
 
 def features_for(model) -> dict[str, bool]:
     """Feature support for a constructed model instance (same predicates the
     Engine constructor enforces)."""
-    recurrent, exactish, paged_ok, q8_ok, _ = _classes()
+    recurrent, exactish, paged_ok, spec_ok, q8_ok = _classes()
     is_rec = isinstance(model, recurrent)
     is_exact = isinstance(model, exactish)
     stateful = is_rec or is_exact
@@ -50,7 +53,7 @@ def features_for(model) -> dict[str, bool]:
         "chunked_prefill": not stateful,
         "paged_kv": isinstance(model, paged_ok),
         "prefix_cache": isinstance(model, paged_ok),
-        "speculative": isinstance(model, paged_ok) and not stateful,
+        "speculative": isinstance(model, spec_ok) and not stateful,
         "q8_kv": isinstance(model, q8_ok),
         "forks": not stateful,
     }
@@ -61,7 +64,8 @@ _FAMILY_KIND = {
     "llama-family (llama/llama2/llama3, qwen2/qwen3(+moe), mistral/mixtral, "
     "granite, smollm3, ernie4.5, olmoe, ...)": "paged",
     "gptj": "paged",
-    "attention families (gpt2, neox, falcon, phi2/3, gemma/gemma2/gemma3, "
+    "gemma family (gemma, gemma2, gemma3)": "gemma",
+    "attention families (gpt2, neox, falcon, phi2/3, "
     "starcoder, bloom, glm4, cohere, olmo2, stablelm, mpt, nemotron, "
     "chameleon, dbrx, gpt-oss, ...)": "dense",
     "deepseek (MLA compressed cache)": "dense",
@@ -73,6 +77,9 @@ _FAMILY_KIND = {
 _KIND_FEATURES = {
     "paged": {"dense": True, "chunked_prefill": True, "paged_kv": True,
               "prefix_cache": True, "speculative": True, "q8_kv": True,
+              "forks": True},
+    "gemma": {"dense": True, "chunked_prefill": True, "paged_kv": True,
+              "prefix_cache": True, "speculative": False, "q8_kv": False,
               "forks": True},
     "dense": {"dense": True, "chunked_prefill": True, "paged_kv": False,
               "prefix_cache": False, "speculative": False, "q8_kv": False,

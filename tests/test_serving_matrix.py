@@ -64,7 +64,7 @@ def _gemma2():
     p = {"token_embd.weight": t(cfg.n_vocab, d), "output_norm.weight": jnp.ones((d,))}
     for i in range(cfg.n_layer):
         pre = f"blk.{i}."
-        for nm in ("attn_norm", "ffn_norm", "post_attention_norm", "post_ffw_norm"):
+        for nm in ("attn_norm", "ffn_norm", "attn_post_norm", "ffn_post_norm"):
             p[pre + nm + ".weight"] = jnp.ones((d,))
         p[pre + "attn_q.weight"] = t(cfg.n_head * hd, d)
         p[pre + "attn_k.weight"] = t(cfg.n_head_kv * hd, d)
@@ -109,8 +109,8 @@ EXPECT = {
                   prefix_cache=True, speculative=True, q8_kv=True, forks=True),
     "gptj": dict(dense=True, chunked_prefill=True, paged_kv=True,
                  prefix_cache=True, speculative=True, q8_kv=True, forks=True),
-    "gemma2": dict(dense=True, chunked_prefill=True, paged_kv=False,
-                   prefix_cache=False, speculative=False, q8_kv=False, forks=True),
+    "gemma2": dict(dense=True, chunked_prefill=True, paged_kv=True,
+                   prefix_cache=True, speculative=False, q8_kv=False, forks=True),
     "mamba": dict(dense=True, chunked_prefill=False, paged_kv=False,
                   prefix_cache=False, speculative=False, q8_kv=False, forks=False),
 }
