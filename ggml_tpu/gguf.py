@@ -308,7 +308,9 @@ class GGUFWriter:
         else:
             ne = tuple(reversed(data.shape)) if data.ndim else (1,)
             if get_type_traits(ggml_type).is_quantized or ggml_type in (GGMLType.F16, GGMLType.BF16, GGMLType.F32):
-                blob = qref.quantize(np.ascontiguousarray(data, dtype=np.float32), ggml_type).tobytes()
+                from .native import fast_quantize
+
+                blob = fast_quantize(np.ascontiguousarray(data, dtype=np.float32), ggml_type).tobytes()
             else:
                 blob = np.ascontiguousarray(data).tobytes()
         self._tensors.append((name, ne, ggml_type, blob))

@@ -175,11 +175,31 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len,
 
         from .common import cache_write, causal_mask
 
+        fuse_decode = (
+            t == 1 and b == 1 and not jnp.ndim(cache_len)
+            and isinstance(new_cache[i][0], jnp.ndarray)
+            and os.environ.get("GGML_TPU_FUSED_DECODE_ATTN", "1") == "1"
+        )
+        if fuse_decode:
+            # single-token decode: the attention block (two einsums, mask,
+            # softmax, casts — ~10 small XLA ops of ~1-2 us launch latency
+            # each) runs as ONE pallas call per layer over the PRE-update
+            # cache with the new row inserted in registers; the HBM row
+            # write below overlaps it (kernels/decode_attn.py)
+            from ..kernels.decode_attn import fused_decode_attention
+
+            out = fused_decode_attention(
+                q, k.astype(cache_dtype), v.astype(cache_dtype),
+                new_cache[i][0], new_cache[i][1], cache_len, scale=scale)
+            attn_out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd).astype(compute_dtype)
+
         kc = cache_write(new_cache[i][0], k.astype(cache_dtype), cache_len)
         vc = cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
         new_cache[i] = (kc, vc)
 
-        if t > 1 and prefill and (cfg.use_flash_prefill or t >= cfg.flash_min_seq):
+        if fuse_decode:
+            pass
+        elif t > 1 and prefill and (cfg.use_flash_prefill or t >= cfg.flash_min_seq):
             # prefill-from-empty: attend the current tokens only through the
             # fused Pallas kernel (cache history is empty by contract)
             from ..kernels.flash_attn import flash_attention

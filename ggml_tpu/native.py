@@ -127,3 +127,80 @@ def native_repack(raw: np.ndarray, ggml_type, shape, n_pad_to: int = 128, force_
         k=k,
         orig_type=GGMLType(int(ggml_type)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native quantizer (csrc/quantize.cpp): f32 -> ggml blocks, bit-exact with
+# quant.reference (tests/test_native_quantize.py).  The NumPy Q4_K quantizer
+# runs at ~3 MB/s (OP_PERF.json) — this path threads the per-superblock
+# scale/min search over rows.
+# ---------------------------------------------------------------------------
+
+_QSRC = _ROOT / "csrc" / "quantize.cpp"
+_QLIB = _BUILD / "libggml_tpu_quantize.so"
+_qlib = None
+_qtried = False
+
+
+def _get_qlib():
+    global _qlib, _qtried
+    with _lock:
+        if _qlib is not None or _qtried:
+            return _qlib
+        _qtried = True
+        if not _QLIB.exists() or _QLIB.stat().st_mtime < _QSRC.stat().st_mtime:
+            _BUILD.mkdir(exist_ok=True)
+            cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+                   str(_QSRC), "-o", str(_QLIB)]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(str(_QLIB))
+        except OSError:
+            return None
+        lib.gt_quantize_supported.restype = ctypes.c_int
+        lib.gt_quantize_supported.argtypes = [ctypes.c_int]
+        lib.gt_quantize.restype = ctypes.c_int
+        lib.gt_quantize.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        _qlib = lib
+        return _qlib
+
+
+def native_quantize(x: np.ndarray, ggml_type) -> np.ndarray | None:
+    """Quantize (nrows, k) f32 to packed blocks via the native path, or None
+    when unsupported (callers fall back to quant.reference.quantize)."""
+    lib = _get_qlib()
+    if lib is None or not lib.gt_quantize_supported(int(ggml_type)):
+        return None
+    from .dtypes import get_type_traits
+
+    x = np.ascontiguousarray(x, np.float32)
+    nrows, k = (1, x.size) if x.ndim == 1 else (int(np.prod(x.shape[:-1])), x.shape[-1])
+    tt = get_type_traits(ggml_type)
+    if k % tt.block_size:
+        return None
+    out = np.empty((nrows, k // tt.block_size * tt.type_size), np.uint8)
+    rc = lib.gt_quantize(
+        int(ggml_type), x.ctypes.data_as(ctypes.c_void_p), nrows, k,
+        out.ctypes.data_as(ctypes.c_void_p), os.cpu_count() or 1,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native quantize failed rc={rc} for type {ggml_type}")
+    return out
+
+
+def fast_quantize(x: np.ndarray, ggml_type) -> np.ndarray:
+    """Native quantizer when available, NumPy reference otherwise — always
+    bit-identical output (the native path reproduces the spec's exact fp32
+    operation order)."""
+    out = native_quantize(x, ggml_type)
+    if out is not None:
+        return out
+    from .quant import reference as R
+
+    return R.quantize(np.ascontiguousarray(x, np.float32), ggml_type)

@@ -146,3 +146,25 @@ def test_rope_deinterleaved_from_gguf_matches_hf(tiny_gptj):
     got = np.asarray(logits[0], np.float32)
     nmse = float(((got - hf_logits[0]) ** 2).sum() / (hf_logits[0] ** 2).sum())
     assert nmse < 1e-9, nmse
+
+
+def test_fused_decode_attention_matches_unfused(monkeypatch):
+    """The fused cache-write+attention pallas kernel (kernels/decode_attn.py)
+    must reproduce the unfused XLA decode path token for token."""
+    import jax
+    import jax.numpy as jnp
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models.gptj import GPTJ, random_config, synth_quantized_params
+
+    cfg = random_config("tiny")
+    params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
+
+    def decode(env):
+        monkeypatch.setenv("GGML_TPU_FUSED_DECODE_ATTN", env)
+        m = GPTJ(params, cfg, max_seq=64, batch=1)
+        cache = m.new_cache(jnp.float32)
+        logits, cache, n = m.prefill(cache, np.asarray([[3, 5, 7]], np.int32))
+        cache, toks = m.decode_greedy(cache, np.asarray([[9]], np.int32), n, 12)
+        return toks.ravel().tolist()
+
+    assert decode("1") == decode("0")

@@ -1,0 +1,48 @@
+"""Native C++ quantizer (csrc/quantize.cpp) vs the NumPy executable spec:
+byte-identical output for every supported type across value scales
+(including dead/constant blocks), so the fast conversion path can never
+change model bits."""
+
+import numpy as np
+import pytest
+
+from ggml_tpu.dtypes import GGMLType
+from ggml_tpu.native import fast_quantize, native_quantize
+from ggml_tpu.quant import reference as R
+
+TYPES = [GGMLType.Q4_K, GGMLType.Q8_0]
+
+
+@pytest.mark.parametrize("ggml_type", TYPES, ids=lambda t: t.name)
+@pytest.mark.parametrize("scale", [1e-4, 1.0, 100.0])
+def test_native_matches_numpy_spec(ggml_type, scale):
+    if native_quantize(np.zeros((1, 256), np.float32), ggml_type) is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(int(scale * 10) + int(ggml_type))
+    x = (rng.standard_normal((48, 512)) * scale).astype(np.float32)
+    a = native_quantize(x, ggml_type)
+    b = np.asarray(R.quantize(x, ggml_type))
+    assert np.array_equal(a.reshape(-1), b.reshape(-1))
+
+
+@pytest.mark.parametrize("ggml_type", TYPES, ids=lambda t: t.name)
+def test_native_edge_blocks(ggml_type):
+    if native_quantize(np.zeros((1, 256), np.float32), ggml_type) is None:
+        pytest.skip("native toolchain unavailable")
+    rows = np.stack([
+        np.zeros(512, np.float32),                      # dead blocks
+        np.full(512, 0.37, np.float32),                 # constant positive
+        np.full(512, -1.25, np.float32),                # constant negative
+        np.linspace(-2, 2, 512).astype(np.float32),     # smooth ramp
+    ])
+    a = native_quantize(rows, ggml_type)
+    b = np.asarray(R.quantize(rows, ggml_type))
+    assert np.array_equal(a.reshape(-1), b.reshape(-1))
+
+
+def test_fast_quantize_fallback():
+    """Types without a native kernel fall back to the spec transparently."""
+    x = np.random.default_rng(0).standard_normal((4, 512)).astype(np.float32)
+    out = fast_quantize(x, GGMLType.Q6_K)
+    assert np.array_equal(np.asarray(out).reshape(-1),
+                          np.asarray(R.quantize(x, GGMLType.Q6_K)).reshape(-1))

@@ -131,6 +131,11 @@ def quant_cases():
         raw = R.quantize(w, t).reshape(n, -1)
         yield (f"quantize {t.name} 1024x4096",
                lambda t=t: R.quantize(w, t), nbytes)
+        from ggml_tpu.native import native_quantize
+
+        if native_quantize(w[:1], t) is not None:
+            yield (f"quantize-native {t.name} 1024x4096",
+                   lambda t=t: native_quantize(w, t), nbytes)
         yield (f"dequantize {t.name} 1024x4096",
                lambda raw=raw, t=t: R.dequantize(raw, t, n * k), nbytes)
         yield (f"repack-numpy {t.name} 1024x4096",

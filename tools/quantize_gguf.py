@@ -83,7 +83,9 @@ def quantize_gguf(src_path, dst_path, ftype: GGMLType, verbose: bool = True,
             elif t == GGMLType.F32:
                 blob = np.ascontiguousarray(data, np.float32)
             else:
-                blob = R.quantize(np.ascontiguousarray(data, np.float32), t)
+                from ggml_tpu.native import fast_quantize
+
+                blob = fast_quantize(data, t)
             appender.append(name, blob)
             total_in += info.n_bytes
             from ggml_tpu.dtypes import row_size
