@@ -52,17 +52,21 @@ class PagedKVManager:
     entries hold 0 but are masked out by per-slot lengths.
     """
 
-    def __init__(self, n_layer: int, n_kv_heads: int, head_dim: int,
+    def __init__(self, n_layer: int, n_kv_heads: int, head_dim,
                  max_batch: int, pcfg: PagedConfig, dtype=jnp.bfloat16):
+        """head_dim: int for symmetric (k, v) pools, or a (dk, dv) tuple for
+        asymmetric pairs (DeepSeek MLA pools the compressed latent and the
+        rope key side by side: dk=kv_lora_rank, dv=qk_rope_dim)."""
         self.pcfg = pcfg
+        dk, dv = head_dim if isinstance(head_dim, (tuple, list)) else (head_dim, head_dim)
         # one extra TRASH page absorbs the scatter rows of inactive slots (a
         # batched scatter always writes every row; pointing dead rows at a
         # never-allocated page keeps them harmless)
-        mk = lambda: jnp.zeros(
-            (pcfg.n_pages + 1, n_kv_heads, pcfg.page_size, head_dim), dtype
+        mk = lambda d: jnp.zeros(
+            (pcfg.n_pages + 1, n_kv_heads, pcfg.page_size, d), dtype
         )
         self.trash_page = pcfg.n_pages
-        self.pools = tuple((mk(), mk()) for _ in range(n_layer))
+        self.pools = tuple((mk(dk), mk(dv)) for _ in range(n_layer))
         self.tables = np.zeros((max_batch, pcfg.max_pages_per_seq), np.int32)
         self.lengths = np.zeros((max_batch,), np.int32)
         self._free = list(range(pcfg.n_pages - 1, -1, -1))  # pop() -> page 0 first
@@ -254,6 +258,7 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
     write_pages (B,), write_offs (B,), active (B,)) ->
     (logits (B, vocab), pools).  Works for any batch of slots at distinct
     positions (continuous batching)."""
+    from .models import deepseek as _deepseek
     from .models import gemma2 as _gemma2
     from .models import gptj as _gptj
 
@@ -261,6 +266,8 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
         return _make_paged_step_gptj(model, pcfg)
     if isinstance(model, _gemma2.Gemma2):
         return _make_paged_step_gemma2(model, pcfg)
+    if isinstance(model, _deepseek.Deepseek):
+        return _make_paged_step_deepseek(model, pcfg)
     from .models.llama import _linear, _rms_norm, _rope_half_scaled
 
     cfg = model.cfg
@@ -510,6 +517,98 @@ def _make_paged_step_gemma2(model, pcfg: PagedConfig):
         logits = _linear(x, w_out)[:, 0].astype(jnp.float32)
         if cfg.final_softcap:
             logits = _softcap(logits, cfg.final_softcap)
+        logits = jnp.where(active[:, None], logits, 0.0)
+        return logits, tuple(new_pools)
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def _make_paged_step_deepseek(model, pcfg: PagedConfig):
+    """DeepSeek absorbed-MLA paged step: the page pools hold the COMPRESSED
+    latent (kv_lora_rank) and the shared rope key (qk_rope_dim) per token —
+    the ~57x-per-byte cache win survives paging.  Matches
+    models/deepseek.forward exactly (paged == dense gated by
+    tests/test_paged_deepseek.py)."""
+    from .models.deepseek import _linear, _rms_norm, _rope_half, _deinterleave, _moe_block
+
+    cfg = model.cfg
+    H, nope, rope_d = cfg.n_head, cfg.qk_nope_dim, cfg.qk_rope_dim
+    scale = cfg.attn_scale or cfg.qk_head_dim ** -0.5
+    window = pcfg.max_pages_per_seq * pcfg.page_size
+    hp = jax.lax.Precision.HIGHEST
+
+    def step(params, pools, tokens, lengths, tables, wpage, woff, active):
+        b, t = tokens.shape
+        assert t == 1
+        positions = lengths[:, None]
+        embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
+        x = embd[tokens]
+        new_pools = list(pools)
+        for i in range(cfg.n_layer):
+            pre = f"blk.{i}."
+            h = _rms_norm(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
+
+            if cfg.q_lora_rank:
+                qa = _rms_norm(_linear(h, params[pre + "attn_q_a.weight"]),
+                               params[pre + "attn_q_a_norm.weight"], cfg.rms_eps)
+                q = _linear(qa, params[pre + "attn_q_b.weight"])
+            else:
+                q = _linear(h, params[pre + "attn_q.weight"])
+            q = q.reshape(b, 1, H, cfg.qk_head_dim)
+            q_pass, q_rot = q[..., :nope], q[..., nope:]
+
+            ckv = _linear(h, params[pre + "attn_kv_a_mqa.weight"])
+            c_t, krot_t = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+            c_t = _rms_norm(c_t, params[pre + "attn_kv_a_norm.weight"], cfg.rms_eps)
+
+            if cfg.rope_interleave:
+                q_rot = _deinterleave(q_rot)
+                krot_t = _deinterleave(krot_t)
+            q_rot = _rope_half(q_rot, positions, cfg.rope_base)
+            krot_t = _rope_half(krot_t[:, :, None, :], positions,
+                                cfg.rope_base)[:, :, 0, :]
+
+            cp, kp = new_pools[i]
+            cdt = cp.dtype
+            cp = paged_write(cp, c_t.astype(cdt), wpage, woff)   # (B,1,rank)
+            kp = paged_write(kp, krot_t.astype(cdt), wpage, woff)
+            new_pools[i] = (cp, kp)
+
+            cwin = jax.vmap(lambda tr: paged_gather(cp, tr))(tables)[:, 0]   # (B,W,rank)
+            kwin = jax.vmap(lambda tr: paged_gather(kp, tr))(tables)[:, 0]   # (B,W,rope_d)
+
+            w_kv_b = params[pre + "attn_kv_b.weight"].reshape(
+                H, nope + cfg.v_head_dim, cfg.kv_lora_rank)
+            w_uk, w_uv = w_kv_b[:, :nope, :], w_kv_b[:, nope:, :]
+            q_eff = jnp.einsum("bthn,hnr->bthr", q_pass, w_uk, precision=hp)
+
+            att = (jnp.einsum("bthr,bsr->bhts", q_eff.astype(jnp.float32),
+                              cwin.astype(jnp.float32), precision=hp)
+                   + jnp.einsum("bthp,bsp->bhts", q_rot.astype(jnp.float32),
+                                kwin.astype(jnp.float32), precision=hp))
+            kv_pos = jnp.arange(window)[None, None, None, :]
+            mask = kv_pos <= lengths[:, None, None, None]
+            att = jnp.where(mask, att * scale, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1)
+
+            ctx = jnp.einsum("bhts,bsr->bthr", att, cwin.astype(jnp.float32),
+                             precision=hp).astype(x.dtype)
+            o = jnp.einsum("bthr,hvr->bthv", ctx, w_uv, precision=hp)
+            x = x + _linear(o.reshape(b, 1, H * cfg.v_head_dim),
+                            params[pre + "attn_output.weight"])
+
+            h = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
+            if i < cfg.n_dense_lead or cfg.n_expert == 0:
+                gate = _linear(h, params[pre + "ffn_gate.weight"])
+                up = _linear(h, params[pre + "ffn_up.weight"])
+                x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
+            else:
+                x = x + _moe_block(params, pre, h, cfg)
+
+        x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
+        w_out = params.get("output.weight", params.get("token_embd.weight@dense",
+                                                       params["token_embd.weight"]))
+        logits = _linear(x, w_out)[:, 0]
         logits = jnp.where(active[:, None], logits, 0.0)
         return logits, tuple(new_pools)
 

@@ -297,11 +297,14 @@ class Engine:
 
             from .models import gptj as _gptj
 
+            from .models import deepseek as _deepseek
             from .models import gemma2 as _gemma2
 
-            if not isinstance(model, (_llama.Llama, _gptj.GPTJ, _gemma2.Gemma2)):
+            if not isinstance(model, (_llama.Llama, _gptj.GPTJ, _gemma2.Gemma2,
+                                      _deepseek.Deepseek)):
                 raise TypeError(
-                    "paged KV drives Llama-, GPT-J- and Gemma-family models")
+                    "paged KV drives Llama-, GPT-J-, Gemma- and DeepSeek-"
+                    "family models")
             from .models.common import QUANT_KV_DTYPE
 
             if cache_dtype == QUANT_KV_DTYPE:
@@ -309,9 +312,16 @@ class Engine:
                                  "pools keep their own dtype)")
             if paged.page_size * paged.max_pages_per_seq < max_seq:
                 raise ValueError("paged logical window smaller than max_seq")
-            self.mgr = PagedKVManager(
-                cfgv.n_layer, n_kv, cfgv.head_dim, max_batch, paged, cache_dtype
-            )
+            if isinstance(model, _deepseek.Deepseek):
+                # MLA pools the compressed latent + rope key (asymmetric pair)
+                self.mgr = PagedKVManager(
+                    cfgv.n_layer, 1, (cfgv.kv_lora_rank, cfgv.qk_rope_dim),
+                    max_batch, paged, cache_dtype
+                )
+            else:
+                self.mgr = PagedKVManager(
+                    cfgv.n_layer, n_kv, cfgv.head_dim, max_batch, paged, cache_dtype
+                )
             self._paged_step = make_paged_decode_step(model, paged)
             self.cache = None
         else:

@@ -27,13 +27,14 @@ def _classes():
                          lfm2, llama, mamba, mamba2, minimax, qwen3next,
                          recurrentgemma, zamba2)
 
+
     recurrent = (mamba.Mamba, mamba2.Mamba2)
     # hybrid/exact-prefill: attention interleaved with SSM/linear state —
     # dense engine only (state cannot be paged or rolled back)
     exactish = (bamba.Bamba, jamba.Jamba, qwen3next.Qwen3Next,
                 recurrentgemma.RecurrentGemma, lfm2.LFM2,
                 granitehybrid.GraniteHybrid, minimax.MiniMax, zamba2.Zamba2)
-    paged_ok = (llama.Llama, gptj.GPTJ, gemma2.Gemma2)
+    paged_ok = (llama.Llama, gptj.GPTJ, gemma2.Gemma2, deepseek.Deepseek)
     # speculative draft/verify and the q8 KV cache need the llama/gptj
     # forward conventions (draft forward table; dequant_cache reads)
     spec_ok = (llama.Llama, gptj.GPTJ)
@@ -68,7 +69,7 @@ _FAMILY_KIND = {
     "attention families (gpt2, neox, falcon, phi2/3, "
     "starcoder, bloom, glm4, cohere, olmo2, stablelm, mpt, nemotron, "
     "chameleon, dbrx, gpt-oss, ...)": "dense",
-    "deepseek (MLA compressed cache)": "dense",
+    "deepseek (MLA compressed cache)": "mla",
     "hybrid SSM+attention (jamba, bamba, zamba2, granite-hybrid, "
     "qwen3next, minimax, lfm2, recurrentgemma)": "hybrid",
     "recurrent (mamba, mamba2, rwkv, xlstm)": "recurrent",
@@ -81,6 +82,9 @@ _KIND_FEATURES = {
     "gemma": {"dense": True, "chunked_prefill": True, "paged_kv": True,
               "prefix_cache": True, "speculative": False, "q8_kv": False,
               "forks": True},
+    "mla": {"dense": True, "chunked_prefill": True, "paged_kv": True,
+            "prefix_cache": True, "speculative": False, "q8_kv": False,
+            "forks": True},
     "dense": {"dense": True, "chunked_prefill": True, "paged_kv": False,
               "prefix_cache": False, "speculative": False, "q8_kv": False,
               "forks": True},
