@@ -99,7 +99,19 @@ def unfuse_qkv(params: dict) -> dict:
     (src/ggml-cuda/ggml-cuda.cu:750-960)."""
     out = {}
     for name, v in params.items():
-        if name.endswith("attn_qkv.weight"):
+        if name.endswith("attn_qkvup.weight"):
+            # [q|k|v|ffn_up] widest-kernel fusion (synth default since r3):
+            # q/k/v are E columns each, ffn_up the remaining 4E
+            pre = name[: -len("attn_qkvup.weight")]
+            ntot = v.n if isinstance(v, PlanarWeight) else v.shape[0]
+            e = ntot // 7
+            cuts = [("attn_q.weight", 0, e), ("attn_k.weight", e, 2 * e),
+                    ("attn_v.weight", 2 * e, 3 * e),
+                    ("ffn_up.weight", 3 * e, ntot)]
+            for nm, a, b2 in cuts:
+                out[pre + nm] = (_slice_pw_cols(v, a, b2)
+                                 if isinstance(v, PlanarWeight) else v[a:b2])
+        elif name.endswith("attn_qkv.weight"):
             pre = name[: -len("attn_qkv.weight")]
             if isinstance(v, PlanarWeight):
                 e = v.n // 3
@@ -155,7 +167,8 @@ def prepare_tp_params(params: dict, tp: int) -> dict:
     a multi-process mesh)."""
     from ..quant.planar import repack_q4_rows_for_tp
 
-    if any(name.endswith(("attn_qkv.weight", "attn_qkv.bias")) for name in params):
+    if any(name.endswith(("attn_qkv.weight", "attn_qkv.bias", "attn_qkvup.weight"))
+           for name in params):
         params = unfuse_qkv(params)
     if tp > 1:
         # q4 packed planes row-shard at full density after a one-time nibble

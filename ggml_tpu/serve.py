@@ -14,6 +14,7 @@ serving.
 from __future__ import annotations
 
 import collections
+import os
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -83,7 +84,8 @@ class Engine:
     def __init__(self, model, max_batch: int = 4, max_seq: int = 512, eos_id: int = -1,
                  cache_dtype=jnp.bfloat16, sampler: dict | None = None, seed: int = 0,
                  paged=None, draft=None, draft_k: int = 4,
-                 forward_fn=None, cache_put=None, prefill_chunk: int | None = None):
+                 forward_fn=None, cache_put=None, prefill_chunk: int | None = None,
+                 horizon: int | None = None):
         """sampler: None = greedy argmax; or kwargs for
         sampling.sample_top_k_top_p (temperature/top_k/top_p) applied
         per-slot on device with an engine-owned PRNG key.
@@ -332,6 +334,12 @@ class Engine:
         self._cache_put_slot = cache_put  # single-slot prefill caches too
         self.prefill_chunk = prefill_chunk  # fixed-chunk prefill (one program)
         self._chunk_step = None
+        # multi-step dense ticks: h decode steps per host dispatch (CUDA
+        # Graphs analog; ~140 ms relay round trip per dispatch otherwise).
+        # Greedy output is identical to horizon=1 — the host trims at
+        # EOS/budget; tokens stream to on_token in horizon-sized bursts.
+        self.tick_horizon = (horizon if horizon is not None
+                             else int(os.environ.get("GGML_TPU_TICK_HORIZON", "8")))
 
         self.sampler = dict(sampler) if sampler else None
         self._key = jax.random.PRNGKey(seed)
@@ -390,6 +398,34 @@ class Engine:
             return nxt, cache, key
 
         self._step = jax.jit(step, donate_argnums=(1,))
+
+        def step_scan(params, cache, tokens, n_past, active, key, temp, topp,
+                      h: int, sampled: bool):
+            """h decode steps in ONE dispatch (jitted lax.scan) — the analog
+            of the reference capturing repeated decode graphs as CUDA Graphs
+            (src/ggml-cuda/ggml-cuda.cu:2418): per-step host round trips cost
+            ~140 ms over the relay, so multi-step ticks dominate serve
+            throughput.  Slots that hit EOS mid-horizon keep decoding
+            garbage the host trims; their cache rows beyond the trim point
+            are never attended (n_past only advances to the trim)."""
+
+            def body(carry, _):
+                cache, toks, n_past, key = carry
+                logits, cache = self._fwd(params, cfgv, toks, n_past, cache, n_past)
+                if sampled:
+                    nxt, key = pick_slot_vec(logits[:, -1, :], key, temp, topp)
+                else:
+                    nxt, key = pick(logits[:, -1, :], key)
+                nxt = jnp.where(active, nxt, 0)
+                return (cache, nxt[:, None].astype(jnp.int32),
+                        n_past + active.astype(jnp.int32), key), nxt
+
+            (cache, _, _, key), outs = jax.lax.scan(
+                body, (cache, tokens, n_past, key), None, length=h)
+            return outs, cache, key  # outs (h, B)
+
+        self._step_scan = jax.jit(step_scan, donate_argnums=(1,),
+                                  static_argnums=(8, 9))
 
         def prefill_one(params, cache_slot, tokens):
             """tokens (1, t) into an empty single-slot cache pytree."""
@@ -989,6 +1025,33 @@ class Engine:
                     if sl.on_token is not None:
                         sl.on_token(sl.rid, tok, sl.done)
             return
+        if self.paged is None and self.tick_horizon > 1:
+            allowed = self.max_seq - 1 - int(self.n_past[active].max())
+            h = min(self.tick_horizon, max(1, allowed))
+            hb = 1  # power-of-two horizons bound the compile count
+            while hb * 2 <= h:
+                hb *= 2
+            if hb > 1:
+                outs, self.cache, self._key = self._step_scan(
+                    self.model.params, self.cache, toks, jnp.asarray(self.n_past),
+                    jnp.asarray(active), self._key,
+                    jnp.asarray(self._slot_temp), jnp.asarray(self._slot_topp),
+                    hb, bool(self._any_slot_sampling))
+                outs = np.asarray(outs)  # (h, B)
+                for j in range(hb):
+                    for i, s in enumerate(self.slots):
+                        if s is None or s.done or not active[i]:
+                            continue
+                        self.n_past[i] += 1
+                        tok = int(outs[j, i])
+                        s.out.append(tok)
+                        self.cur_tok[i] = tok
+                        if (tok == self.eos_id or len(s.out) >= s.max_new_tokens
+                                or self.n_past[i] >= self.max_seq - 1):
+                            s.done = True
+                        if s.on_token is not None:
+                            s.on_token(s.rid, tok, s.done)
+                return
         if self.paged is not None:
             wpage, woff = self.mgr.step_coords(active)
             logits, self.mgr.pools = self._paged_step(

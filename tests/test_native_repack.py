@@ -20,11 +20,14 @@ NATIVE_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGML
 
 @pytest.mark.parametrize("ggml_type", NATIVE_TYPES, ids=lambda t: t.name)
 @pytest.mark.parametrize("force_q8", [False, True])
-def test_native_matches_numpy(ggml_type, force_q8):
+def test_native_matches_numpy(ggml_type, force_q8, monkeypatch):
     n, k = 48, 512  # n deliberately not a multiple of the 128 pad
     w = (RNG.standard_normal((n, k)) * 0.5).astype(np.float32)
     raw = R.quantize(w, ggml_type)
 
+    # the native repacker emits multiplied-out fp32 planes; compact K-quant
+    # layouts take the numpy path by design (quant.planar.repack routing)
+    monkeypatch.setenv("GGML_TPU_COMPACT_SCALES", "0")
     ref = repack(raw, ggml_type, (n, k), force_q8=force_q8, backend="numpy")
     nat = native_repack(raw, ggml_type, (n, k), force_q8=force_q8)
     assert nat is not None
