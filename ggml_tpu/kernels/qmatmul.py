@@ -533,16 +533,19 @@ def _q4_gemv_sb(xq, packed, sc, m_codes, d_pl, dmin_pl, G: int, sb: int, interpr
     m, k = xq.shape
     k2, npad = packed.shape
     assert k == 2 * k2
-    # bn capped at 1024: kt2=2048 x bn=2048 crashes the Mosaic compiler
-    # (internal error; tools/microbench_r3.py compact) and 1024 measured best
-    bn = _pick_tile(npad, (1024, 512, 384, 256, 128))
+    use_bd = _GEMV_BD and m == 1
+    # bd kernel: bn capped at 1024 — kt2=2048 x bn=2048 crashes the Mosaic
+    # compiler (internal error; tools/microbench_r3.py compact) and 1024
+    # measured best at m=1.  The m>1 loop variant prefers bn=2048 (batch-16:
+    # 10.9 vs 12.6 ms/step) and compiles fine.
+    bn_cands = (1024, 512, 384, 256, 128) if use_bd else (2048, 1024, 512, 384, 256, 128)
+    bn = _pick_tile(npad, bn_cands)
     kt2 = _sb_gemv_k_tile(k2, G, sb)
     assert kt2 is not None
     ng = kt2 // G
     n_ktiles = k2 // kt2
     ng8 = ng // sb
     grid = (npad // bn, n_ktiles)
-    use_bd = _GEMV_BD and m == 1
 
     in_specs = [
         pl.BlockSpec((m, kt2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
