@@ -55,17 +55,17 @@ def bench_gptj_q4k():
     # BENCH_SCALE=tiny: CPU smoke of the full bench path (autotune plumbing,
     # synth, scan decode) without the 6B weight synthesis
     cfg = random_config(os.environ.get("BENCH_SCALE", "6b"))
-    n_tokens = int(os.environ.get("BENCH_TOKENS", "64"))
-    # bench window: warmup + timed decode must both fit (KV reads stay small
-    # vs weights at this size)
-    max_seq = max(256, -(-(2 * n_tokens + 8) // 128) * 128)
+    # 192 tokens: the timed window must be >=1.2 s — a single dispatch over
+    # the relay carries ~30-100 ms of round-trip noise, which at the old
+    # 64-token (~0.4 s) window swung the metric +-4% run to run
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "192"))
+    max_seq = max(256, -(-(n_tokens + 8) // 128) * 128)
 
     t0 = time.perf_counter()
     params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
     t_load = time.perf_counter() - t0
 
     m = GPTJ(params, cfg, max_seq=max_seq, batch=1)
-    cache = m.new_cache(dtype=jnp.bfloat16)
 
     first = np.asarray([[11]], np.int32)
 
@@ -73,12 +73,16 @@ def bench_gptj_q4k():
     # warmup with the SAME trip count — a different scan length is a different
     # XLA program and would put a recompile inside the timed region. No
     # prefill: decode-from-empty-cache measures the same weight traffic and
-    # skips one large program compile (the tunnel compile is minutes).
-    cache, _ = m.decode_greedy(cache, first, 0, n_tokens)
+    # skips one large program compile (the tunnel compile is minutes).  The
+    # timed run decodes from a FRESH cache (same program: positions are
+    # traced args), keeping max_seq — and so the attention window the metric
+    # reads — independent of n_tokens.
+    cache, _ = m.decode_greedy(m.new_cache(dtype=jnp.bfloat16), first, 0, n_tokens)
     t_compile = time.perf_counter() - t0
 
+    cache = m.new_cache(dtype=jnp.bfloat16)
     t0 = time.perf_counter()
-    cache, toks = m.decode_greedy(cache, first, n_tokens, n_tokens)
+    cache, toks = m.decode_greedy(cache, first, 0, n_tokens)
     dt = time.perf_counter() - t0
 
     toks_per_s = n_tokens / dt
