@@ -580,6 +580,98 @@ def _q4_gemv_sb(xq, packed, sc, m_codes, d_pl, dmin_pl, G: int, sb: int, interpr
     )(xq, xq, packed, sc, sc, m_codes, m_codes, d_pl, d_pl, dmin_pl, dmin_pl)
 
 
+def _q8gemv_sb_kernel(x, q, sc, dd, out, *, G: int, ng: int, sb: int):
+    """Per-group-loop q8 GEMV over compact K-quant planes (Q6_K: int8
+    sub-scales per 16-group + d per 256-superblock, non-affine)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    bn = out.shape[-1]
+    sv = _sb_expand(dd[:], sb, ng, bn) * sc[:].astype(jnp.int32).astype(jnp.float32)
+    xv, qv = x[:], q[:]
+    acc = out[:]
+    for j in range(ng):
+        p = jax.lax.dot_general(
+            xv[:, j * G : (j + 1) * G], qv[j * G : (j + 1) * G, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        acc = acc + p.astype(jnp.float32) * sv[j : j + 1, :]
+    out[:] = acc
+
+
+def _q8gemv_bd_sb_kernel(x, q, sc, dd, out, *, G: int, ng: int, sb: int):
+    """Block-diagonal q8 GEMV (m=1) over compact planes — one full-K int8
+    MXU dot instead of ng short ones (see _q4gemv_bd_kernel)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    kt = ng * G
+    bn = out.shape[-1]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ng, kt), 0)
+    gk = jax.lax.broadcasted_iota(jnp.int32, (ng, kt), 1) // G
+    xb = jnp.broadcast_to(x[:].astype(jnp.int32), (ng, kt))
+    bd = jnp.where(gi == gk, xb, 0).astype(jnp.int8)
+    P = jax.lax.dot_general(bd, q[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    sv = _sb_expand(dd[:], sb, ng, bn) * sc[:].astype(jnp.int32).astype(jnp.float32)
+    out[:] = out[:] + (P.astype(jnp.float32) * sv).sum(axis=0, keepdims=True)
+
+
+def _q8_gemv_sb(xq, codes, sc, d_pl, G: int, sb: int, interpret: bool):
+    """Compact-plane q8 GEMV dispatch (Q6_K).  Tile rule: the d-plane tile
+    (kt/(G*sb), bn) needs rows % 8 == 0 or a whole-K tile."""
+    m, k = xq.shape
+    _, npad = codes.shape
+    use_bd = _GEMV_BD and m == 1
+    bn_cands = (1024, 512, 384, 256, 128) if use_bd else (2048, 1024, 512, 384, 256, 128)
+    bn = _pick_tile(npad, bn_cands)
+    kt = None
+    for c in (2048, 4096):
+        if c <= k and k % c == 0 and c % G == 0 and (c // (G * sb)) % 8 == 0:
+            kt = c
+            break
+    if kt is None:
+        kt = k  # whole-K tile: all plane blocks span their row dims
+    ng = kt // G
+    n_ktiles = k // kt
+    ng_sb = ng // sb
+    grid = (npad // bn, n_ktiles)
+
+    kern = functools.partial(
+        _q8gemv_bd_sb_kernel if use_bd else _q8gemv_sb_kernel, G=G, ng=ng, sb=sb
+    )
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, kt), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kt, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_sb, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
+        compiler_params=_gemv_compiler_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * npad,
+            bytes_accessed=k * npad + sc.nbytes + d_pl.nbytes + m * k + m * npad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, codes, sc, d_pl)
+
+
+def _sb_q8_gemv_ok(k: int, G: int, sb: int) -> bool:
+    """Whole-K fallback tiles are VMEM-bounded like the q4 path."""
+    for c in (2048, 4096):
+        if c <= k and k % c == 0 and c % G == 0 and (c // (G * sb)) % 8 == 0:
+            return True
+    return k <= 4096
+
+
 # DEFAULT ON since round 3: measured on v5e hardware 2026-08-19 —
 # GPT-J-6B Q4_K decode 6.69 ms/tok (bd) vs 7.29 ms/tok (loop), an 8.2% e2e
 # win (BENCH_AUTOTUNE_DETAIL.json); GGML_TPU_GEMV_BD=0 restores the
@@ -766,15 +858,19 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
             return dense_fallback(xc)
         if use_gemv:
             xq, sx = _quantize_activations_per_row(xc)
-            if has_sb and _sb_gemv_k_tile(k // 2, pw.group, pw.sb) is not None:
+            if has_sb and pw.kind == "q4" and _sb_gemv_k_tile(k // 2, pw.group, pw.sb) is not None:
                 # compact K-quant planes straight into the kernel: the
                 # d*sc / -dmin*m reconstruction rides the VPU per tile
                 return _q4_gemv_sb(xq, codes, scales, offsets, d_pl, dmin_pl,
                                    pw.group, pw.sb, interpret) * sx
+            if has_sb and pw.kind == "q8" and offsets is None and _sb_q8_gemv_ok(k, pw.group, pw.sb):
+                return _q8_gemv_sb(xq, codes, scales, d_pl, pw.group, pw.sb,
+                                   interpret) * sx
             if has_sb:  # no legal superblock tile at this K: expanded planes
                 eff_s, eff_o = _effective_planes()
-                return _q4_gemv(xq, codes, eff_s, pw.group, interpret,
-                                offsets=eff_o) * sx
+                gemv = _q8_gemv if pw.kind == "q8" else _q4_gemv
+                return gemv(xq, codes, eff_s, pw.group, interpret,
+                            offsets=eff_o) * sx
             gemv = _q8_gemv if pw.kind == "q8" else _q4_gemv
             # affine offsets are folded into the kernel: the group offset
             # multiplies the group's int8 activation sum, and the per-row

@@ -317,8 +317,23 @@ def _compact_planes_q4_k(b):
     return q, sc.astype(np.int8), m.astype(np.int8), d, dmin, 32, 8
 
 
+def _compact_planes_q6_k(b):
+    """Q6_K factored: int8 sub-scales per 16-group + fp32 d per superblock
+    (reference layout: src/ggml-common.h:314-320 block_q6_K — scales int8[16],
+    fp16 d).  Codes are signed 6-bit (-32..31) in the q8 plane."""
+    ql = b[:, 0:128]
+    qh = b[:, 128:192]
+    scales = b[:, 192:208].view(np.int8)
+    d = R._f16(b, 208)
+    lo = np.where(R._Q6_QLHI == 0, ql[:, R._Q6_QL] & 0xF, ql[:, R._Q6_QL] >> 4).astype(np.int16)
+    hi = ((qh[:, R._Q6_QH] >> R._Q6_QHS) & 3).astype(np.int16) << 4
+    q = (lo | hi) - 32
+    return q, scales.copy(), None, d, None, 16, 16
+
+
 _COMPACT_PLANES = {
     GGMLType.Q4_K: _compact_planes_q4_k,
+    GGMLType.Q6_K: _compact_planes_q6_k,
 }
 
 
@@ -482,46 +497,59 @@ def repack(
 
 def _compact_applicable(ggml_type: GGMLType, k: int, force_q8: bool) -> bool:
     """Compact sub-scale planes: K-quant types where the superblock factoring
-    is implemented AND the q4 GEMV's superblock tiling constraints hold
-    ((K/2) divisible by the 2048-element kernel k-tile OR equal to it)."""
-    if force_q8 or ggml_type not in _COMPACT_PLANES:
+    is implemented AND the GEMV's superblock tiling constraints hold."""
+    if ggml_type not in _COMPACT_PLANES:
         return False
+    if force_q8 and ggml_type in _Q4_PLANE_TYPES:
+        return False  # forced int8 codes: keep the plain q8 layout
     if os.environ.get("GGML_TPU_COMPACT_SCALES", "1") == "0":
         return False
-    return k % 512 == 0  # full superblocks in each packed half-plane
+    if ggml_type in _Q4_PLANE_TYPES:
+        return k % 512 == 0  # full superblocks in each packed half-plane
+    return k % 256 == 0  # q8-plane K-quants: whole superblocks
 
 
 def _repack_numpy_compact(
     blocks: np.ndarray, ggml_type: GGMLType, n: int, k: int, npad: int
 ) -> PlanarWeight:
-    """Compact K-quant layout: int8 sub-scale/min codes per group + fp32
-    d/dmin per superblock (kept EXACT: fp32 holds every fp16 value)."""
+    """Compact K-quant layout: int8 sub-scale(/min) codes per group + fp32
+    d(/dmin) per superblock (kept EXACT: fp32 holds every fp16 value)."""
     q, sc, m, d, dmin, G, SB = _COMPACT_PLANES[ggml_type](blocks)
     q = q.reshape(n, k)
     sc = sc.reshape(n, k // G)
-    m = m.reshape(n, k // G)
+    m = None if m is None else m.reshape(n, k // G)
     d = d.reshape(n, k // (G * SB)).astype(F32)
-    dmin = dmin.reshape(n, k // (G * SB)).astype(F32)
+    dmin = None if dmin is None else dmin.reshape(n, k // (G * SB)).astype(F32)
     if npad != n:
-        q = np.pad(q, ((0, npad - n), (0, 0)))
-        sc = np.pad(sc, ((0, npad - n), (0, 0)))
-        m = np.pad(m, ((0, npad - n), (0, 0)))
-        d = np.pad(d, ((0, npad - n), (0, 0)))
-        dmin = np.pad(dmin, ((0, npad - n), (0, 0)))
+        pad = lambda a: None if a is None else np.pad(a, ((0, npad - n), (0, 0)))
+        q, sc, m, d, dmin = pad(q), pad(sc), pad(m), pad(d), pad(dmin)
 
-    qu = q.astype(np.uint8)
-    lo, hi = qu[:, : k // 2], qu[:, k // 2 :]
-    codes = np.ascontiguousarray((lo | (hi << 4)).T)  # (K/2, Npad)
-    scales = np.ascontiguousarray(sc.T).reshape(2, (k // 2) // G, npad)
-    offsets = np.ascontiguousarray(m.T)  # (K/G, Npad), natural element order
-    # d/dmin both plane-major 3D: a (1, rows, bn) block that spans the row
-    # dim is always a legal Mosaic tile, so whole-K k-tiles work at any K
-    d_pl = np.ascontiguousarray(d.T).reshape(2, (k // 2) // (G * SB), npad)
-    dmin_pl = np.ascontiguousarray(dmin.T).reshape(2, (k // 2) // (G * SB), npad)
+    if ggml_type in _Q4_PLANE_TYPES:
+        qu = q.astype(np.uint8)
+        lo, hi = qu[:, : k // 2], qu[:, k // 2 :]
+        codes = np.ascontiguousarray((lo | (hi << 4)).T)  # (K/2, Npad)
+        scales = np.ascontiguousarray(sc.T).reshape(2, (k // 2) // G, npad)
+        offsets = None if m is None else np.ascontiguousarray(m.T)  # natural order
+        # d/dmin plane-major 3D: a (1, rows, bn) block that spans the row
+        # dim is always a legal Mosaic tile, so whole-K k-tiles work at any K
+        d_pl = np.ascontiguousarray(d.T).reshape(2, (k // 2) // (G * SB), npad)
+        dmin_pl = (None if dmin is None else
+                   np.ascontiguousarray(dmin.T).reshape(2, (k // 2) // (G * SB), npad))
+        return PlanarWeight(
+            kind="q4", codes=codes, scales=scales, offsets=offsets,
+            group=G, n=n, k=k, orig_type=ggml_type,
+            supers=(d_pl, dmin_pl), sb=SB,
+        )
+    # q8-plane compact (Q6_K): int8 codes, int8 sub-scales, 2D d plane
+    codes = np.ascontiguousarray(q.astype(np.int8).T)  # (K, Npad)
+    scales = np.ascontiguousarray(sc.T)  # (K/G, Npad) int8
+    d_pl = np.ascontiguousarray(d.T)  # (K/(G*SB), Npad)
     return PlanarWeight(
-        kind="q4", codes=codes, scales=scales, offsets=offsets,
+        kind="q8", codes=codes, scales=scales,
+        offsets=None if m is None else np.ascontiguousarray(m.T),
         group=G, n=n, k=k, orig_type=ggml_type,
-        supers=(d_pl, dmin_pl), sb=SB,
+        supers=(d_pl, None if dmin is None else np.ascontiguousarray(dmin.T)),
+        sb=SB,
     )
 
 

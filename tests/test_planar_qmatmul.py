@@ -246,3 +246,33 @@ def test_compact_kquant_planes_match_expanded(monkeypatch):
         y_c = np.asarray(planar_matmul(jnp.asarray(x), pw_c, interpret=True))
         y_e = np.asarray(planar_matmul(jnp.asarray(x), pw_e, interpret=True))
         np.testing.assert_allclose(y_c, y_e, rtol=1e-4, atol=1e-3)
+
+
+def test_compact_q6k_planes_match_expanded(monkeypatch):
+    """Q6_K compact factoring (int8 sub-scales + fp32 d per 256-superblock,
+    q8 code plane, non-affine) vs the multiplied-out planes."""
+    import jax.numpy as jnp
+
+    n, k = 64, 1024
+    rng = np.random.default_rng(4242)
+    raw = _random_quantized(GGMLType.Q6_K, n, k, rng)
+
+    monkeypatch.setenv("GGML_TPU_COMPACT_SCALES", "1")
+    pw_c = repack(raw, GGMLType.Q6_K, (n, k))
+    assert pw_c.kind == "q8" and pw_c.supers is not None and pw_c.sb == 16
+    assert np.asarray(pw_c.scales).dtype == np.int8
+    monkeypatch.setenv("GGML_TPU_COMPACT_SCALES", "0")
+    pw_e = repack(raw, GGMLType.Q6_K, (n, k), backend="numpy")
+    assert pw_e.supers is None
+
+    np.testing.assert_allclose(dequant_planar(pw_c), dequant_planar(pw_e),
+                               rtol=1e-6, atol=1e-8)
+
+    w_ref = R.dequantize(raw.reshape(n, -1), GGMLType.Q6_K, n * k).reshape(n, k)
+    for m in (1, 7):  # bd/loop GEMV and the fused-dequant matmul path
+        x = (rng.standard_normal((m, k)) * 0.5).astype(np.float32)
+        y_c = np.asarray(planar_matmul(jnp.asarray(x), pw_c, interpret=True))
+        y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
+        assert _nmse(y_ref, y_c) < 5e-4
+        y_e = np.asarray(planar_matmul(jnp.asarray(x), pw_e, interpret=True))
+        np.testing.assert_allclose(y_c, y_e, rtol=1e-4, atol=1e-3)
