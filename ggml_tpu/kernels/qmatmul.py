@@ -620,9 +620,56 @@ def _q8gemv_bd_sb_kernel(x, q, sc, dd, out, *, G: int, ng: int, sb: int):
     out[:] = out[:] + (P.astype(jnp.float32) * sv).sum(axis=0, keepdims=True)
 
 
-def _q8_gemv_sb(xq, codes, sc, d_pl, G: int, sb: int, interpret: bool):
-    """Compact-plane q8 GEMV dispatch (Q6_K).  Tile rule: the d-plane tile
-    (kt/(G*sb), bn) needs rows % 8 == 0 or a whole-K tile."""
+def _q8gemv_sb_off_kernel(x, q, sc, mm, dd, dm, out, *, G: int, ng: int, sb: int):
+    """Affine compact q8 GEMV loop (Q5_K): the group offset (-dmin*m)
+    multiplies the group's activation sum, as in _q8gemv_off_kernel."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    bn = out.shape[-1]
+    sv = _sb_expand(dd[:], sb, ng, bn) * sc[:].astype(jnp.int32).astype(jnp.float32)
+    ov = -_sb_expand(dm[:], sb, ng, bn) * mm[:].astype(jnp.int32).astype(jnp.float32)
+    xv, qv = x[:], q[:]
+    acc = out[:]
+    for j in range(ng):
+        xg = xv[:, j * G : (j + 1) * G]
+        p = jax.lax.dot_general(
+            xg, qv[j * G : (j + 1) * G, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        acc = acc + p.astype(jnp.float32) * sv[j : j + 1, :] + xsum * ov[j : j + 1, :]
+    out[:] = acc
+
+
+def _q8gemv_bd_sb_off_kernel(x, q, sc, mm, dd, dm, out, *, G: int, ng: int, sb: int):
+    """Affine compact q8 GEMV, block-diagonal m=1 variant."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    kt = ng * G
+    bn = out.shape[-1]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ng, kt), 0)
+    gk = jax.lax.broadcasted_iota(jnp.int32, (ng, kt), 1) // G
+    xb = jnp.broadcast_to(x[:].astype(jnp.int32), (ng, kt))
+    bd = jnp.where(gi == gk, xb, 0).astype(jnp.int8)
+    P = jax.lax.dot_general(bd, q[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    sv = _sb_expand(dd[:], sb, ng, bn) * sc[:].astype(jnp.int32).astype(jnp.float32)
+    ov = -_sb_expand(dm[:], sb, ng, bn) * mm[:].astype(jnp.int32).astype(jnp.float32)
+    xsum = bd.astype(jnp.int32).sum(axis=1, keepdims=True).astype(jnp.float32)
+    contrib = P.astype(jnp.float32) * sv + xsum * ov
+    out[:] = out[:] + contrib.sum(axis=0, keepdims=True)
+
+
+def _q8_gemv_sb(xq, codes, sc, d_pl, G: int, sb: int, interpret: bool,
+                m_codes=None, dmin_pl=None):
+    """Compact-plane q8 GEMV dispatch (Q6_K non-affine; Q5_K affine via
+    m_codes/dmin_pl).  Tile rule: the d-plane tile (kt/(G*sb), bn) needs
+    rows % 8 == 0 or a whole-K tile."""
     m, k = xq.shape
     _, npad = codes.shape
     use_bd = _GEMV_BD and m == 1
@@ -640,28 +687,45 @@ def _q8_gemv_sb(xq, codes, sc, d_pl, G: int, sb: int, interpret: bool):
     ng_sb = ng // sb
     grid = (npad // bn, n_ktiles)
 
-    kern = functools.partial(
-        _q8gemv_bd_sb_kernel if use_bd else _q8gemv_sb_kernel, G=G, ng=ng, sb=sb
-    )
+    in_specs = [
+        pl.BlockSpec((m, kt), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kt, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+    ]
+    extra_bytes = 0
+    if m_codes is not None:
+        in_specs += [
+            pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_sb, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng_sb, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+        ]
+        args = (xq, codes, sc, m_codes, d_pl, dmin_pl)
+        kern = functools.partial(
+            _q8gemv_bd_sb_off_kernel if use_bd else _q8gemv_sb_off_kernel,
+            G=G, ng=ng, sb=sb)
+        extra_bytes = m_codes.nbytes + dmin_pl.nbytes
+    else:
+        in_specs.append(
+            pl.BlockSpec((ng_sb, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM))
+        args = (xq, codes, sc, d_pl)
+        kern = functools.partial(
+            _q8gemv_bd_sb_kernel if use_bd else _q8gemv_sb_kernel, G=G, ng=ng, sb=sb)
+
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((m, kt), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kt, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng_sb, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
         compiler_params=_gemv_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * npad,
-            bytes_accessed=k * npad + sc.nbytes + d_pl.nbytes + m * k + m * npad * 4,
+            bytes_accessed=k * npad + sc.nbytes + d_pl.nbytes + extra_bytes
+            + m * k + m * npad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xq, codes, sc, d_pl)
+    )(*args)
 
 
 def _sb_q8_gemv_ok(k: int, G: int, sb: int) -> bool:
@@ -863,9 +927,10 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
                 # d*sc / -dmin*m reconstruction rides the VPU per tile
                 return _q4_gemv_sb(xq, codes, scales, offsets, d_pl, dmin_pl,
                                    pw.group, pw.sb, interpret) * sx
-            if has_sb and pw.kind == "q8" and offsets is None and _sb_q8_gemv_ok(k, pw.group, pw.sb):
+            if has_sb and pw.kind == "q8" and _sb_q8_gemv_ok(k, pw.group, pw.sb):
                 return _q8_gemv_sb(xq, codes, scales, d_pl, pw.group, pw.sb,
-                                   interpret) * sx
+                                   interpret, m_codes=offsets,
+                                   dmin_pl=dmin_pl) * sx
             if has_sb:  # no legal superblock tile at this K: expanded planes
                 eff_s, eff_o = _effective_planes()
                 gemv = _q8_gemv if pw.kind == "q8" else _q4_gemv

@@ -331,8 +331,23 @@ def _compact_planes_q6_k(b):
     return q, scales.copy(), None, d, None, 16, 16
 
 
+def _compact_planes_q5_k(b):
+    """Q5_K factored (reference: src/ggml-common.h:291-303 block_q5_K):
+    5-bit codes 0..31 (q8 plane), 6-bit sub-scale/min codes per 32-group,
+    fp32 d/dmin per superblock."""
+    d = R._f16(b, 0)
+    dmin = R._f16(b, 2)
+    sc, m = R._k4_scale_min(b[:, 4:16])
+    qh = b[:, 16:48]
+    qs = b[:, 48:176]
+    lo = np.where(R._Q4K_NIB == 0, qs[:, R._Q4K_QIDX] & 0xF, qs[:, R._Q4K_QIDX] >> 4).astype(np.int16)
+    hi = ((qh[:, R._E % 32] >> R._Q4K_IS) & 1).astype(np.int16) * 16
+    return lo + hi, sc.astype(np.int8), m.astype(np.int8), d, dmin, 32, 8
+
+
 _COMPACT_PLANES = {
     GGMLType.Q4_K: _compact_planes_q4_k,
+    GGMLType.Q5_K: _compact_planes_q5_k,
     GGMLType.Q6_K: _compact_planes_q6_k,
 }
 

@@ -276,3 +276,33 @@ def test_compact_q6k_planes_match_expanded(monkeypatch):
         assert _nmse(y_ref, y_c) < 5e-4
         y_e = np.asarray(planar_matmul(jnp.asarray(x), pw_e, interpret=True))
         np.testing.assert_allclose(y_c, y_e, rtol=1e-4, atol=1e-3)
+
+
+def test_compact_q5k_planes_match_expanded(monkeypatch):
+    """Q5_K compact factoring (5-bit codes in the q8 plane, int8 sub-scale/
+    min codes, fp32 d/dmin per superblock — AFFINE q8-sb kernels)."""
+    import jax.numpy as jnp
+
+    n, k = 64, 1024
+    rng = np.random.default_rng(777)
+    raw = _random_quantized(GGMLType.Q5_K, n, k, rng)
+
+    monkeypatch.setenv("GGML_TPU_COMPACT_SCALES", "1")
+    pw_c = repack(raw, GGMLType.Q5_K, (n, k))
+    assert pw_c.kind == "q8" and pw_c.supers is not None and pw_c.sb == 8
+    assert pw_c.offsets is not None and np.asarray(pw_c.offsets).dtype == np.int8
+    monkeypatch.setenv("GGML_TPU_COMPACT_SCALES", "0")
+    pw_e = repack(raw, GGMLType.Q5_K, (n, k), backend="numpy")
+    assert pw_e.supers is None
+
+    np.testing.assert_allclose(dequant_planar(pw_c), dequant_planar(pw_e),
+                               rtol=1e-6, atol=1e-8)
+
+    w_ref = R.dequantize(raw.reshape(n, -1), GGMLType.Q5_K, n * k).reshape(n, k)
+    for m in (1, 7):  # bd/loop affine GEMV and the matmul path
+        x = (rng.standard_normal((m, k)) * 0.5).astype(np.float32)
+        y_c = np.asarray(planar_matmul(jnp.asarray(x), pw_c, interpret=True))
+        y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
+        assert _nmse(y_ref, y_c) < 5e-4
+        y_e = np.asarray(planar_matmul(jnp.asarray(x), pw_e, interpret=True))
+        np.testing.assert_allclose(y_c, y_e, rtol=1e-4, atol=1e-3)
