@@ -336,10 +336,17 @@ class Engine:
         self._chunk_step = None
         # multi-step dense ticks: h decode steps per host dispatch (CUDA
         # Graphs analog; ~140 ms relay round trip per dispatch otherwise).
-        # Greedy output is identical to horizon=1 — the host trims at
-        # EOS/budget; tokens stream to on_token in horizon-sized bursts.
+        # Greedy output is identical to horizon=1 — EOS/budget/window stops
+        # run ON DEVICE inside the scan (identical rules to the host trim);
+        # tokens stream to on_token in horizon-sized bursts.
         self.tick_horizon = (horizon if horizon is not None
-                             else int(os.environ.get("GGML_TPU_TICK_HORIZON", "8")))
+                             else int(os.environ.get("GGML_TPU_TICK_HORIZON", "16")))
+        # largest power of two <= horizon: ONE compiled scan program (the
+        # in-scan window/budget guards make shrinking h unnecessary)
+        self._hb = 1
+        while self._hb * 2 <= self.tick_horizon:
+            self._hb *= 2
+        self._prefill_batch_cache = {}  # per-tb compiled multi-slot prefill
 
         self.sampler = dict(sampler) if sampler else None
         self._key = jax.random.PRNGKey(seed)
@@ -399,33 +406,46 @@ class Engine:
 
         self._step = jax.jit(step, donate_argnums=(1,))
 
-        def step_scan(params, cache, tokens, n_past, active, key, temp, topp,
-                      h: int, sampled: bool):
+        max_seq_v = self.max_seq
+        eos_v = self.eos_id
+
+        def step_scan(params, cache, tokens, n_past, alive, budget, key,
+                      temp, topp, h: int, sampled: bool):
             """h decode steps in ONE dispatch (jitted lax.scan) — the analog
             of the reference capturing repeated decode graphs as CUDA Graphs
             (src/ggml-cuda/ggml-cuda.cu:2418): per-step host round trips cost
             ~140 ms over the relay, so multi-step ticks dominate serve
-            throughput.  Slots that hit EOS mid-horizon keep decoding
-            garbage the host trims; their cache rows beyond the trim point
-            are never attended (n_past only advances to the trim)."""
+            throughput.  EOS / token-budget / context-window stops apply IN
+            the scan with exactly the host's trim rules, so the returned
+            (token, n_past, alive, budget) state is the true post-tick decode
+            state — the next tick can be dispatched from these device arrays
+            BEFORE this tick's tokens are fetched (run()'s pipelined
+            stretch).  Dead slots keep riding the batch with masked tokens
+            and frozen positions; their lane cost is zero extra HBM traffic
+            (the weight stream is shared)."""
 
             def body(carry, _):
-                cache, toks, n_past, key = carry
+                cache, toks, n_past, alive, budget, key = carry
                 logits, cache = self._fwd(params, cfgv, toks, n_past, cache, n_past)
                 if sampled:
                     nxt, key = pick_slot_vec(logits[:, -1, :], key, temp, topp)
                 else:
                     nxt, key = pick(logits[:, -1, :], key)
-                nxt = jnp.where(active, nxt, 0)
-                return (cache, nxt[:, None].astype(jnp.int32),
-                        n_past + active.astype(jnp.int32), key), nxt
+                nxt = jnp.where(alive, nxt, 0)
+                live = alive.astype(jnp.int32)
+                n_past = n_past + live
+                budget = budget - live
+                alive = alive & (nxt != eos_v) & (budget > 0) & (n_past < max_seq_v - 1)
+                return (cache, nxt[:, None].astype(jnp.int32), n_past, alive,
+                        budget, key), nxt
 
-            (cache, _, _, key), outs = jax.lax.scan(
-                body, (cache, tokens, n_past, key), None, length=h)
-            return outs, cache, key  # outs (h, B)
+            (cache, tok, n_past, alive, budget, key), outs = jax.lax.scan(
+                body, (cache, tokens, n_past, alive, budget, key), None, length=h)
+            # outs (h, B); the scalar state mirrors the host's trim exactly
+            return outs, cache, tok, n_past, alive, budget, key
 
         self._step_scan = jax.jit(step_scan, donate_argnums=(1,),
-                                  static_argnums=(8, 9))
+                                  static_argnums=(9, 10))
 
         def prefill_one(params, cache_slot, tokens):
             """tokens (1, t) into an empty single-slot cache pytree."""
@@ -619,13 +639,25 @@ class Engine:
     def run(self, bucket: int = 32, abort_callback=None) -> dict[int, list[int]]:
         """Drive to completion; returns {rid: generated token ids}.
         abort_callback: checked per tick, return True to stop early
-        (the ggml_abort_callback analog)."""
+        (the ggml_abort_callback analog).
+
+        Dense non-speculative engines with a multi-step horizon decode in
+        PIPELINED stretches: tick t+1 is dispatched from tick t's
+        device-resident (token, position, alive, budget) state BEFORE tick
+        t's tokens are fetched, so the per-tick relay round trip and the
+        host's token bookkeeping overlap device compute.  The stretch breaks
+        back to admission as soon as a slot finishes while work is queued."""
         results: dict[int, list[int]] = {}
-        while self.queue or any(s is not None for s in self.slots):
+        scan_mode = (self.paged is None and self.draft is None and self._hb > 1)
+        aborted = False
+        while (self.queue or any(s is not None for s in self.slots)) and not aborted:
             if abort_callback is not None and abort_callback():
                 break
             self._admit(bucket)
-            self._tick()
+            if scan_mode:
+                aborted = self._run_scan_stretch(abort_callback)
+            else:
+                self._tick()
             for i, s in enumerate(self.slots):
                 if s is not None and s.done:
                     results[s.rid] = s.out
@@ -635,6 +667,113 @@ class Engine:
         return results
 
     # -- internals ----------------------------------------------------------------
+
+    def _slot_budget(self) -> np.ndarray:
+        """(B,) remaining token budget per slot (0 for empty/done slots) —
+        the in-scan stop rule's view of max_new_tokens."""
+        return np.array(
+            [(s.max_new_tokens - len(s.out))
+             if (s is not None and not s.done) else 0 for s in self.slots],
+            np.int32)
+
+    def _consume_scan_outs(self, outs: np.ndarray) -> bool:
+        """Apply one fetched scan tick (h, B) to host state with the SAME
+        stop rules the device scan applied (EOS / budget / window), emitting
+        streaming callbacks.  Returns True when any slot is done (newly or
+        pending sweep) — the stretch's admission-break signal."""
+        for j in range(outs.shape[0]):
+            for i, s in enumerate(self.slots):
+                if s is None or s.done:
+                    continue
+                self.n_past[i] += 1
+                tok = int(outs[j, i])
+                s.out.append(tok)
+                self.cur_tok[i] = tok
+                if (tok == self.eos_id or len(s.out) >= s.max_new_tokens
+                        or self.n_past[i] >= self.max_seq - 1):
+                    s.done = True
+                if s.on_token is not None:
+                    s.on_token(s.rid, tok, s.done)
+        return any(s is not None and s.done for s in self.slots)
+
+    def _sim_tick(self, n_past, budget, alive, h: int):
+        """Advance the host's ALIVE PREDICTION by one in-flight tick using
+        the budget/window rules (EOS is unpredictable: predicted optimistic —
+        an eos'd slot wastes its lane for at most one extra tick)."""
+        emit = np.minimum(h, np.minimum(budget, self.max_seq - 1 - n_past))
+        emit = np.where(alive, np.maximum(emit, 0), 0)
+        n_past = n_past + emit
+        budget = budget - emit
+        alive = alive & (budget > 0) & (n_past < self.max_seq - 1)
+        return n_past, budget, alive
+
+    def _run_scan_stretch(self, abort_callback=None) -> bool:
+        """Pipelined multi-step decode (dense path): keep (token, n_past,
+        alive, budget, key) DEVICE-resident across ticks and dispatch tick
+        t+1 before fetching tick t's outputs — the host's np.asarray fetch
+        (one relay round trip) and its token bookkeeping then overlap the
+        device executing tick t+1 (the reference amortizes the same per-step
+        host cost with CUDA-graph capture, ggml-cuda.cu:2418-2474).  Returns
+        True if the abort callback fired."""
+        alive_h = np.array([s is not None and not s.done for s in self.slots])
+        if not alive_h.any():
+            return False
+        hb = self._hb
+        budget_h = self._slot_budget()
+        tok_d = jnp.asarray(self.cur_tok.reshape(-1, 1))
+        np_d = jnp.asarray(self.n_past)
+        alive_d = jnp.asarray(alive_h)
+        budget_d = jnp.asarray(budget_h)
+        temp_d = jnp.asarray(self._slot_temp)
+        topp_d = jnp.asarray(self._slot_topp)
+        sampled = bool(self._any_slot_sampling)
+        # host prediction of which slots are still alive after the in-flight
+        # tick (exact for budget/window, optimistic for EOS)
+        p_np, p_budget, p_alive = self.n_past.copy(), budget_h.copy(), alive_h.copy()
+        pending = None
+        while True:
+            if abort_callback is not None and abort_callback():
+                if pending is not None:
+                    self._consume_scan_outs(np.asarray(pending))
+                return True
+            newtick = None
+            if p_alive.any():
+                (outs, self.cache, tok_d, np_d, alive_d, budget_d,
+                 self._key) = self._step_scan(
+                    self.model.params, self.cache, tok_d, np_d, alive_d,
+                    budget_d, self._key, temp_d, topp_d, hb, sampled)
+                newtick = outs
+                p_np, p_budget, p_alive = self._sim_tick(p_np, p_budget, p_alive, hb)
+            if pending is not None:
+                finished = self._consume_scan_outs(np.asarray(pending))
+                if finished:
+                    # resync the prediction from real post-consume state
+                    p_alive = np.array(
+                        [s is not None and not s.done for s in self.slots])
+                    p_budget = self._slot_budget()
+                    p_np = self.n_past.copy()
+                    if newtick is not None:
+                        p_np, p_budget, p_alive = self._sim_tick(
+                            p_np, p_budget, p_alive, hb)
+                    if self.queue:
+                        # a slot can free for queued work: drain and return
+                        # to run() for the admission sweep
+                        if newtick is not None:
+                            self._consume_scan_outs(np.asarray(newtick))
+                        return False
+                elif self.queue and not all(s is None or s.done for s in self.slots):
+                    # preemption check: an urgent arrival (submitted from a
+                    # streaming callback) outranking a running slot must not
+                    # wait out the whole stretch
+                    head = min(self.queue, key=lambda r: r.priority)
+                    running = [s for s in self.slots if s is not None and not s.done]
+                    if running and max(r.priority for r in running) > head.priority:
+                        if newtick is not None:
+                            self._consume_scan_outs(np.asarray(newtick))
+                        return False
+            pending = newtick
+            if pending is None:
+                return False
 
     def _snapshot_slot(self, i: int, req: Request):
         """Device->host KV eviction: spill the slot's KV so resume restores
@@ -871,6 +1010,16 @@ class Engine:
         from .models.common import cache_set_slot
 
         self._preempt_for_priority()
+        # plain dense fresh prefills batch into ONE dispatch per bucket size
+        # (prefill round trips dominated admission cost at high request
+        # rates); everything with per-slot state (snapshots, forks, paged
+        # pools, draft mirrors, sharded caches, exact-length recurrent
+        # prefills) keeps the per-request path.
+        batchable_mode = (
+            self.paged is None and self.draft is None
+            and self._cache_put_slot is None and not self.prefill_chunk
+            and not (self._recurrent or getattr(self, "_exact_prefill", False)))
+        deferred: list[tuple[int, Request, int]] = []
         for i in range(self.max_batch):
             if self.slots[i] is None and self.queue:
                 req = min(self.queue, key=lambda r: r.priority)  # stable: first min
@@ -883,6 +1032,11 @@ class Engine:
                 if t >= self.max_seq:  # cannot resume within the window
                     req.done = True
                     self.slots[i] = req
+                    continue
+                if batchable_mode and req.share is None:
+                    self.slots[i] = req
+                    self._slot_sampling_set(i, req)
+                    deferred.append((i, req, t))
                     continue
                 matched_pages = 0
                 if self.paged is not None:
@@ -946,6 +1100,56 @@ class Engine:
                     self.cur_tok[i] = int(seq[-1])
                 if self.paged is not None:
                     self.mgr.lengths[i] = self.n_past[i]
+        if deferred:
+            groups: dict[int, list] = {}
+            for item in deferred:
+                tb = min(self.max_seq, -(-item[2] // bucket) * bucket)
+                groups.setdefault(tb, []).append(item)
+            for tb in sorted(groups):
+                self._prefill_into_slots(groups[tb], tb)
+
+    def _prefill_into_slots(self, group, tb: int):
+        """ONE dispatch admits every request in `group` [(slot, req, t)]: a
+        (max_batch, tb) prefill over a fresh multi-slot cache, scattered into
+        the engine cache at the group's slot indices INSIDE the same compiled
+        program (rows past the group drop via out-of-bounds scatter indices).
+        Replaces per-request prefill dispatches — each cost a full relay
+        round trip, which dominated serve throughput under bursty admission."""
+        B = self.max_batch
+        toks = np.zeros((B, tb), np.int32)
+        idx = np.full((B,), B, np.int32)  # out of range -> dropped row
+        for r, (i, req, t) in enumerate(group):
+            toks[r, :t] = req.seq
+            idx[r] = i
+        if tb not in self._prefill_batch_cache:
+            cfgv = self.cfg
+            mk = self._make_cache
+
+            def prefill_slots(params, cache, toks, idx):
+                slot_cache = mk(B)
+                logits, slot_cache = self._fwd(
+                    params, cfgv, toks, jnp.zeros((B,), jnp.int32), slot_cache,
+                    jnp.int32(0), prefill=True)
+                cache = jax.tree.map(
+                    lambda big, s: big.at[idx].set(s.astype(big.dtype), mode="drop"),
+                    cache, slot_cache)
+                return logits[:, -1, :], cache
+
+            self._prefill_batch_cache[tb] = jax.jit(
+                prefill_slots, donate_argnums=(1,))
+        self.prefill_count += len(group)
+        logits, self.cache = self._prefill_batch_cache[tb](
+            self.model.params, self.cache, jnp.asarray(toks), jnp.asarray(idx))
+        for r, (i, req, t) in enumerate(group):
+            self.n_past[i] = t
+            if t == tb:
+                self._emit_first(req, i, logits[r:r + 1])
+            else:
+                # bucket padding wrote junk past t: re-decode the true last
+                # sequence token for position-exact logits (cache already
+                # contains it, attention masks by position)
+                self.n_past[i] = t - 1
+                self.cur_tok[i] = int(req.seq[-1])
 
     def _evict_for_pages(self, need_slot: int) -> bool:
         """Free pages by preempting the lowest-priority OTHER running slot
@@ -1025,33 +1229,15 @@ class Engine:
                     if sl.on_token is not None:
                         sl.on_token(sl.rid, tok, sl.done)
             return
-        if self.paged is None and self.tick_horizon > 1:
-            allowed = self.max_seq - 1 - int(self.n_past[active].max())
-            h = min(self.tick_horizon, max(1, allowed))
-            hb = 1  # power-of-two horizons bound the compile count
-            while hb * 2 <= h:
-                hb *= 2
-            if hb > 1:
-                outs, self.cache, self._key = self._step_scan(
-                    self.model.params, self.cache, toks, jnp.asarray(self.n_past),
-                    jnp.asarray(active), self._key,
-                    jnp.asarray(self._slot_temp), jnp.asarray(self._slot_topp),
-                    hb, bool(self._any_slot_sampling))
-                outs = np.asarray(outs)  # (h, B)
-                for j in range(hb):
-                    for i, s in enumerate(self.slots):
-                        if s is None or s.done or not active[i]:
-                            continue
-                        self.n_past[i] += 1
-                        tok = int(outs[j, i])
-                        s.out.append(tok)
-                        self.cur_tok[i] = tok
-                        if (tok == self.eos_id or len(s.out) >= s.max_new_tokens
-                                or self.n_past[i] >= self.max_seq - 1):
-                            s.done = True
-                        if s.on_token is not None:
-                            s.on_token(s.rid, tok, s.done)
-                return
+        if self.paged is None and self._hb > 1:
+            outs, self.cache, _, _, _, _, self._key = self._step_scan(
+                self.model.params, self.cache, toks, jnp.asarray(self.n_past),
+                jnp.asarray(active), jnp.asarray(self._slot_budget()),
+                self._key,
+                jnp.asarray(self._slot_temp), jnp.asarray(self._slot_topp),
+                self._hb, bool(self._any_slot_sampling))
+            self._consume_scan_outs(np.asarray(outs))
+            return
         if self.paged is not None:
             wpage, woff = self.mgr.step_coords(active)
             logits, self.mgr.pools = self._paged_step(

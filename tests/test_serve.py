@@ -488,3 +488,49 @@ def test_chunked_prefill_speculative(tiny_model, tmp_path_factory):
     res = eng.run()
     for p, r in zip(prompts, rids):
         assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
+
+
+def test_eos_mid_horizon_stops_on_device(tiny_model):
+    """With eos_id set to a token the greedy stream actually emits, the
+    engine (whose in-scan stop rules run ON DEVICE, serve.py step_scan) must
+    truncate exactly where solo generation hits that token — including when
+    the hit lands mid-way through a multi-step pipelined tick."""
+    m = tiny_model
+    prompt = np.asarray([3, 1, 4], np.int32)
+
+    # solo greedy stream, then pick the 5th emitted token as the eos
+    e = Engine(m, max_batch=1, max_seq=64, cache_dtype=jnp.float32)
+    rid = e.submit(prompt, 24)
+    stream = e.run()[rid]
+    eos = stream[4]
+    want = stream[: stream.index(eos) + 1]
+
+    for horizon in (1, 4, 16):
+        eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                     eos_id=eos, horizon=horizon)
+        r1 = eng.submit(prompt, 24)
+        r2 = eng.submit([7, 7], 24)  # a neighbour slot keeps the batch busy
+        res = eng.run()
+        assert res[r1] == want, (horizon, res[r1], want)
+        assert len(res[r2]) >= 1
+
+
+def test_horizon_invariance(tiny_model):
+    """Greedy outputs are identical for every tick horizon (the pipelined
+    multi-step path trims exactly like single-step ticks)."""
+    m = tiny_model
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 256, n).astype(np.int32) for n in (4, 7, 2, 9)]
+    lens = [5, 11, 3, 17]
+
+    ref = None
+    for horizon in (1, 2, 16):
+        eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                     horizon=horizon)
+        rids = [eng.submit(p, n) for p, n in zip(prompts, lens)]
+        res = eng.run(bucket=4)
+        got = [res[r] for r in rids]
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref, horizon
