@@ -452,30 +452,44 @@ def _synth_moe_llama(scale: str):
         cfg = LlamaConfig(n_vocab=32000, n_ctx=4096, n_embd=4096, n_head=32,
                           n_head_kv=8, n_layer=8, n_ff=7168, n_expert=8,
                           n_expert_used=2)
-    rng = np.random.default_rng(0)
-
-    def t(*shape, scale_=0.02):
-        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * scale_,
-                           jnp.bfloat16)
-
     d, f, e = cfg.n_embd, cfg.n_ff, cfg.n_expert
     hd = cfg.head_dim
-    p = {"token_embd.weight": t(cfg.n_vocab, d),
-         "output_norm.weight": jnp.ones((d,), jnp.bfloat16),
-         "output.weight": t(cfg.n_vocab, d)}
+    shapes = {"token_embd.weight": (cfg.n_vocab, d),
+              "output.weight": (cfg.n_vocab, d)}
+    ones = {"output_norm.weight": (d,)}
     for i in range(cfg.n_layer):
         pre = f"blk.{i}."
-        p[pre + "attn_norm.weight"] = jnp.ones((d,), jnp.bfloat16)
-        p[pre + "ffn_norm.weight"] = jnp.ones((d,), jnp.bfloat16)
-        p[pre + "attn_q.weight"] = t(cfg.n_head * hd, d)
-        p[pre + "attn_k.weight"] = t(cfg.n_head_kv * hd, d)
-        p[pre + "attn_v.weight"] = t(cfg.n_head_kv * hd, d)
-        p[pre + "attn_output.weight"] = t(d, cfg.n_head * hd)
-        p[pre + "ffn_gate_inp.weight"] = t(e, d)
-        p[pre + "ffn_gate_exps.weight"] = t(e, f, d)
-        p[pre + "ffn_up_exps.weight"] = t(e, f, d)
-        p[pre + "ffn_down_exps.weight"] = t(e, d, f)
-    return p, cfg
+        ones[pre + "attn_norm.weight"] = (d,)
+        ones[pre + "ffn_norm.weight"] = (d,)
+        shapes[pre + "attn_q.weight"] = (cfg.n_head * hd, d)
+        shapes[pre + "attn_k.weight"] = (cfg.n_head_kv * hd, d)
+        shapes[pre + "attn_v.weight"] = (cfg.n_head_kv * hd, d)
+        shapes[pre + "attn_output.weight"] = (d, cfg.n_head * hd)
+        shapes[pre + "ffn_gate_inp.weight"] = (e, d)
+        shapes[pre + "ffn_gate_exps.weight"] = (e, f, d)
+        shapes[pre + "ffn_up_exps.weight"] = (e, f, d)
+        shapes[pre + "ffn_down_exps.weight"] = (e, d, f)
+    return _synth_on_device(shapes, ones), cfg
+
+
+def _synth_on_device(shapes: dict, ones: dict):
+    """Synthesize bf16 bench weights ON DEVICE in one jitted program — only a
+    PRNG key crosses the relay (host-side RNG + transfer took ~10 min for an
+    11 GB MoE; this takes seconds, same trick as gptj.synth_quantized_params)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def build(key):
+        out = {}
+        for i, (name, shp) in enumerate(sorted(shapes.items())):
+            out[name] = jax.random.normal(
+                jax.random.fold_in(key, i), shp, jnp.bfloat16) * 0.02
+        for name, shp in ones.items():
+            out[name] = jnp.ones(shp, jnp.bfloat16)
+        return out
+
+    return build(jax.random.PRNGKey(0))
 
 
 def bench_moe_decode():
@@ -507,6 +521,7 @@ def bench_moe_decode():
                       "vs_baseline": 0.0}))
     print(f"# synth {t_synth:.1f}s, compile {t_compile:.1f}s, "
           f"{1000 * dt / n_tokens:.2f} ms/tok", file=sys.stderr)
+    _check_floor(f"moe_{scale}_bf16_decode_tokens_per_sec_per_chip", tps)
 
 
 def bench_mla_decode():
@@ -532,29 +547,24 @@ def bench_mla_decode():
                              kv_lora_rank=512, qk_nope_dim=128,
                              qk_rope_dim=64, v_head_dim=128, q_lora_rank=0,
                              n_expert=0)
-    rng = np.random.default_rng(0)
-
-    def t(*shape):
-        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * 0.02,
-                           jnp.bfloat16)
-
     d = cfg.n_embd
-    p = {"token_embd.weight": t(cfg.n_vocab, d),
-         "output_norm.weight": jnp.ones((d,), jnp.bfloat16),
-         "output.weight": t(cfg.n_vocab, d)}
+    shapes = {"token_embd.weight": (cfg.n_vocab, d),
+              "output.weight": (cfg.n_vocab, d)}
+    ones = {"output_norm.weight": (d,)}
     for i in range(cfg.n_layer):
         pre = f"blk.{i}."
-        p[pre + "attn_norm.weight"] = jnp.ones((d,), jnp.bfloat16)
-        p[pre + "ffn_norm.weight"] = jnp.ones((d,), jnp.bfloat16)
-        p[pre + "attn_q.weight"] = t(cfg.n_head * cfg.qk_head_dim, d)
-        p[pre + "attn_kv_a_mqa.weight"] = t(cfg.kv_lora_rank + cfg.qk_rope_dim, d)
-        p[pre + "attn_kv_a_norm.weight"] = jnp.ones((cfg.kv_lora_rank,), jnp.bfloat16)
-        p[pre + "attn_kv_b.weight"] = t(
+        ones[pre + "attn_norm.weight"] = (d,)
+        ones[pre + "ffn_norm.weight"] = (d,)
+        ones[pre + "attn_kv_a_norm.weight"] = (cfg.kv_lora_rank,)
+        shapes[pre + "attn_q.weight"] = (cfg.n_head * cfg.qk_head_dim, d)
+        shapes[pre + "attn_kv_a_mqa.weight"] = (cfg.kv_lora_rank + cfg.qk_rope_dim, d)
+        shapes[pre + "attn_kv_b.weight"] = (
             cfg.n_head * (cfg.qk_nope_dim + cfg.v_head_dim), cfg.kv_lora_rank)
-        p[pre + "attn_output.weight"] = t(d, cfg.n_head * cfg.v_head_dim)
-        p[pre + "ffn_gate.weight"] = t(cfg.n_ff, d)
-        p[pre + "ffn_up.weight"] = t(cfg.n_ff, d)
-        p[pre + "ffn_down.weight"] = t(d, cfg.n_ff)
+        shapes[pre + "attn_output.weight"] = (d, cfg.n_head * cfg.v_head_dim)
+        shapes[pre + "ffn_gate.weight"] = (cfg.n_ff, d)
+        shapes[pre + "ffn_up.weight"] = (cfg.n_ff, d)
+        shapes[pre + "ffn_down.weight"] = (d, cfg.n_ff)
+    p = _synth_on_device(shapes, ones)
     m = Deepseek(p, cfg, max_seq=max(128, 2 * n_tokens + 8), batch=1)
     cache = m.new_cache(jnp.bfloat16)
     first = np.asarray([[11]], np.int32)
@@ -570,6 +580,7 @@ def bench_mla_decode():
                       "vs_baseline": 0.0}))
     print(f"# compile {t_compile:.1f}s, {1000 * dt / n_tokens:.2f} ms/tok",
           file=sys.stderr)
+    _check_floor(f"mla_{scale}_bf16_decode_tokens_per_sec_per_chip", tps)
 
 
 def bench_serve():

@@ -45,6 +45,8 @@ if [ "${CI_TPU:-0}" = "1" ]; then
   CI_BENCH_GATE=1 BENCH=prefill python bench.py
   CI_BENCH_GATE=1 BENCH=batch python bench.py
   CI_BENCH_GATE=1 BENCH=serve python bench.py
+  CI_BENCH_GATE=1 BENCH=moe python bench.py
+  CI_BENCH_GATE=1 BENCH=mla python bench.py
 
   echo "== stage 4c: per-op perf snapshot (OP_PERF.json) =="
   python tools/op_perf.py --json

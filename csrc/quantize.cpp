@@ -24,6 +24,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int QK_K = 256;
@@ -83,9 +87,11 @@ static inline int nearest_int(float x) { return (int)nearbyintf(x); }
 
 static inline int clip(int v, int lo, int hi) { return v < lo ? lo : (v > hi ? hi : v); }
 
-// ---- make_qkx2_quants (use_mad=false variant; spec: reference.py) ---------
+constexpr float GROUP_MAX_EPS = 1e-15f;
+
+// ---- make_qkx2_quants (spec: reference.py make_qkx2_quants) ----------------
 static void make_qkx2(const float* x, const float* w, int n, int nmax,
-                      float rmin, float rdelta, int nstep,
+                      float rmin, float rdelta, int nstep, bool use_mad,
                       float* out_scale, float* out_neg_min, uint8_t* L) {
     float mn = x[0], mx = x[0];
     for (int j = 1; j < n; ++j) {
@@ -103,7 +109,7 @@ static void make_qkx2(const float* x, const float* w, int n, int nmax,
     float best_mad = 0.0f;
     for (int j = 0; j < n; ++j) {
         float diff = scale * (float)L[j] + mn - x[j];
-        best_mad += w[j] * (diff * diff);
+        best_mad += w[j] * (use_mad ? fabsf(diff) : diff * diff);
     }
     float minv = mn;
     uint8_t laux[QK_K];
@@ -130,7 +136,7 @@ static void make_qkx2(const float* x, const float* w, int n, int nmax,
         float mad = 0.0f;
         for (int j = 0; j < n; ++j) {
             float diff = this_scale * (float)laux[j] + this_min - x[j];
-            mad += w[j] * (diff * diff);
+            mad += w[j] * (use_mad ? fabsf(diff) : diff * diff);
         }
         if (D > 0.0f && mad < best_mad) {
             std::memcpy(L, laux, n);
@@ -175,13 +181,240 @@ static void unpack_k4_scales(const uint8_t* sc, uint8_t* d_out, uint8_t* m_out) 
     }
 }
 
-// ---- Q4_K: one 256-element superblock -> 144 bytes --------------------------
-static void quant_q4_k_block(const float* x, uint8_t* out) {
-    const int nmax = 15;
-    const float rmin = -1.0f, rdelta = 0.1f;
-    const int nstep = 20;
+#if defined(__AVX2__)
+// ---- 8-lane make_qkx2 / make_qx: lane = GROUP ------------------------------
+// The spec (reference.py) vectorizes the scale searches across groups with
+// NumPy; these kernels do the same with AVX2 lanes.  Every lane executes the
+// scalar code's exact per-element float sequence (same op order, IEEE mul/
+// add/div/sqrt, cvtps_epi32 = ties-to-even like nearest_int), so outputs are
+// bit-identical to the scalar path — verified by running both in the tests.
+// Branches become lane masks; compile WITHOUT fma contraction (-ffp-contract
+// =off; no fma intrinsics used) to keep scalar/vector rounding identical.
+
+static inline __m256i mm_clamp_epi32(__m256i v, int lo, int hi) {
+    v = _mm256_max_epi32(v, _mm256_set1_epi32(lo));
+    return _mm256_min_epi32(v, _mm256_set1_epi32(hi));
+}
+
+// xs/ws: SoA [j][8] (lane = group).  Ls out: SoA [j][8] int32.
+static void make_qkx2_v8(const float* xs, const float* ws, int n, int nmax,
+                         float rmin, float rdelta, int nstep, bool use_mad,
+                         float* out_scale8, float* out_neg_min8, int32_t* Ls) {
+    const __m256 zero = _mm256_setzero_ps();
+    __m256 mn = _mm256_loadu_ps(xs), mx = mn;
+    for (int j = 1; j < n; ++j) {
+        __m256 v = _mm256_loadu_ps(xs + 8 * j);
+        mn = _mm256_min_ps(mn, v);
+        mx = _mm256_max_ps(mx, v);
+    }
+    mn = _mm256_min_ps(mn, zero);
+    __m256 sum_w = zero, sum_x = zero;
+    for (int j = 0; j < n; ++j) {
+        __m256 w = _mm256_loadu_ps(ws + 8 * j);
+        __m256 x = _mm256_loadu_ps(xs + 8 * j);
+        sum_w = _mm256_add_ps(sum_w, w);
+        sum_x = _mm256_add_ps(sum_x, _mm256_mul_ps(w, x));
+    }
+    __m256 dead = _mm256_cmp_ps(mx, mn, _CMP_EQ_OQ);
+    __m256 one = _mm256_set1_ps(1.0f);
+    __m256 rng = _mm256_blendv_ps(_mm256_sub_ps(mx, mn), one, dead);
+    __m256 iscale = _mm256_div_ps(_mm256_set1_ps((float)nmax), rng);
+    __m256 scale = _mm256_div_ps(one, iscale);
+    for (int j = 0; j < n; ++j) {
+        __m256 x = _mm256_loadu_ps(xs + 8 * j);
+        __m256i l = _mm256_cvtps_epi32(_mm256_mul_ps(iscale, _mm256_sub_ps(x, mn)));
+        _mm256_storeu_si256((__m256i*)(Ls + 8 * j), mm_clamp_epi32(l, 0, nmax));
+    }
+    __m256 best_mad = zero;
+    for (int j = 0; j < n; ++j) {
+        __m256 lf = _mm256_cvtepi32_ps(_mm256_loadu_si256((const __m256i*)(Ls + 8 * j)));
+        __m256 x = _mm256_loadu_ps(xs + 8 * j);
+        __m256 w = _mm256_loadu_ps(ws + 8 * j);
+        __m256 diff = _mm256_sub_ps(_mm256_add_ps(_mm256_mul_ps(scale, lf), mn), x);
+        __m256 e = use_mad ? _mm256_andnot_ps(_mm256_set1_ps(-0.0f), diff)
+                           : _mm256_mul_ps(diff, diff);
+        best_mad = _mm256_add_ps(best_mad, _mm256_mul_ps(w, e));
+    }
+    __m256 minv = mn;
+    int32_t laux[32 * 8];  // n <= 32 lanes x 8 groups
+    for (int is = 0; is <= nstep; ++is) {
+        __m256 rng_cur = _mm256_blendv_ps(_mm256_sub_ps(mx, minv), one, dead);
+        float num = rmin + rdelta * (float)is + (float)nmax;
+        __m256 iscale_is = _mm256_div_ps(_mm256_set1_ps(num), rng_cur);
+        __m256 sum_l = zero, sum_l2 = zero, sum_xl = zero;
+        for (int j = 0; j < n; ++j) {
+            __m256 x = _mm256_loadu_ps(xs + 8 * j);
+            __m256 w = _mm256_loadu_ps(ws + 8 * j);
+            __m256i l = mm_clamp_epi32(
+                _mm256_cvtps_epi32(_mm256_mul_ps(iscale_is, _mm256_sub_ps(x, minv))),
+                0, nmax);
+            _mm256_storeu_si256((__m256i*)(laux + 8 * j), l);
+            __m256 lf = _mm256_cvtepi32_ps(l);
+            __m256 wl = _mm256_mul_ps(w, lf);
+            sum_l = _mm256_add_ps(sum_l, wl);
+            sum_l2 = _mm256_add_ps(sum_l2, _mm256_mul_ps(wl, lf));
+            sum_xl = _mm256_add_ps(sum_xl, _mm256_mul_ps(wl, x));
+        }
+        __m256 D = _mm256_sub_ps(_mm256_mul_ps(sum_w, sum_l2),
+                                 _mm256_mul_ps(sum_l, sum_l));
+        __m256 pos = _mm256_cmp_ps(D, zero, _CMP_GT_OQ);
+        __m256 safe_D = _mm256_blendv_ps(one, D, pos);
+        __m256 this_scale = _mm256_div_ps(
+            _mm256_sub_ps(_mm256_mul_ps(sum_w, sum_xl), _mm256_mul_ps(sum_x, sum_l)),
+            safe_D);
+        __m256 this_min = _mm256_div_ps(
+            _mm256_sub_ps(_mm256_mul_ps(sum_l2, sum_x), _mm256_mul_ps(sum_l, sum_xl)),
+            safe_D);
+        __m256 min_pos = _mm256_cmp_ps(this_min, zero, _CMP_GT_OQ);
+        __m256 l2_zero = _mm256_cmp_ps(sum_l2, zero, _CMP_EQ_OQ);
+        __m256 alt_scale = _mm256_div_ps(sum_xl, _mm256_blendv_ps(sum_l2, one, l2_zero));
+        this_scale = _mm256_blendv_ps(this_scale, alt_scale, min_pos);
+        this_min = _mm256_andnot_ps(min_pos, this_min);
+        __m256 mad = zero;
+        for (int j = 0; j < n; ++j) {
+            __m256 lf = _mm256_cvtepi32_ps(_mm256_loadu_si256((const __m256i*)(laux + 8 * j)));
+            __m256 x = _mm256_loadu_ps(xs + 8 * j);
+            __m256 w = _mm256_loadu_ps(ws + 8 * j);
+            __m256 diff = _mm256_sub_ps(_mm256_add_ps(_mm256_mul_ps(this_scale, lf), this_min), x);
+            __m256 e = use_mad ? _mm256_andnot_ps(_mm256_set1_ps(-0.0f), diff)
+                               : _mm256_mul_ps(diff, diff);
+            mad = _mm256_add_ps(mad, _mm256_mul_ps(w, e));
+        }
+        __m256 better = _mm256_and_ps(pos, _mm256_cmp_ps(mad, best_mad, _CMP_LT_OQ));
+        if (_mm256_movemask_ps(better)) {
+            __m256i bi = _mm256_castps_si256(better);
+            for (int j = 0; j < n; ++j) {
+                __m256i cur = _mm256_loadu_si256((const __m256i*)(Ls + 8 * j));
+                __m256i cand = _mm256_loadu_si256((const __m256i*)(laux + 8 * j));
+                _mm256_storeu_si256((__m256i*)(Ls + 8 * j),
+                                    _mm256_blendv_epi8(cur, cand, bi));
+            }
+            best_mad = _mm256_blendv_ps(best_mad, mad, better);
+            scale = _mm256_blendv_ps(scale, this_scale, better);
+            minv = _mm256_blendv_ps(minv, this_min, better);
+        }
+    }
+    // dead lanes: scale = 0, L = 0, minv = mn
+    scale = _mm256_andnot_ps(dead, scale);
+    minv = _mm256_blendv_ps(minv, mn, dead);
+    __m256i di = _mm256_castps_si256(dead);
+    if (_mm256_movemask_ps(dead)) {
+        for (int j = 0; j < n; ++j) {
+            __m256i cur = _mm256_loadu_si256((const __m256i*)(Ls + 8 * j));
+            _mm256_storeu_si256((__m256i*)(Ls + 8 * j), _mm256_andnot_si256(di, cur));
+        }
+    }
+    _mm256_storeu_ps(out_scale8, scale);
+    _mm256_storeu_ps(out_neg_min8, _mm256_xor_ps(minv, _mm256_set1_ps(-0.0f)));
+}
+
+// xs: SoA [j][8]; Ls out SoA [j][8] (already offset by +nmax, dead-zeroed).
+static void make_qx_v8(const float* xs, int n, int nmax,
+                       float* out_scale8, int32_t* Ls) {
+    const __m256 zero = _mm256_setzero_ps();
+    const __m256 one = _mm256_set1_ps(1.0f);
+    const __m256 sgn = _mm256_set1_ps(-0.0f);
+    __m256 amax = zero, smax = zero;
+    for (int j = 0; j < n; ++j) {
+        __m256 x = _mm256_loadu_ps(xs + 8 * j);
+        __m256 a = _mm256_andnot_ps(sgn, x);
+        __m256 m = _mm256_cmp_ps(a, amax, _CMP_GT_OQ);  // strict >: first max
+        amax = _mm256_blendv_ps(amax, a, m);
+        smax = _mm256_blendv_ps(smax, x, m);
+    }
+    __m256 dead = _mm256_cmp_ps(amax, _mm256_set1_ps(GROUP_MAX_EPS), _CMP_LT_OQ);
+    __m256 safe = _mm256_blendv_ps(smax, one, _mm256_cmp_ps(smax, zero, _CMP_EQ_OQ));
+    __m256 iscale = _mm256_div_ps(_mm256_set1_ps(-(float)nmax), safe);
+    __m256 sumlx = zero, suml2 = zero;
+    for (int j = 0; j < n; ++j) {
+        __m256 x = _mm256_loadu_ps(xs + 8 * j);
+        __m256i l = mm_clamp_epi32(_mm256_cvtps_epi32(_mm256_mul_ps(iscale, x)),
+                                   -nmax, nmax - 1);
+        _mm256_storeu_si256((__m256i*)(Ls + 8 * j), l);
+        __m256 lf = _mm256_cvtepi32_ps(l);
+        __m256 w = _mm256_mul_ps(x, x);
+        sumlx = _mm256_add_ps(sumlx, _mm256_mul_ps(_mm256_mul_ps(w, x), lf));
+        suml2 = _mm256_add_ps(suml2, _mm256_mul_ps(_mm256_mul_ps(w, lf), lf));
+    }
+    __m256 l2_zero = _mm256_cmp_ps(suml2, zero, _CMP_EQ_OQ);
+    __m256 scale = _mm256_andnot_ps(
+        l2_zero, _mm256_div_ps(sumlx, _mm256_blendv_ps(suml2, one, l2_zero)));
+    __m256 best = _mm256_mul_ps(scale, sumlx);
+    int32_t laux[64 * 8];
+    for (int is = -9; is <= 9; ++is) {
+        if (is == 0) continue;
+        float num = -((float)nmax + 0.1f * (float)is);
+        __m256 iscale_is = _mm256_div_ps(_mm256_set1_ps(num), safe);
+        __m256 sumlx2 = zero, suml22 = zero;
+        for (int j = 0; j < n; ++j) {
+            __m256 x = _mm256_loadu_ps(xs + 8 * j);
+            __m256i l = mm_clamp_epi32(_mm256_cvtps_epi32(_mm256_mul_ps(iscale_is, x)),
+                                       -nmax, nmax - 1);
+            _mm256_storeu_si256((__m256i*)(laux + 8 * j), l);
+            __m256 lf = _mm256_cvtepi32_ps(l);
+            __m256 w = _mm256_mul_ps(x, x);
+            sumlx2 = _mm256_add_ps(sumlx2, _mm256_mul_ps(_mm256_mul_ps(w, x), lf));
+            suml22 = _mm256_add_ps(suml22, _mm256_mul_ps(_mm256_mul_ps(w, lf), lf));
+        }
+        __m256 better = _mm256_and_ps(
+            _mm256_cmp_ps(suml22, zero, _CMP_GT_OQ),
+            _mm256_cmp_ps(_mm256_mul_ps(sumlx2, sumlx2),
+                          _mm256_mul_ps(best, suml22), _CMP_GT_OQ));
+        if (_mm256_movemask_ps(better)) {
+            __m256i bi = _mm256_castps_si256(better);
+            for (int j = 0; j < n; ++j) {
+                __m256i cur = _mm256_loadu_si256((const __m256i*)(Ls + 8 * j));
+                __m256i cand = _mm256_loadu_si256((const __m256i*)(laux + 8 * j));
+                _mm256_storeu_si256((__m256i*)(Ls + 8 * j),
+                                    _mm256_blendv_epi8(cur, cand, bi));
+            }
+            __m256 sl22_zero = _mm256_cmp_ps(suml22, zero, _CMP_EQ_OQ);
+            __m256 new_scale = _mm256_div_ps(
+                sumlx2, _mm256_blendv_ps(suml22, one, sl22_zero));
+            scale = _mm256_blendv_ps(scale, new_scale, better);
+            best = _mm256_blendv_ps(best, _mm256_mul_ps(new_scale, sumlx2), better);
+        }
+    }
+    scale = _mm256_andnot_ps(dead, scale);
+    __m256i di = _mm256_castps_si256(dead);
+    __m256i off = _mm256_set1_epi32(nmax);
+    for (int j = 0; j < n; ++j) {
+        __m256i l = _mm256_add_epi32(
+            _mm256_loadu_si256((const __m256i*)(Ls + 8 * j)), off);
+        _mm256_storeu_si256((__m256i*)(Ls + 8 * j), _mm256_andnot_si256(di, l));
+    }
+    _mm256_storeu_ps(out_scale8, scale);
+}
+#endif  // __AVX2__
+
+// ---- shared Q4_K/Q5_K superblock core (spec: reference.py _quant_k45) ------
+// 8 groups of 32 with av_x+|x| weights through make_qkx2, 6-bit packed
+// scales/mins, fp16 roundtrip, requantize against the coded scales.
+static void quant_k45_core(const float* x, int nmax, float rmin, float rdelta,
+                           int nstep, uint8_t* L, uint8_t* sc_bytes,
+                           uint16_t* d_bits_out, uint16_t* dmin_bits_out) {
     float scales[8], mins[8];
-    uint8_t L[QK_K];
+#if defined(__AVX2__)
+    {
+        float xs[32 * 8], ws[32 * 8];
+        for (int g = 0; g < 8; ++g) {
+            const float* xg = x + 32 * g;
+            float sum_x2 = 0.0f;
+            for (int l = 0; l < 32; ++l) {
+                float v = xg[l];
+                xs[8 * l + g] = v;
+                sum_x2 += v * v;
+            }
+            float av_x = sqrtf(sum_x2 / 32.0f);
+            for (int l = 0; l < 32; ++l) ws[8 * l + g] = av_x + fabsf(xg[l]);
+        }
+        int32_t Ls[32 * 8];
+        make_qkx2_v8(xs, ws, 32, nmax, rmin, rdelta, nstep, false,
+                     scales, mins, Ls);
+        for (int g = 0; g < 8; ++g)
+            for (int l = 0; l < 32; ++l) L[32 * g + l] = (uint8_t)Ls[8 * l + g];
+    }
+#else
     float w[32];
     for (int g = 0; g < 8; ++g) {
         const float* xg = x + 32 * g;
@@ -189,8 +422,10 @@ static void quant_q4_k_block(const float* x, uint8_t* out) {
         for (int l = 0; l < 32; ++l) sum_x2 += xg[l] * xg[l];
         float av_x = sqrtf(sum_x2 / 32.0f);
         for (int l = 0; l < 32; ++l) w[l] = av_x + fabsf(xg[l]);
-        make_qkx2(xg, w, 32, nmax, rmin, rdelta, nstep, &scales[g], &mins[g], L + 32 * g);
+        make_qkx2(xg, w, 32, nmax, rmin, rdelta, nstep, false,
+                  &scales[g], &mins[g], L + 32 * g);
     }
+#endif
     float max_scale = scales[0], max_min = mins[0];
     for (int g = 1; g < 8; ++g) {
         if (scales[g] > max_scale) max_scale = scales[g];
@@ -205,7 +440,6 @@ static void quant_q4_k_block(const float* x, uint8_t* out) {
         v = nearest_int(inv_min * mins[g]);
         lm[g] = (uint8_t)(v < 63 ? v : 63);
     }
-    uint8_t sc_bytes[12];
     pack_k4_scales(ls, lm, sc_bytes);
     float d_out = max_scale / 63.0f;
     float dmin_out = max_min / 63.0f;
@@ -226,6 +460,16 @@ static void quant_q4_k_block(const float* x, uint8_t* out) {
             }
         }
     }
+    *d_bits_out = d_bits;
+    *dmin_bits_out = dmin_bits;
+}
+
+// ---- Q4_K: one 256-element superblock -> 144 bytes --------------------------
+// (reference: quantize_row_q4_K_ref src/ggml-quants.c:1207, via the spec)
+static void quant_q4_k_block(const float* x, uint8_t* out) {
+    uint8_t L[QK_K], sc_bytes[12];
+    uint16_t d_bits, dmin_bits;
+    quant_k45_core(x, 15, -1.0f, 0.1f, 20, L, sc_bytes, &d_bits, &dmin_bits);
     std::memcpy(out + 0, &d_bits, 2);
     std::memcpy(out + 2, &dmin_bits, 2);
     std::memcpy(out + 4, sc_bytes, 12);
@@ -233,6 +477,334 @@ static void quant_q4_k_block(const float* x, uint8_t* out) {
     for (int n4 = 0; n4 < 4; ++n4)
         for (int l = 0; l < 32; ++l)
             out[16 + 32 * n4 + l] = (uint8_t)(L[64 * n4 + l] | (L[64 * n4 + 32 + l] << 4));
+}
+
+// ---- Q5_K: one 256-element superblock -> 176 bytes --------------------------
+// (reference: quantize_row_q5_K_ref src/ggml-quants.c:1398, via the spec)
+static void quant_q5_k_block(const float* x, uint8_t* out) {
+    uint8_t L[QK_K], sc_bytes[12];
+    uint16_t d_bits, dmin_bits;
+    quant_k45_core(x, 31, -0.5f, 0.1f, 15, L, sc_bytes, &d_bits, &dmin_bits);
+    std::memcpy(out + 0, &d_bits, 2);
+    std::memcpy(out + 2, &dmin_bits, 2);
+    std::memcpy(out + 4, sc_bytes, 12);
+    uint8_t* qh = out + 16;   // 32 bytes of high bits
+    uint8_t* qs = out + 48;   // 128 bytes of low nibbles
+    std::memset(qh, 0, 32);
+    for (int n4 = 0; n4 < 4; ++n4) {
+        for (int l = 0; l < 32; ++l) {
+            int v0 = L[64 * n4 + l], v1 = L[64 * n4 + 32 + l];
+            if (v0 > 15) { qh[l] |= (uint8_t)(1u << (2 * n4)); v0 -= 16; }
+            if (v1 > 15) { qh[l] |= (uint8_t)(1u << (2 * n4 + 1)); v1 -= 16; }
+            qs[32 * n4 + l] = (uint8_t)(v0 | (v1 << 4));
+        }
+    }
+}
+
+// ---- make_qx_quants (rmse_type=1, w=x^2; spec: reference.py) ---------------
+// scale search for Q6_K's 16-element groups; L out in [0, 2*nmax-1].
+static void make_qx(const float* x, int n, int nmax, float* out_scale, int* L) {
+    float amax = 0.0f, smax = 0.0f;
+    for (int j = 0; j < n; ++j) {
+        float a = fabsf(x[j]);
+        if (a > amax) { amax = a; smax = x[j]; }  // first-occurrence max
+    }
+    if (amax < GROUP_MAX_EPS) {
+        *out_scale = 0.0f;
+        std::memset(L, 0, n * sizeof(int));
+        return;
+    }
+    float safe_max = smax != 0.0f ? smax : 1.0f;
+    float iscale = -(float)nmax / safe_max;
+    float sumlx = 0.0f, suml2 = 0.0f;
+    for (int j = 0; j < n; ++j) {
+        int l = clip(nearest_int(iscale * x[j]), -nmax, nmax - 1);
+        L[j] = l + nmax;
+        float w = x[j] * x[j];
+        sumlx += w * x[j] * (float)l;
+        suml2 += w * (float)l * (float)l;
+    }
+    float scale = suml2 != 0.0f ? sumlx / suml2 : 0.0f;
+    float best = scale * sumlx;
+    int laux[64];
+    for (int is = -9; is <= 9; ++is) {
+        if (is == 0) continue;
+        float iscale_is = -((float)nmax + 0.1f * (float)is) / safe_max;
+        float sumlx2 = 0.0f, suml22 = 0.0f;
+        for (int j = 0; j < n; ++j) {
+            int l = clip(nearest_int(iscale_is * x[j]), -nmax, nmax - 1);
+            laux[j] = l;
+            float w = x[j] * x[j];
+            sumlx2 += w * x[j] * (float)l;
+            suml22 += w * (float)l * (float)l;
+        }
+        if (suml22 > 0.0f && sumlx2 * sumlx2 > best * suml22) {
+            for (int j = 0; j < n; ++j) L[j] = laux[j] + nmax;
+            float new_scale = sumlx2 / suml22;
+            scale = new_scale;
+            best = new_scale * sumlx2;
+        }
+    }
+    *out_scale = scale;
+}
+
+// ---- Q6_K: one 256-element superblock -> 210 bytes --------------------------
+// (reference: quantize_row_q6_K_ref src/ggml-quants.c:1620, via the spec)
+static void quant_q6_k_block(const float* x, uint8_t* out) {
+    const int nmax = 32;
+    float scales[16];
+    int L[QK_K];
+#if defined(__AVX2__)
+    for (int half = 0; half < 2; ++half) {
+        float xs[16 * 8];
+        for (int g = 0; g < 8; ++g) {
+            const float* xg = x + 16 * (8 * half + g);
+            for (int l = 0; l < 16; ++l) xs[8 * l + g] = xg[l];
+        }
+        int32_t Ls[16 * 8];
+        make_qx_v8(xs, 16, nmax, scales + 8 * half, Ls);
+        for (int g = 0; g < 8; ++g)
+            for (int l = 0; l < 16; ++l)
+                L[16 * (8 * half + g) + l] = Ls[8 * l + g];
+    }
+#else
+    for (int g = 0; g < 16; ++g)
+        make_qx(x + 16 * g, 16, nmax, &scales[g], L + 16 * g);
+#endif
+    float max_abs = 0.0f, max_scale = 0.0f;
+    for (int g = 0; g < 16; ++g) {
+        float a = fabsf(scales[g]);
+        if (a > max_abs) { max_abs = a; max_scale = scales[g]; }
+    }
+    bool dead = max_abs < GROUP_MAX_EPS;
+    float safe_ms = max_scale != 0.0f ? max_scale : 1.0f;
+    float iscale = -128.0f / safe_ms;
+    float d_out = dead ? 0.0f : 1.0f / iscale;
+    int8_t sc8[16];
+    for (int g = 0; g < 16; ++g) {
+        int v = nearest_int(iscale * scales[g]);
+        sc8[g] = dead ? 0 : (int8_t)(v < 127 ? v : 127);
+    }
+    uint16_t d_bits = f32_to_f16_bits(d_out);
+    float d16 = f16_bits_to_f32(d_bits);
+    for (int g = 0; g < 16; ++g) {
+        float dg = d16 * (float)sc8[g];
+        if (dg != 0.0f) {
+            for (int l = 0; l < 16; ++l) {
+                int j = 16 * g + l;
+                L[j] = clip(nearest_int(x[j] / dg), -32, 31) + 32;
+            }
+        }
+    }
+    if (dead) std::memset(L, 0, sizeof(int) * QK_K);
+    // ql (2,2,32) low nibbles, qh (2,32) high 2-bit pairs
+    for (int half = 0; half < 2; ++half) {
+        const int* Lb = L + 128 * half;
+        uint8_t* ql = out + 64 * half;
+        uint8_t* qh = out + 128 + 32 * half;
+        for (int l = 0; l < 32; ++l) {
+            ql[l] = (uint8_t)((Lb[l] & 0xF) | ((Lb[64 + l] & 0xF) << 4));
+            ql[32 + l] = (uint8_t)((Lb[32 + l] & 0xF) | ((Lb[96 + l] & 0xF) << 4));
+            qh[l] = (uint8_t)((Lb[l] >> 4) | ((Lb[32 + l] >> 4) << 2) |
+                              ((Lb[64 + l] >> 4) << 4) | ((Lb[96 + l] >> 4) << 6));
+        }
+    }
+    std::memcpy(out + 192, sc8, 16);
+    std::memcpy(out + 208, &d_bits, 2);
+}
+
+// ---- Q2_K: one 256-element superblock -> 84 bytes ---------------------------
+// (reference: quantize_row_q2_K_ref src/ggml-quants.c:643, via the spec)
+static void quant_q2_k_block(const float* x, uint8_t* out) {
+    const int nmax = 3;
+    float scales[16], mins[16];
+    uint8_t L[QK_K];
+#if defined(__AVX2__)
+    for (int half = 0; half < 2; ++half) {
+        float xs[16 * 8], ws[16 * 8];
+        for (int g = 0; g < 8; ++g) {
+            const float* xg = x + 16 * (8 * half + g);
+            for (int l = 0; l < 16; ++l) {
+                xs[8 * l + g] = xg[l];
+                ws[8 * l + g] = fabsf(xg[l]);
+            }
+        }
+        int32_t Ls[16 * 8];
+        make_qkx2_v8(xs, ws, 16, nmax, -0.5f, 0.1f, 15, true,
+                     scales + 8 * half, mins + 8 * half, Ls);
+        for (int g = 0; g < 8; ++g)
+            for (int l = 0; l < 16; ++l)
+                L[16 * (8 * half + g) + l] = (uint8_t)Ls[8 * l + g];
+    }
+#else
+    float w[16];
+    for (int g = 0; g < 16; ++g) {
+        const float* xg = x + 16 * g;
+        for (int l = 0; l < 16; ++l) w[l] = fabsf(xg[l]);
+        make_qkx2(xg, w, 16, nmax, -0.5f, 0.1f, 15, true,
+                  &scales[g], &mins[g], L + 16 * g);
+    }
+#endif
+    float max_scale = scales[0], max_min = mins[0];
+    for (int g = 1; g < 16; ++g) {
+        if (scales[g] > max_scale) max_scale = scales[g];
+        if (mins[g] > max_min) max_min = mins[g];
+    }
+    const float q4scale = 15.0f;
+    float d_out = 0.0f, dmin_out = 0.0f;
+    uint8_t sc_bytes[16];
+    std::memset(sc_bytes, 0, 16);
+    if (max_scale > 0.0f) {
+        float iscale_s = q4scale / max_scale;
+        for (int g = 0; g < 16; ++g)
+            sc_bytes[g] = (uint8_t)nearest_int(iscale_s * scales[g]);
+        d_out = max_scale / q4scale;
+    }
+    if (max_min > 0.0f) {
+        float iscale_m = q4scale / max_min;
+        for (int g = 0; g < 16; ++g)
+            sc_bytes[g] |= (uint8_t)(nearest_int(iscale_m * mins[g]) << 4);
+        dmin_out = max_min / q4scale;
+    }
+    uint16_t d_bits = f32_to_f16_bits(d_out);
+    uint16_t dmin_bits = f32_to_f16_bits(dmin_out);
+    float d16 = f16_bits_to_f32(d_bits);
+    float dmin16 = f16_bits_to_f32(dmin_bits);
+    for (int g = 0; g < 16; ++g) {
+        float dg = d16 * (float)(sc_bytes[g] & 0xF);
+        float dm = dmin16 * (float)(sc_bytes[g] >> 4);
+        if (dg != 0.0f) {
+            for (int l = 0; l < 16; ++l) {
+                int j = 16 * g + l;
+                L[j] = (uint8_t)clip(nearest_int((x[j] + dm) / dg), 0, nmax);
+            }
+        }
+    }
+    std::memcpy(out, sc_bytes, 16);
+    for (int half = 0; half < 2; ++half) {
+        const uint8_t* Lb = L + 128 * half;
+        uint8_t* qs = out + 16 + 32 * half;
+        for (int l = 0; l < 32; ++l)
+            qs[l] = (uint8_t)(Lb[l] | (Lb[32 + l] << 2) | (Lb[64 + l] << 4) |
+                              (Lb[96 + l] << 6));
+    }
+    std::memcpy(out + 80, &d_bits, 2);
+    std::memcpy(out + 82, &dmin_bits, 2);
+}
+
+// ---- make_q3_quants (do_rmse; spec: reference.py) ---------------------------
+// iterative per-element refinement; L out in [0, 2*nmax-1].
+static void make_q3(const float* x, int n, int nmax, float* out_scale, int* L) {
+    float amax = 0.0f, smax = 0.0f;
+    for (int j = 0; j < n; ++j) {
+        float a = fabsf(x[j]);
+        if (a > amax) { amax = a; smax = x[j]; }
+    }
+    if (amax < GROUP_MAX_EPS) {
+        *out_scale = 0.0f;
+        std::memset(L, 0, n * sizeof(int));
+        return;
+    }
+    float safe_max = smax != 0.0f ? smax : 1.0f;
+    float iscale = -(float)nmax / safe_max;
+    float w[64];
+    float sumlx = 0.0f, suml2 = 0.0f;
+    for (int j = 0; j < n; ++j) {
+        L[j] = clip(nearest_int(iscale * x[j]), -nmax, nmax - 1);
+        w[j] = x[j] * x[j];
+        sumlx += w[j] * x[j] * (float)L[j];
+        suml2 += w[j] * (float)L[j] * (float)L[j];
+    }
+    for (int pass = 0; pass < 5; ++pass) {
+        int n_changed = 0;
+        for (int i = 0; i < n; ++i) {
+            float slx = sumlx - w[i] * x[i] * (float)L[i];
+            float sl2 = suml2 - w[i] * (float)L[i] * (float)L[i];
+            if (slx > 0.0f) {
+                int new_l = clip(nearest_int(x[i] * sl2 / slx), -nmax, nmax - 1);
+                if (new_l != L[i]) {
+                    float cand_slx = slx + w[i] * x[i] * (float)new_l;
+                    float cand_sl2 = sl2 + w[i] * (float)new_l * (float)new_l;
+                    if (cand_sl2 > 0.0f &&
+                        cand_slx * cand_slx * suml2 > sumlx * sumlx * cand_sl2) {
+                        L[i] = new_l;
+                        sumlx = cand_slx;
+                        suml2 = cand_sl2;
+                        ++n_changed;
+                    }
+                }
+            }
+        }
+        if (n_changed == 0) break;
+    }
+    for (int j = 0; j < n; ++j) L[j] += nmax;
+    *out_scale = sumlx / (suml2 != 0.0f ? suml2 : 1.0f);
+}
+
+// ---- Q3_K: one 256-element superblock -> 110 bytes --------------------------
+// (reference: quantize_row_q3_K_ref src/ggml-quants.c:995, via the spec)
+static void quant_q3_k_block(const float* x, uint8_t* out) {
+    const int nmax = 4;
+    float scales[16];
+    int L[QK_K];
+    for (int g = 0; g < 16; ++g)
+        make_q3(x + 16 * g, 16, nmax, &scales[g], L + 16 * g);
+    float max_abs = 0.0f, max_scale = 0.0f;
+    for (int g = 0; g < 16; ++g) {
+        float a = fabsf(scales[g]);
+        if (a > max_abs) { max_abs = a; max_scale = scales[g]; }
+    }
+    bool has = max_abs != 0.0f;
+    float safe_ms = max_scale != 0.0f ? max_scale : 1.0f;
+    float iscale = -32.0f / safe_ms;
+    uint8_t lvals[16];
+    for (int g = 0; g < 16; ++g) {
+        int v = clip(nearest_int(iscale * scales[g]), -32, 31) + 32;
+        lvals[g] = has ? (uint8_t)v : 0;
+    }
+    // pack 16 6-bit values into 12 bytes (spec: _pack_q3k_scales)
+    uint8_t packed[12];
+    std::memset(packed, 0, 12);
+    for (int j = 0; j < 16; ++j) {
+        uint8_t l = lvals[j];
+        if (j < 8) packed[j] |= (uint8_t)(l & 0xF);
+        else packed[j - 8] |= (uint8_t)((l & 0xF) << 4);
+        packed[8 + (j % 4)] |= (uint8_t)((l >> 4) << (2 * (j / 4)));
+    }
+    float d_out = has ? 1.0f / iscale : 0.0f;
+    uint16_t d_bits = f32_to_f16_bits(d_out);
+    float d16 = f16_bits_to_f32(d_bits);
+    // decode the packed 6-bit scales (spec: _q3k_scales) and requantize
+    for (int g = 0; g < 16; ++g) {
+        int lo = g < 8 ? (packed[g] & 0xF) : (packed[g - 8] >> 4);
+        int hi = (packed[8 + (g % 4)] >> (2 * (g / 4))) & 3;
+        int sc16 = (lo | (hi << 4)) - 32;
+        float dg = d16 * (float)sc16;
+        if (dg != 0.0f) {
+            for (int l = 0; l < 16; ++l) {
+                int j = 16 * g + l;
+                L[j] = clip(nearest_int(x[j] / dg), -4, 3) + 4;
+            }
+        }
+    }
+    // high-bit mask + 2-bit low values
+    uint8_t* hm = out;        // 32 bytes
+    uint8_t* qs = out + 32;   // 64 bytes
+    std::memset(hm, 0, 32);
+    for (int j = 0; j < QK_K; ++j) {
+        if (L[j] > 3) {
+            hm[j % 32] |= (uint8_t)(1u << (j / 32));
+            L[j] -= 4;
+        }
+    }
+    for (int half = 0; half < 2; ++half) {
+        const int* Lb = L + 128 * half;
+        for (int l = 0; l < 32; ++l)
+            qs[32 * half + l] = (uint8_t)(Lb[l] | (Lb[32 + l] << 2) |
+                                          (Lb[64 + l] << 4) | (Lb[96 + l] << 6));
+    }
+    std::memcpy(out + 96, packed, 12);
+    std::memcpy(out + 108, &d_bits, 2);
 }
 
 // ---- Q8_0: one 32-element block -> 34 bytes --------------------------------
@@ -257,7 +829,16 @@ static void quant_q8_0_block(const float* x, uint8_t* out) {
 extern "C" {
 
 int gt_quantize_supported(int ggml_type) {
-    return ggml_type == 8 /*Q8_0*/ || ggml_type == 12 /*Q4_K*/;
+    switch (ggml_type) {
+        case 8:   // Q8_0
+        case 10:  // Q2_K
+        case 11:  // Q3_K
+        case 12:  // Q4_K
+        case 13:  // Q5_K
+        case 14:  // Q6_K
+            return 1;
+    }
+    return 0;
 }
 
 int gt_quantize(int ggml_type, const float* src, int64_t nrows, int64_t k,
@@ -265,6 +846,10 @@ int gt_quantize(int ggml_type, const float* src, int64_t nrows, int64_t k,
     int64_t block, bsize;
     void (*fn)(const float*, uint8_t*);
     if (ggml_type == 12) { block = 256; bsize = 144; fn = quant_q4_k_block; }
+    else if (ggml_type == 13) { block = 256; bsize = 176; fn = quant_q5_k_block; }
+    else if (ggml_type == 14) { block = 256; bsize = 210; fn = quant_q6_k_block; }
+    else if (ggml_type == 10) { block = 256; bsize = 84; fn = quant_q2_k_block; }
+    else if (ggml_type == 11) { block = 256; bsize = 110; fn = quant_q3_k_block; }
     else if (ggml_type == 8) { block = 32; bsize = 34; fn = quant_q8_0_block; }
     else return 1;
     if (k % block) return 2;

@@ -150,12 +150,21 @@ def _get_qlib():
         _qtried = True
         if not _QLIB.exists() or _QLIB.stat().st_mtime < _QSRC.stat().st_mtime:
             _BUILD.mkdir(exist_ok=True)
-            cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                   str(_QSRC), "-o", str(_QLIB)]
+            # -march=native unlocks the 8-lane AVX2 group-search kernels;
+            # -ffp-contract=off forbids fma contraction (would change fp32
+            # rounding vs the spec).  Falls back to the portable build when
+            # the host compiler rejects -march=native.
+            base = ["g++", "-O3", "-std=c++17", "-ffp-contract=off", "-shared",
+                    "-fPIC", "-pthread", str(_QSRC), "-o", str(_QLIB)]
             try:
-                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+                subprocess.run(base[:2] + ["-march=native"] + base[2:],
+                               check=True, capture_output=True, timeout=120)
             except Exception:
-                return None
+                try:
+                    subprocess.run(base, check=True, capture_output=True,
+                                   timeout=120)
+                except Exception:
+                    return None
         try:
             lib = ctypes.CDLL(str(_QLIB))
         except OSError:

@@ -10,7 +10,8 @@ from ggml_tpu.dtypes import GGMLType
 from ggml_tpu.native import fast_quantize, native_quantize
 from ggml_tpu.quant import reference as R
 
-TYPES = [GGMLType.Q4_K, GGMLType.Q8_0]
+TYPES = [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+         GGMLType.Q6_K, GGMLType.Q8_0]
 
 
 @pytest.mark.parametrize("ggml_type", TYPES, ids=lambda t: t.name)
@@ -43,6 +44,24 @@ def test_native_edge_blocks(ggml_type):
 def test_fast_quantize_fallback():
     """Types without a native kernel fall back to the spec transparently."""
     x = np.random.default_rng(0).standard_normal((4, 512)).astype(np.float32)
-    out = fast_quantize(x, GGMLType.Q6_K)
+    out = fast_quantize(x, GGMLType.Q4_0)
     assert np.array_equal(np.asarray(out).reshape(-1),
-                          np.asarray(R.quantize(x, GGMLType.Q6_K)).reshape(-1))
+                          np.asarray(R.quantize(x, GGMLType.Q4_0)).reshape(-1))
+
+
+@pytest.mark.parametrize("ggml_type", TYPES, ids=lambda t: t.name)
+def test_native_sparse_and_extreme(ggml_type):
+    """90%-sparse rows (zero-heavy groups stress the dead/min branches) and
+    1e8-magnitude rows (fp16 scale saturation) — both must stay
+    byte-identical to the spec."""
+    if native_quantize(np.zeros((1, 256), np.float32), ggml_type) is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    sparse = np.where(rng.random((8, 512)) < 0.9, 0.0,
+                      rng.standard_normal((8, 512))).astype(np.float32)
+    big = (rng.standard_normal((4, 512)) * 1e8).astype(np.float32)
+    tiny = (rng.standard_normal((4, 512)) * 1e-18).astype(np.float32)
+    x = np.concatenate([sparse, big, tiny])
+    a = native_quantize(x, ggml_type)
+    b = np.asarray(R.quantize(x, ggml_type))
+    assert np.array_equal(a.reshape(-1), b.reshape(-1))
