@@ -36,9 +36,13 @@ env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
 if [ "${CI_TPU:-0}" = "1" ]; then
   echo "== stage 4a: on-chip kernel conformance (Mosaic-compiled, interpret=False) =="
   # the CPU suite runs Pallas in interpret mode; this stage catches
-  # Mosaic-only miscompiles on the real chip (VERDICT r2 item 3)
+  # Mosaic-only miscompiles on the real chip: EVERY planar dtype compiles
+  # and runs at GEMV + batched shapes (test_planar_matmul_compiled over the
+  # full type list), plus a per-node compare_graph decode step TPU-vs-spec
   GGML_TPU_TESTS=1 python -m pytest tests/test_planar_qmatmul.py \
       -q -k "compiled or compact or block_diagonal or int8_gemv"
+  GGML_TPU_TESTS=1 python -m pytest tests/test_compare_graph.py \
+      -q -k "on_chip"
 
   echo "== stage 4b: TPU benchmarks (gated vs BENCH_FLOOR.json) =="
   CI_BENCH_GATE=1 python bench.py

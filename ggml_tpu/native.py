@@ -17,9 +17,29 @@ import threading
 
 import numpy as np
 
-_ROOT = pathlib.Path(__file__).resolve().parent.parent
-_SRC = _ROOT / "csrc" / "repack.cpp"
-_BUILD = _ROOT / "build"
+_PKG = pathlib.Path(__file__).resolve().parent
+_SRC = _PKG / "csrc" / "repack.cpp"
+
+
+def _default_build_dir() -> pathlib.Path:
+    """Where compiled .so files land: GGML_TPU_BUILD_DIR, else <repo>/build
+    (package-adjacent, the checkout layout), else ~/.cache/ggml_tpu (read-only
+    installs)."""
+    env = os.environ.get("GGML_TPU_BUILD_DIR")
+    if env:
+        return pathlib.Path(env)
+    repo_build = _PKG.parent / "build"
+    try:
+        repo_build.mkdir(exist_ok=True)
+        probe = repo_build / ".write_probe"
+        probe.touch()
+        probe.unlink()
+        return repo_build
+    except OSError:
+        return pathlib.Path.home() / ".cache" / "ggml_tpu"
+
+
+_BUILD = _default_build_dir()
 _LIB = _BUILD / "libggml_tpu_repack.so"
 
 _lock = threading.Lock()
@@ -28,7 +48,7 @@ _tried = False
 
 
 def _compile() -> bool:
-    _BUILD.mkdir(exist_ok=True)
+    _BUILD.mkdir(parents=True, exist_ok=True)
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
         str(_SRC), "-o", str(_LIB),
@@ -136,7 +156,7 @@ def native_repack(raw: np.ndarray, ggml_type, shape, n_pad_to: int = 128, force_
 # scale/min search over rows.
 # ---------------------------------------------------------------------------
 
-_QSRC = _ROOT / "csrc" / "quantize.cpp"
+_QSRC = _PKG / "csrc" / "quantize.cpp"
 _QLIB = _BUILD / "libggml_tpu_quantize.so"
 _qlib = None
 _qtried = False
@@ -149,7 +169,7 @@ def _get_qlib():
             return _qlib
         _qtried = True
         if not _QLIB.exists() or _QLIB.stat().st_mtime < _QSRC.stat().st_mtime:
-            _BUILD.mkdir(exist_ok=True)
+            _BUILD.mkdir(parents=True, exist_ok=True)
             # -march=native unlocks the 8-lane AVX2 group-search kernels;
             # -ffp-contract=off forbids fma contraction (would change fp32
             # rounding vs the spec).  Falls back to the portable build when

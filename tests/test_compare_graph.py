@@ -70,3 +70,37 @@ def test_compare_graph_model_step():
     res = compare_graph(fn, tok, pos0, cache, device=jax.devices("cpu")[0],
                         spec_device=jax.devices("cpu")[0])
     assert res.ok, res.summary()
+
+
+def test_compare_graph_model_step_on_chip():
+    """Stage-4a on-chip pass (GGML_TPU_TESTS=1): the SAME tiny-model decode
+    step compared node-by-node with the REAL TPU as the device side and the
+    CPU interpret-mode spec as the reference — localizes any Mosaic-only
+    miscompile to its first divergent primitive (the on-hardware
+    ggml_backend_compare_graph_backend run the CPU suite cannot give)."""
+    import os
+
+    import pytest
+
+    if os.environ.get("GGML_TPU_TESTS", "0") != "1":
+        pytest.skip("on-chip comparator runs under GGML_TPU_TESTS=1 (ci 4a)")
+    tpus = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpus:
+        pytest.skip("no accelerator device visible")
+    from ggml_tpu.models.gptj import forward, init_cache, random_config, synth_quantized_params
+
+    cfg = random_config("tiny")
+    params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
+    cache = init_cache(cfg, 1, 32, jnp.float32)
+    tok = jnp.asarray([[3]], jnp.int32)
+    pos0 = jnp.zeros((1,), jnp.int32)
+
+    def fn(tok, pos0, cache):
+        logits, _ = forward(params, cfg, tok, pos0, cache, jnp.int32(0))
+        return logits
+
+    res = compare_graph(fn, tok, pos0, cache, device=tpus[0],
+                        spec_device=jax.devices("cpu")[0],
+                        # bf16 matmuls on device vs f32 interpret spec
+                        nmse_tol=1e-4)
+    assert res.ok, res.summary()

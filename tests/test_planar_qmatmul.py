@@ -103,14 +103,17 @@ def test_planar_matmul_vs_dense(ggml_type, m):
     _matmul_case(ggml_type, m, interpret=True)
 
 
-# One Mosaic-compiled case per distinct kernel variant (plane kind x group):
-# q4/G32 affine (Q4_K), q8/G16 (Q6_K) are the decode-critical paths; Q4_0/Q8_0
-# cover the simple-block layouts.
-@pytest.mark.parametrize(
-    "ggml_type", [GGMLType.Q4_0, GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K], ids=lambda t: t.name
-)
-def test_planar_matmul_compiled(ggml_type):
-    _matmul_case(ggml_type, 1, interpret=None)
+# Compiled conformance over EVERY planar dtype at the GEMV (m=1) and batched
+# (m=7) shapes.  interpret=None auto-selects: interpret mode on the CPU test
+# mesh, Mosaic-compiled on real TPU — ci stage 4a (GGML_TPU_TESTS=1) runs
+# this whole parametrization on the chip, so a Mosaic-only miscompile in any
+# plane path (i-quants, ternary, compact K-quant sub-scale planes included)
+# fails CI.  The reference analog is MODE_TEST over the full type list,
+# tests/test-backend-ops.cpp:962-4360.
+@pytest.mark.parametrize("m", [1, 7])
+@pytest.mark.parametrize("ggml_type", PLANAR_TYPES, ids=lambda t: t.name)
+def test_planar_matmul_compiled(ggml_type, m):
+    _matmul_case(ggml_type, m, interpret=None)
 
 
 def test_planar_matmul_batched_and_chunked():
