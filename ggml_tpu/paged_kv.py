@@ -268,6 +268,10 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
         return _make_paged_step_gemma2(model, pcfg)
     if isinstance(model, _deepseek.Deepseek):
         return _make_paged_step_deepseek(model, pcfg)
+    from .models import phi3 as _phi3
+
+    if isinstance(model, _phi3.Phi3):
+        return _make_paged_step_phi3(model, pcfg)
     from .models.llama import _linear, _rms_norm, _rope_half_scaled
 
     cfg = model.cfg
@@ -517,6 +521,84 @@ def _make_paged_step_gemma2(model, pcfg: PagedConfig):
         logits = _linear(x, w_out)[:, 0].astype(jnp.float32)
         if cfg.final_softcap:
             logits = _softcap(logits, cfg.final_softcap)
+        logits = jnp.where(active[:, None], logits, 0.0)
+        return logits, tuple(new_pools)
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def _make_paged_step_phi3(model, pcfg: PagedConfig):
+    """Phi-3/3.5/4 paged step: LongRoPE per-dim frequency divisors with the
+    STATIC long/short regime keyed on the paged window (the allocated
+    context, same rule the dense forward applies to max_seq — the Engine
+    requires window >= max_seq, and paged == dense is gated with both in the
+    same regime), attn-factor cos/sin scaling, uniform sliding window —
+    matching models/phi3.forward exactly."""
+    from .models.common import linear as _linear
+    from .models.llama import _rms_norm
+    from .models.phi3 import _rope_phi3
+
+    cfg = model.cfg
+    rep = cfg.n_head // cfg.n_head_kv
+    scale = cfg.head_dim ** -0.5
+    window = pcfg.max_pages_per_seq * pcfg.page_size
+
+    def step(params, pools, tokens, lengths, tables, wpage, woff, active):
+        b, t = tokens.shape
+        assert t == 1
+        positions = lengths[:, None]
+        embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
+        x = embd[tokens]
+        dt = x.dtype
+        factors = None
+        if cfg.longrope:
+            factors = (params["rope_factors_long.weight"]
+                       if window > cfg.n_ctx_orig
+                       else params["rope_factors_short.weight"])
+        new_pools = list(pools)
+        for i in range(cfg.n_layer):
+            pre = f"blk.{i}."
+            h = _rms_norm(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
+            q = _linear(h, params[pre + "attn_q.weight"]).reshape(b, 1, cfg.n_head, cfg.head_dim)
+            k = _linear(h, params[pre + "attn_k.weight"]).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
+            v = _linear(h, params[pre + "attn_v.weight"]).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
+            q = _rope_phi3(q, positions, cfg, factors)[:, 0]  # (B, Hq, D)
+            k = _rope_phi3(k, positions, cfg, factors)[:, 0]  # (B, Hkv, D)
+            v = v[:, 0]
+
+            kp, vp = new_pools[i]
+            cdt = kp.dtype
+            kp = paged_write(kp, k.astype(cdt), wpage, woff)
+            vp = paged_write(vp, v.astype(cdt), wpage, woff)
+            new_pools[i] = (kp, vp)
+
+            kwin = jax.vmap(lambda tr: paged_gather(kp, tr))(tables)  # (B,Hkv,W,D)
+            vwin = jax.vmap(lambda tr: paged_gather(vp, tr))(tables)
+
+            qh = q.reshape(b, cfg.n_head_kv, rep, cfg.head_dim)
+            att = jnp.einsum(
+                "bgrd,bgkd->bgrk", qh.astype(jnp.float32), kwin.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            kv_pos = jnp.arange(window)[None, None, None, :]
+            q_pos = lengths[:, None, None, None]
+            keep = kv_pos <= q_pos
+            if cfg.sliding_window:
+                keep = keep & (kv_pos > q_pos - cfg.sliding_window)
+            att = jnp.where(keep, att, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1).astype(vwin.dtype)
+            out = jnp.einsum("bgrk,bgkd->bgrd", att, vwin)
+            attn_out = out.reshape(b, 1, cfg.n_head * cfg.head_dim).astype(dt)
+            x = x + _linear(attn_out, params[pre + "attn_output.weight"])
+
+            h2 = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
+            gate = _linear(h2, params[pre + "ffn_gate.weight"])
+            up = _linear(h2, params[pre + "ffn_up.weight"])
+            x = x + _linear(jax.nn.silu(gate) * up, params[pre + "ffn_down.weight"])
+
+        x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
+        w_out = params.get("output.weight", params["token_embd.weight"])
+        logits = _linear(x, w_out)[:, 0]
         logits = jnp.where(active[:, None], logits, 0.0)
         return logits, tuple(new_pools)
 

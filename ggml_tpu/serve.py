@@ -301,12 +301,13 @@ class Engine:
 
             from .models import deepseek as _deepseek
             from .models import gemma2 as _gemma2
+            from .models import phi3 as _phi3
 
             if not isinstance(model, (_llama.Llama, _gptj.GPTJ, _gemma2.Gemma2,
-                                      _deepseek.Deepseek)):
+                                      _deepseek.Deepseek, _phi3.Phi3)):
                 raise TypeError(
-                    "paged KV drives Llama-, GPT-J-, Gemma- and DeepSeek-"
-                    "family models")
+                    "paged KV drives Llama-, GPT-J-, Gemma-, DeepSeek- and "
+                    "Phi3-family models")
             from .models.common import QUANT_KV_DTYPE
 
             if cache_dtype == QUANT_KV_DTYPE:
@@ -466,6 +467,7 @@ class Engine:
                 raise ValueError("speculative engine mode is dense-cache only")
             dfwd = (llama.forward if isinstance(draft, llama.Llama)
                     else gptj.forward if isinstance(draft, gptj.GPTJ)
+                    else phi3.forward if isinstance(draft, phi3.Phi3)
                     else gpt2.forward)
             dcfg = draft.cfg
             d_kv = getattr(dcfg, "n_head_kv", dcfg.n_head)

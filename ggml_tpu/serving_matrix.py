@@ -24,7 +24,7 @@ FEATURES = (
 
 def _classes():
     from .models import (bamba, deepseek, gemma2, gptj, granitehybrid, jamba,
-                         lfm2, llama, mamba, mamba2, minimax, qwen3next,
+                         lfm2, llama, mamba, mamba2, minimax, phi3, qwen3next,
                          recurrentgemma, zamba2)
 
 
@@ -34,10 +34,11 @@ def _classes():
     exactish = (bamba.Bamba, jamba.Jamba, qwen3next.Qwen3Next,
                 recurrentgemma.RecurrentGemma, lfm2.LFM2,
                 granitehybrid.GraniteHybrid, minimax.MiniMax, zamba2.Zamba2)
-    paged_ok = (llama.Llama, gptj.GPTJ, gemma2.Gemma2, deepseek.Deepseek)
-    # speculative draft/verify and the q8 KV cache need the llama/gptj
-    # forward conventions (draft forward table; dequant_cache reads)
-    spec_ok = (llama.Llama, gptj.GPTJ)
+    paged_ok = (llama.Llama, gptj.GPTJ, gemma2.Gemma2, deepseek.Deepseek,
+                phi3.Phi3)
+    # speculative draft/verify needs a forward in the engine's draft table
+    # (serve.py dfwd); the q8 KV cache needs the llama/gptj dequant-on-read
+    spec_ok = (llama.Llama, gptj.GPTJ, phi3.Phi3)
     q8_ok = (llama.Llama, gptj.GPTJ)
     return recurrent, exactish, paged_ok, spec_ok, q8_ok
 
@@ -66,7 +67,8 @@ _FAMILY_KIND = {
     "granite, smollm3, ernie4.5, olmoe, ...)": "paged",
     "gptj": "paged",
     "gemma family (gemma, gemma2, gemma3)": "gemma",
-    "attention families (gpt2, neox, falcon, phi2/3, "
+    "phi3 family (phi-3/3.5/4, LongRoPE)": "phi3",
+    "attention families (gpt2, neox, falcon, phi2, "
     "starcoder, bloom, glm4, cohere, olmo2, stablelm, mpt, nemotron, "
     "chameleon, dbrx, gpt-oss, ...)": "dense",
     "deepseek (MLA compressed cache)": "mla",
@@ -82,6 +84,9 @@ _KIND_FEATURES = {
     "gemma": {"dense": True, "chunked_prefill": True, "paged_kv": True,
               "prefix_cache": True, "speculative": False, "q8_kv": False,
               "forks": True},
+    "phi3": {"dense": True, "chunked_prefill": True, "paged_kv": True,
+             "prefix_cache": True, "speculative": True, "q8_kv": False,
+             "forks": True},
     "mla": {"dense": True, "chunked_prefill": True, "paged_kv": True,
             "prefix_cache": True, "speculative": False, "q8_kv": False,
             "forks": True},

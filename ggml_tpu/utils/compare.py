@@ -127,9 +127,12 @@ def compare_graph(
     for var, arg in zip(jaxpr.invars, flat_args):
         write(var, jax.device_put(arg, device), jax.device_put(arg, spec_device))
 
-    reports: list[NodeReport] = []
-    first_div: NodeReport | None = None
-
+    # phase 1: dispatch every equation on both backends WITHOUT fetching —
+    # per-node np.asarray syncs cost a full relay round trip each on the
+    # remote-TPU path (hundreds of nodes x ~150 ms made the on-chip pass
+    # minutes-long); deferred comparison keeps the device pipeline full and
+    # fetches everything in one batched device_get at the end.
+    staged: list[tuple[int, Any, list, list]] = []  # (idx, eqn, out_dev, out_spec)
     for i, eqn in enumerate(jaxpr.eqns):
         in_dev = [read(v, env_dev) for v in eqn.invars]
         in_spec = [read(v, env_spec) for v in eqn.invars]
@@ -147,14 +150,30 @@ def compare_graph(
         if not eqn.primitive.multiple_results:
             out_dev, out_spec = [out_dev], [out_spec]
 
+        staged.append((i, eqn, out_dev, out_spec))
+        for var, od, os_ in zip(eqn.outvars, out_dev, out_spec):
+            if type(var).__name__ != "DropVar":
+                write(var, od, os_)
+
+    # phase 2: one batched fetch, then per-node comparison
+    host_dev = jax.device_get([od for _, _, out_dev, _ in staged for od in out_dev])
+    host_spec = jax.device_get([os_ for _, _, _, out_spec in staged for os_ in out_spec])
+
+    reports: list[NodeReport] = []
+    first_div: NodeReport | None = None
+    cursor = 0
+    for i, eqn, out_dev, out_spec in staged:
+        n_out = len(out_dev)
         worst = 0.0
         shapes = []
-        for od, os_ in zip(out_dev, out_spec):
+        for od, os_ in zip(host_dev[cursor:cursor + n_out],
+                           host_spec[cursor:cursor + n_out]):
             shapes.append(getattr(od, "shape", ()))
             if _is_float(od):
                 worst = max(worst, _nmse(np.asarray(os_), np.asarray(od)))
             else:  # integer/bool outputs must match exactly
                 worst = max(worst, 0.0 if np.array_equal(np.asarray(os_), np.asarray(od)) else float("inf"))
+        cursor += n_out
         src = ""
         try:
             frame = jax._src.source_info_util.user_frame(eqn.source_info.traceback)
@@ -167,9 +186,5 @@ def compare_graph(
         tol = per_primitive_tol.get(eqn.primitive.name, nmse_tol)
         if worst > tol and first_div is None:
             first_div = rep
-
-        for var, od, os_ in zip(eqn.outvars, out_dev, out_spec):
-            if type(var).__name__ != "DropVar":
-                write(var, od, os_)
 
     return CompareResult(nodes=reports, first_divergent=first_div, ok=first_div is None)

@@ -135,3 +135,57 @@ def test_phi3_sliding_window_logits_match_hf(tmp_path):
     got = np.asarray(full[0], np.float32)
     nmse = float(((got - want) ** 2).sum() / (want ** 2).sum())
     assert nmse < 1e-7, nmse
+
+
+def test_phi3_paged_equals_dense(tmp_path):
+    """Paged decode (paged_kv._make_paged_step_phi3) reproduces the dense
+    engine token-for-token — LongRoPE factors, attn-factor scaling and the
+    sliding window all live in the paged step."""
+    from ggml_tpu.paged_kv import PagedConfig
+    from ggml_tpu.serve import Engine
+
+    for longrope, sliding in ((True, 0), (False, 6)):
+        hf, path = _tiny(tmp_path, longrope=longrope, sliding=sliding)
+        g = GGUFFile(path)
+        m = Phi3(load_params(g), config_from_gguf(g), max_seq=32, batch=1)
+
+        prompts = [[1, 2, 3], [9, 7]]
+        dense = Engine(m, max_batch=2, max_seq=32, cache_dtype=jnp.float32)
+        rids = [dense.submit(p, 6) for p in prompts]
+        dres = dense.run()
+        want = {tuple(p): dres[r] for p, r in zip(prompts, rids)}
+
+        # window (4*8=32) == max_seq: the static LongRoPE regime agrees
+        eng = Engine(m, max_batch=2, max_seq=32, cache_dtype=jnp.float32,
+                     paged=PagedConfig(n_pages=10, page_size=8,
+                                       max_pages_per_seq=4))
+        rids = [eng.submit(p, 6) for p in prompts]
+        res = eng.run()
+        for p, r in zip(prompts, rids):
+            assert res[r] == want[tuple(p)], (longrope, sliding, p)
+
+
+def test_phi3_speculative_equals_greedy(tmp_path):
+    """Greedy speculative decoding with a phi3 draft emits tokens IDENTICAL
+    to plain decoding (lossless draft-and-verify through the engine)."""
+    from ggml_tpu.serve import Engine
+
+    hf, path = _tiny(tmp_path, longrope=False)
+    g = GGUFFile(path)
+    m = Phi3(load_params(g), config_from_gguf(g), max_seq=48, batch=1)
+    # the draft is the same tiny model — acceptance is 100%, losslessness is
+    # what the gate proves (mixed-size drafts ride the same code path)
+    d = Phi3(load_params(g), config_from_gguf(g), max_seq=48, batch=1)
+
+    prompts = [[4, 5, 6, 2], [11]]
+    plain = Engine(m, max_batch=2, max_seq=48, cache_dtype=jnp.float32)
+    rids = [plain.submit(p, 7) for p in prompts]
+    pres = plain.run()
+    want = {tuple(p): pres[r] for p, r in zip(prompts, rids)}
+
+    spec = Engine(m, max_batch=2, max_seq=48, cache_dtype=jnp.float32,
+                  draft=d, draft_k=3)
+    rids = [spec.submit(p, 7) for p in prompts]
+    sres = spec.run()
+    for p, r in zip(prompts, rids):
+        assert sres[r] == want[tuple(p)], (p, sres[r], want[tuple(p)])

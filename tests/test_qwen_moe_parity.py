@@ -102,3 +102,28 @@ def test_qwen2moe_paged_equals_dense(tmp_path):
     res = eng.run()
     for p, r in zip(prompts, rids):
         assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
+
+
+def test_qwen3moe_speculative_equals_greedy(tmp_path):
+    """Greedy speculative decoding through the MoE forward (stacked experts
+    in both the draft loop and the (B, k+1) verify) is lossless — the
+    serving-matrix 'speculative' cell for the qwen-MoE archs."""
+    from ggml_tpu.serve import Engine
+
+    hf, path = _tiny(tmp_path, "qwen3moe")
+    g = GGUFFile(path)
+    m = Llama(load_params(g), config_from_gguf(g), max_seq=48, batch=1)
+    d = Llama(load_params(g), config_from_gguf(g), max_seq=48, batch=1)
+
+    prompts = [[1, 2, 3], [7]]
+    plain = Engine(m, max_batch=2, max_seq=48, cache_dtype=jnp.float32)
+    rids = [plain.submit(p, 7) for p in prompts]
+    pres = plain.run()
+    want = {tuple(p): pres[r] for p, r in zip(prompts, rids)}
+
+    spec = Engine(m, max_batch=2, max_seq=48, cache_dtype=jnp.float32,
+                  draft=d, draft_k=3)
+    rids = [spec.submit(p, 7) for p in prompts]
+    sres = spec.run()
+    for p, r in zip(prompts, rids):
+        assert sres[r] == want[tuple(p)], (p, sres[r], want[tuple(p)])

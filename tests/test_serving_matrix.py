@@ -103,7 +103,35 @@ def _mamba():
     return Mamba(p, cfg, batch=1)
 
 
-MODELS = {"llama": _llama, "gptj": _gptj, "gemma2": _gemma2, "mamba": _mamba}
+def _phi3():
+    from ggml_tpu.models.phi3 import Phi3, Phi3Config
+
+    cfg = Phi3Config(n_vocab=128, n_ctx=64, n_ctx_orig=64, n_embd=64, n_head=4,
+                     n_head_kv=2, head_dim=16, n_layer=2, n_ff=128)
+    rng = np.random.default_rng(3)
+
+    def t(*s):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.05)
+
+    d, f, hd = cfg.n_embd, cfg.n_ff, cfg.head_dim
+    p = {"token_embd.weight": t(cfg.n_vocab, d),
+         "output_norm.weight": jnp.ones((d,)), "output.weight": t(cfg.n_vocab, d)}
+    for i in range(cfg.n_layer):
+        pre = f"blk.{i}."
+        p[pre + "attn_norm.weight"] = jnp.ones((d,))
+        p[pre + "ffn_norm.weight"] = jnp.ones((d,))
+        p[pre + "attn_q.weight"] = t(cfg.n_head * hd, d)
+        p[pre + "attn_k.weight"] = t(cfg.n_head_kv * hd, d)
+        p[pre + "attn_v.weight"] = t(cfg.n_head_kv * hd, d)
+        p[pre + "attn_output.weight"] = t(d, cfg.n_head * hd)
+        p[pre + "ffn_gate.weight"] = t(f, d)
+        p[pre + "ffn_up.weight"] = t(f, d)
+        p[pre + "ffn_down.weight"] = t(d, f)
+    return Phi3(p, cfg, max_seq=64, batch=1)
+
+
+MODELS = {"llama": _llama, "gptj": _gptj, "gemma2": _gemma2, "mamba": _mamba,
+          "phi3": _phi3}
 EXPECT = {
     "llama": dict(dense=True, chunked_prefill=True, paged_kv=True,
                   prefix_cache=True, speculative=True, q8_kv=True, forks=True),
@@ -113,6 +141,8 @@ EXPECT = {
                    prefix_cache=True, speculative=False, q8_kv=False, forks=True),
     "mamba": dict(dense=True, chunked_prefill=False, paged_kv=False,
                   prefix_cache=False, speculative=False, q8_kv=False, forks=False),
+    "phi3": dict(dense=True, chunked_prefill=True, paged_kv=True,
+                 prefix_cache=True, speculative=True, q8_kv=False, forks=True),
 }
 
 

@@ -117,6 +117,56 @@ def cases():
            _r(1, 16, 512, 128), dict(flops=4 * 16 * 512 * 512 * 128))
 
 
+def decode_cases():
+    """Decode-shaped (m=1) cases on GPT-J-6B geometry — the shapes the
+    flagship tokens/s metric is built from, each individually floor-gated
+    (VERDICT r3 item 7; the reference's eval_perf covers every case,
+    tests/test-backend-ops.cpp:581).  bytes_ counts the quantized weight
+    stream (compact-scale Q4_K ~0.578 B/param), so gbps here is directly
+    comparable to the 635 GB/s measured chip rate."""
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.kernels.qmatmul import planar_matmul
+    from ggml_tpu.native import fast_quantize
+    from ggml_tpu.quant.planar import repack
+
+    d, f, v = 4096, 16384, 50400
+    shapes = [("q4k gemv 4096x4096 m=1", 4096, d),
+              ("q4k gemv 16384x4096 m=1", f, d),
+              ("q4k gemv 4096x16384 m=1", d, f),
+              ("q4k gemv lmhead 50400x4096 m=1", v, d)]
+    for name, n, k in shapes:
+        w = (RNG.standard_normal((n, k)) * 0.05).astype(np.float32)
+        raw = np.asarray(fast_quantize(w, GGMLType.Q4_K)).reshape(n, -1)
+        pw = repack(raw, GGMLType.Q4_K, (n, k))
+        del w
+        yield (name, lambda x, pw=pw: planar_matmul(x, pw), _r(1, k),
+               dict(bytes_=n * k * 0.578))
+
+    # fused single-token decode attention over a populated bf16 cache
+    from ggml_tpu.kernels.decode_attn import fused_decode_attention
+
+    hq, dd, s = 16, 256, 256
+    kc = jnp.asarray((RNG.standard_normal((1, hq, s, dd)) * 0.3).astype(np.float32), jnp.bfloat16)
+    vc = jnp.asarray((RNG.standard_normal((1, hq, s, dd)) * 0.3).astype(np.float32), jnp.bfloat16)
+    pos = jnp.int32(s - 2)
+
+    def dec_attn(q):
+        q4 = q.reshape(1, hq, 1, dd)
+        o = fused_decode_attention(q4, q4.astype(jnp.bfloat16),
+                                   q4.astype(jnp.bfloat16), kc, vc, pos,
+                                   scale=0.0625)
+        return o.reshape(1, hq * dd)
+
+    yield ("decode_attn 16h 256d S=256", dec_attn, _r(1, hq * dd),
+           dict(bytes_=2 * hq * s * dd * 2))
+
+    # decode-latency glue shapes (us-tracked; too small for a GB/s floor)
+    yield ("rms_norm 1x4096 m=1", ops.rms_norm, _r(1, 4096),
+           dict(bytes_=1 * 4096 * 8))
+    yield ("gelu 1x16384 m=1", ops.gelu, _r(1, 16384),
+           dict(bytes_=1 * 16384 * 8))
+
+
 def quant_cases():
     """Conversion-pipeline throughput (host): quantize, dequantize, planar
     repack — numpy and the native csrc/repack.cpp path when built."""
@@ -150,8 +200,39 @@ def quant_cases():
             pass
 
 
-def main(filt="", json_out=None):
+def check_floors() -> list[str]:
+    """Per-op regression gate (the BENCH_FLOOR idiom at op granularity):
+    OP_PERF_FLOOR.json stores the minimum acceptable gbps/tflops/mbps per
+    case; any measured case below its floor is a failure."""
+    import json as _json
+    import pathlib
+
+    fp = pathlib.Path(__file__).resolve().parent.parent / "OP_PERF_FLOOR.json"
+    if not fp.exists():
+        return []
+    floors = _json.loads(fp.read_text())
+    failures = []
+    for name, spec in floors.items():
+        got = RESULTS.get(name)
+        if got is None:
+            failures.append(f"{name}: floor exists but the case did not run")
+            continue
+        for metric, floor in spec.items():
+            val = got.get(metric)
+            if val is None or val < floor:
+                failures.append(f"{name}: {metric} = {val} < floor {floor}")
+    return failures
+
+
+def main(filt="", json_out=None, gate=False):
     for name, f, x0, kw in cases():
+        if filt and filt not in name:
+            continue
+        try:
+            bench(name, f, x0, **kw)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}")
+    for name, f, x0, kw in decode_cases():
         if filt and filt not in name:
             continue
         try:
@@ -171,9 +252,16 @@ def main(filt="", json_out=None):
 
         pathlib.Path(json_out).write_text(_json.dumps(RESULTS, indent=1) + "\n")
         print(f"# wrote {json_out} ({len(RESULTS)} cases)", flush=True)
+    if gate:
+        failures = check_floors()
+        for f_ in failures:
+            print(f"# OP PERF REGRESSION: {f_}", flush=True)
+        if failures:
+            sys.exit(1)
+        print("# op-perf floors: all green", flush=True)
 
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_out = "OP_PERF.json" if "--json" in sys.argv else None
-    main(args[0] if args else "", json_out=json_out)
+    main(args[0] if args else "", json_out=json_out, gate="--gate" in sys.argv)
