@@ -583,6 +583,72 @@ def bench_mla_decode():
     _check_floor(f"mla_{scale}_bf16_decode_tokens_per_sec_per_chip", tps)
 
 
+def bench_train():
+    """BENCH=train: timed LM training steps on the chip — GPT-2-medium-class
+    (354M) next-token finetuning with the fused donated AdamW step
+    (opt/optimizer.py), synthetic token windows.  Reports steps/s, token
+    throughput, and MFU vs the bf16 MXU peak (matmuls run at the default
+    bf16-class precision; params/optimizer state are f32).  Steps are
+    dispatched back-to-back WITHOUT fetching metrics (the donated-state
+    chain keeps the device busy; one block at the end), so the relay round
+    trip amortizes across the run like the serve engine's pipelined ticks."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_tpu.models import gpt2 as gpt2_mod
+    from ggml_tpu.models.gpt2 import GPT2Config, init_random_params
+    from ggml_tpu.opt.finetune import make_lm_model_fn
+    from ggml_tpu.opt.optimizer import AdamWConfig, Optimizer
+
+    _enable_compile_cache()
+    scale = os.environ.get("BENCH_SCALE", "355m")
+    if scale == "tiny":
+        cfg = GPT2Config(n_vocab=512, n_ctx=64, n_embd=64, n_head=4, n_layer=2)
+        seq, batch, steps = 32, 2, 4
+    else:
+        cfg = GPT2Config(n_vocab=50257, n_ctx=512, n_embd=1024, n_head=16,
+                         n_layer=24)
+        seq = int(os.environ.get("BENCH_SEQ", "512"))
+        batch = int(os.environ.get("BENCH_BATCH", "8"))
+        steps = int(os.environ.get("BENCH_TOKENS", "16"))
+    params = init_random_params(cfg, seed=0, dtype=jnp.float32)
+    n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+    model_fn = make_lm_model_fn(gpt2_mod, cfg, seq, batch)
+    opt = Optimizer(model_fn, params, loss_type="cross_entropy_sparse",
+                    adamw=AdamWConfig(), classify=False)
+    del params
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, cfg.n_vocab, (batch, seq)).astype(np.int32))
+    y = jnp.asarray(rng.integers(0, cfg.n_vocab, (batch, seq)).astype(np.int32))
+
+    t0 = time.perf_counter()
+    m0 = opt.step(x, y)  # compile + warm
+    _ = float(np.asarray(m0["loss"]))  # FETCH: block_until_ready lies over the relay
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(steps):
+        last = opt.step(x, y)  # async: metrics fetched only after the loop
+    loss_val = float(np.asarray(last["loss"]))
+    dt = (time.perf_counter() - t0) / steps
+
+    tok_per_s = batch * seq / dt
+    flops_per_step = 6.0 * n_params * batch * seq  # fwd+bwd dense transformer
+    mfu = flops_per_step / dt / 197e12  # v5e bf16 peak
+    print(json.dumps({
+        "metric": f"train_gpt2_{scale}_tokens_per_sec_per_chip",
+        "value": round(tok_per_s, 1), "unit": "tokens/s",
+        "vs_baseline": 0.0,
+    }))
+    print(f"# {n_params/1e6:.0f}M params, batch {batch} x seq {seq}: "
+          f"{dt*1000:.1f} ms/step, loss {loss_val:.3f}, "
+          f"MFU {mfu*100:.1f}% of bf16 peak, compile {t_compile:.1f}s",
+          file=sys.stderr)
+    _check_floor(f"train_gpt2_{scale}_tokens_per_sec_per_chip", tok_per_s)
+
+
 def bench_serve():
     """Serving throughput: the continuous-batching Engine drives mixed-length
     requests through GPT-J-6B Q4_K (BENCH_BATCH slots) — aggregate emitted
@@ -737,6 +803,8 @@ if __name__ == "__main__":
         bench_magika()
     elif mode == "serve":
         bench_serve()
+    elif mode == "train":
+        bench_train()
     elif mode == "moe":
         bench_moe_decode()
     elif mode == "mla":

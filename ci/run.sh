@@ -51,6 +51,7 @@ if [ "${CI_TPU:-0}" = "1" ]; then
   CI_BENCH_GATE=1 BENCH=serve python bench.py
   CI_BENCH_GATE=1 BENCH=moe python bench.py
   CI_BENCH_GATE=1 BENCH=mla python bench.py
+  CI_BENCH_GATE=1 BENCH=train python bench.py
 
   echo "== stage 4c: per-op perf snapshot + floors (OP_PERF.json vs OP_PERF_FLOOR.json) =="
   python tools/op_perf.py --json --gate

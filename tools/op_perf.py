@@ -95,6 +95,19 @@ def cases():
     a_mm = _r(N, K)
     yield ("mul_mat f32 512x4096x4096", lambda x: ops.mul_mat(a_mm, x), _r(M, K),
            dict(flops=2 * M * K * N))
+
+    # raw int8 MXU rate (the vec_dot_type premise at M>1): if int8 through
+    # XLA is ~2x the bf16 rate, an int8 prefill matmul path pays; if not,
+    # that is the compute-bound analysis (VERDICT r3 item 5)
+    wq8 = jnp.asarray(RNG.integers(-127, 128, (N, K)), jnp.int8)
+
+    def int8_mm(x):
+        xq = x.astype(jnp.int8)
+        return jax.lax.dot_general(xq, wq8, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    yield ("mul_mat int8 512x4096x4096", int8_mm, _r(M, K),
+           dict(flops=2 * M * K * N))
     yield ("soft_max_ext 8x16x512x512", lambda x: ops.soft_max_ext(x, scale=0.1),
            _r(8, 16, 512, 512), dict(bytes_=8 * 16 * 512 * 512 * 8))
     yield ("rms_norm 512x4096", ops.rms_norm, _r(512, 4096), dict(bytes_=512 * 4096 * 8))
@@ -129,11 +142,16 @@ def decode_cases():
     from ggml_tpu.native import fast_quantize
     from ggml_tpu.quant.planar import repack
 
-    d, f, v = 4096, 16384, 50400
-    shapes = [("q4k gemv 4096x4096 m=1", 4096, d),
-              ("q4k gemv 16384x4096 m=1", f, d),
-              ("q4k gemv 4096x16384 m=1", d, f),
-              ("q4k gemv lmhead 50400x4096 m=1", v, d)]
+    if jax.devices()[0].platform == "cpu":
+        # host smoke: interpret-mode pallas at 6B shapes takes minutes on
+        # one core; the real numbers only mean anything on the chip
+        shapes = [("q4k gemv 4096x4096 m=1", 512, 512)]
+    else:
+        d, f, v = 4096, 16384, 50400
+        shapes = [("q4k gemv 4096x4096 m=1", 4096, d),
+                  ("q4k gemv 16384x4096 m=1", f, d),
+                  ("q4k gemv 4096x16384 m=1", d, f),
+                  ("q4k gemv lmhead 50400x4096 m=1", v, d)]
     for name, n, k in shapes:
         w = (RNG.standard_normal((n, k)) * 0.05).astype(np.float32)
         raw = np.asarray(fast_quantize(w, GGMLType.Q4_K)).reshape(n, -1)
