@@ -613,7 +613,10 @@ def bench_train():
         steps = int(os.environ.get("BENCH_TOKENS", "16"))
     params = init_random_params(cfg, seed=0, dtype=jnp.float32)
     n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
-    model_fn = make_lm_model_fn(gpt2_mod, cfg, seq, batch)
+    # mixed precision by default: f32 master params + AdamW state, bf16
+    # forward/backward (BENCH_TRAIN_F32=1 restores the all-f32 pass)
+    cdt = None if os.environ.get("BENCH_TRAIN_F32") == "1" else jnp.bfloat16
+    model_fn = make_lm_model_fn(gpt2_mod, cfg, seq, batch, compute_dtype=cdt)
     opt = Optimizer(model_fn, params, loss_type="cross_entropy_sparse",
                     adamw=AdamWConfig(), classify=False)
     del params

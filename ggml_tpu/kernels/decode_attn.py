@@ -35,28 +35,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(pos_ref, q, k_new, v_new, kc, vc, out, *, scale, rep):
-    """One grid step = one KV head.  Blocks:
-    q (1, rep, d), k_new/v_new (1, 1, d), kc/vc (1, S, d) — read-only; the
-    new row is inserted IN REGISTERS for this step's attention while the
+    """One grid step = a BLOCK of KV heads (hb).  Blocks:
+    q (hb, rep, d), k_new/v_new (hb, 1, d), kc/vc (hb, S, d) — read-only;
+    the new row is inserted IN REGISTERS for this step's attention while the
     caller's dynamic_update_slice writes it to HBM in parallel (a full-block
     aliased write here would double attention HBM traffic — measured 6.36 vs
-    6.28 ms/tok e2e)."""
+    6.28 ms/tok e2e).  Multiple heads per step matter: at one 256 KB head
+    per step the per-step grid cost capped the kernel at ~408 GB/s of cache
+    read (OP_PERF.json 2026-08-19); ~1-2 MB blocks keep the DMA pipeline
+    full."""
     pos = pos_ref[0]
-    s, d = kc.shape[1], kc.shape[2]
-    row = jax.lax.broadcasted_iota(jnp.int32, (s, d), 0)
-    kc_full = jnp.where(row == pos, jnp.broadcast_to(k_new[0], (s, d)), kc[0])
-    vc_full = jnp.where(row == pos, jnp.broadcast_to(v_new[0], (s, d)), vc[0])
+    hb, s, d = kc.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (hb, s, d), 1)
+    kc_full = jnp.where(row == pos, k_new[:], kc[:])
+    vc_full = jnp.where(row == pos, v_new[:], vc[:])
 
     att = jax.lax.dot_general(
-        q[0].astype(jnp.float32), kc_full.astype(jnp.float32),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * scale  # (rep, S)
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (q.shape[1], s), 1)
+        q[:].astype(jnp.float32), kc_full.astype(jnp.float32),
+        (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    ) * scale  # (hb, rep, S)
+    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (hb, rep, s), 2)
     att = jnp.where(kv_pos <= pos, att, -jnp.inf)
     att = jax.nn.softmax(att, axis=-1)
-    out[0] = jax.lax.dot_general(
+    out[:] = jax.lax.dot_general(
         att, vc_full.astype(jnp.float32),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
     ).astype(out.dtype)
 
 
@@ -85,17 +88,25 @@ def fused_decode_attention(q, k_new, v_new, kc, vc, pos, *, scale,
     vc3 = vc.reshape(hkv, s, d)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
 
+    # heads per grid step: ~1-2 MB of cache per block keeps the DMA pipeline
+    # full without hogging VMEM at long S (k+v = 2*hb*S*d*2 bytes)
+    hb = 1
+    for cand in (16, 8, 4, 2):
+        if hkv % cand == 0 and 2 * cand * s * d * 2 <= (2 << 20):
+            hb = cand
+            break
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(hkv,),
+        grid=(hkv // hb,),
         in_specs=[
-            pl.BlockSpec((1, rep, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, rep, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, 1, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, 1, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, s, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, s, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rep, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((hb, rep, d), lambda h, p: (h, 0, 0), memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, rep=rep),

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
+
 import jax.numpy as jnp
 
 from ..gguf import GGUFFile, GGUFWriter
@@ -51,19 +53,30 @@ def _family(arch: str):
     return fam
 
 
-def make_lm_model_fn(fam, cfg, seq_len: int, batch: int):
+def make_lm_model_fn(fam, cfg, seq_len: int, batch: int, compute_dtype=None):
     """(params, tokens (B, T)) -> logits (B, T, V) through the family
     forward from an empty cache (masked-einsum attention: differentiable;
-    positions enter via the zeroed cache_len)."""
+    positions enter via the zeroed cache_len).
+
+    compute_dtype=jnp.bfloat16: mixed-precision training — f32 master
+    params (the optimizer state stays f32) cast to bf16 at the forward
+    boundary, so matmuls run at the full MXU bf16 rate and gradients
+    accumulate back into f32 through the cast's VJP.  None keeps the f32
+    pass (bit-stable differential tests)."""
     def model_fn(params, tokens):
+        if compute_dtype is not None:
+            params = jax.tree.map(
+                lambda v: v.astype(compute_dtype)
+                if getattr(v, "dtype", None) == jnp.float32 else v, params)
         # family-owned cache shape (MLA families cache the compressed
         # latent, not per-head K/V)
-        cache = fam.init_cache(cfg, tokens.shape[0], seq_len, jnp.float32)
+        cache = fam.init_cache(cfg, tokens.shape[0], seq_len,
+                               compute_dtype or jnp.float32)
         logits, _ = fam.forward(
             params, cfg, tokens, jnp.zeros((tokens.shape[0],), jnp.int32),
             cache, jnp.int32(0),
         )
-        return logits
+        return logits.astype(jnp.float32)
 
     return model_fn
 

@@ -494,6 +494,7 @@ def repack(
     (csrc/repack.cpp, bit-identical), 'numpy' forces the pure-Python path.
     Compact K-quant layouts (factored sub-scales) always take the numpy
     path — the native repacker emits the multiplied-out fp32 planes."""
+    n_pad_to = _wide_pad(shape[0], n_pad_to)
     if _compact_applicable(ggml_type, shape[1], force_q8):
         return _repack_numpy(raw, ggml_type, shape, n_pad_to=n_pad_to, force_q8=force_q8)
     if backend == "auto":
@@ -566,6 +567,16 @@ def _repack_numpy_compact(
         supers=(d_pl, None if dmin is None else np.ascontiguousarray(dmin.T)),
         sb=SB,
     )
+
+
+def _wide_pad(n: int, n_pad_to: int) -> int:
+    """Pad large-N weights to a 1024 multiple so the GEMV N-tile stays wide:
+    at npad=50432 (GPT-J lm head under 128-padding) no 512/1024 tile divides
+    and the kernel fell to bn=256 — measured 550 GB/s vs 663-677 on the
+    layer GEMVs (OP_PERF.json 2026-08-19).  Costs <0.2% extra bytes."""
+    if n >= 4096 and n_pad_to < 1024:
+        return 1024
+    return n_pad_to
 
 
 def _repack_numpy(

@@ -129,3 +129,39 @@ def test_finetune_mixtral_moe(tmp_path):
     gen = m.generate(np.asarray([[7, 11, 23]], np.int32), 8)
     want = [42, 7, 11, 23, 42, 7, 11, 23]
     assert [int(t) for t in gen] == want, gen
+
+
+def test_mixed_precision_training_matches_f32_quality(tiny_gpt2):
+    """compute_dtype=bf16 (f32 master params + AdamW state, bf16 fwd/bwd —
+    the production MXU recipe) reaches the same training quality as the
+    all-f32 pass: both memorize the pattern and final losses agree within
+    a loose band."""
+    import jax.numpy as jnp
+
+    from ggml_tpu.gguf import GGUFFile
+    from ggml_tpu.models import gpt2 as gpt2_mod
+    from ggml_tpu.models.gpt2 import load_params
+    from ggml_tpu.opt.finetune import make_lm_model_fn
+    from ggml_tpu.opt.optimizer import AdamWConfig, Optimizer
+
+    g = GGUFFile(tiny_gpt2)
+    cfg = gpt2_mod.config_from_gguf(g)
+    base = load_params(g, jnp.float32)
+    base = {k: v for k, v in base.items() if "@" not in k}
+    toks = _pattern_tokens(129)
+    ds = token_windows(toks, 16)
+
+    finals = {}
+    n_batches = max(1, ds.ndata // 4)
+    for name, cdt in (("f32", None), ("bf16", jnp.bfloat16)):
+        model_fn = make_lm_model_fn(gpt2_mod, cfg, 16, 4, compute_dtype=cdt)
+        opt = Optimizer(model_fn, base, loss_type="cross_entropy_sparse",
+                        adamw=AdamWConfig(alpha=3e-3), classify=False)
+        loss = None
+        for step in range(80):
+            x, y = ds.get_batch(step % n_batches, 4)
+            loss = float(opt.step(jnp.asarray(x), jnp.asarray(y))["loss"])
+        finals[name] = loss
+    # the 4-token repeating pattern is memorizable to near-zero loss
+    assert finals["f32"] < 0.15, finals
+    assert finals["bf16"] < 0.15, finals

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ggml_tpu.ops import core as ops
 
 ITERS = 32
+MAX_ITERS = 2048
 RNG = np.random.default_rng(0)
 
 
@@ -27,44 +28,65 @@ def _r(*shape, s=0.5):
     return jnp.asarray((RNG.standard_normal(shape) * s).astype(np.float32))
 
 
-_FLOOR = None  # per-iteration fixed cost of the chain harness itself
+def _measure_total(fn, x0, iters: int) -> float:
+    """Wall seconds for ONE dispatched run of `iters` chained applications
+    of fn (jitted scan with a data dependency; result FETCHED — over the
+    axon relay block_until_ready returns early)."""
 
-
-def _measure(fn, x0):
     @jax.jit
     def run(x):
         def body(x, _):
             y = fn(x)
             return x * (1.0 + 0.0 * jnp.sum(y).astype(x.dtype)), jnp.sum(y)
 
-        x, outs = jax.lax.scan(body, x, jnp.zeros((ITERS,), jnp.int32))
+        x, outs = jax.lax.scan(body, x, jnp.zeros((iters,), jnp.int32))
         return outs
 
     np.asarray(run(x0))  # compile + warmup
     t0 = time.perf_counter()
     np.asarray(run(x0))
-    return (time.perf_counter() - t0) / ITERS
+    return time.perf_counter() - t0
 
 
-def harness_floor():
-    """Per-iteration fixed cost (scan step + chain + dispatch): measured with
-    a near-empty op and subtracted from every case — the axon relay's floor
-    is hundreds of us and would otherwise bury small ops."""
-    global _FLOOR
-    if _FLOOR is None:
+_CALIB = None  # (fixed_cost_s, per_iter_overhead_s)
+
+
+def harness_calib():
+    """Calibrate the harness cost model total = F + iters*(c + op) with a
+    near-empty op at two trip counts: F is the per-dispatch fixed cost
+    (relay round trip — tens of ms some days) and c the per-scan-step
+    overhead.  Every case subtracts both; cases whose total signal is
+    smaller than F re-measure at higher trip counts (relay noise would
+    otherwise bury them — this round's F regressed 30x vs round 3 and
+    turned small-op numbers into garbage)."""
+    global _CALIB
+    if _CALIB is None:
         tiny = _r(8, 128)
-        _FLOOR = _measure(lambda x: x * 1.000001, tiny)
-        print(f"# harness floor {_FLOOR*1e6:.1f} us/iter (subtracted)", flush=True)
-    return _FLOOR
+        f = lambda x: x * 1.000001
+        t_a = min(_measure_total(f, tiny, 32), _measure_total(f, tiny, 32))
+        t_b = min(_measure_total(f, tiny, 512), _measure_total(f, tiny, 512))
+        c = max((t_b - t_a) / 480.0, 0.0)
+        F = max(t_a - 32 * c, 0.0)
+        _CALIB = (F, c)
+        print(f"# harness fixed {F*1e3:.1f} ms/dispatch, {c*1e6:.2f} us/step",
+              flush=True)
+    return _CALIB
 
 
 RESULTS: dict[str, dict] = {}
 
 
 def bench(name, fn, x0, flops=0.0, bytes_=0.0):
-    dt_raw = _measure(fn, x0)
-    dt = max(dt_raw - harness_floor(), 1e-9)
-    msg = f"{name:36s} {dt*1e6:10.1f} us (+floor {1e6*harness_floor():.0f})"
+    F, c = harness_calib()
+    iters = ITERS
+    while True:
+        total = _measure_total(fn, x0, iters)
+        signal = total - F - iters * c
+        if signal >= F or iters >= MAX_ITERS:
+            break
+        iters = min(iters * 8, MAX_ITERS)
+    dt = max(signal / iters, 1e-9)
+    msg = f"{name:36s} {dt*1e6:10.1f} us ({iters} iters)"
     rec = {"us": round(dt * 1e6, 2)}
     if flops:
         msg += f" {flops/dt/1e12:8.2f} TFLOP/s"
@@ -95,6 +117,14 @@ def cases():
     a_mm = _r(N, K)
     yield ("mul_mat f32 512x4096x4096", lambda x: ops.mul_mat(a_mm, x), _r(M, K),
            dict(flops=2 * M * K * N))
+
+    # bf16 reference rate: what the fused dequant-matmul prefill kernels
+    # feed the MXU with today
+    a_bf = a_mm.astype(jnp.bfloat16)
+    yield ("mul_mat bf16 512x4096x4096",
+           lambda x: jnp.dot(x.astype(jnp.bfloat16), a_bf.T,
+                             preferred_element_type=jnp.float32),
+           _r(M, K), dict(flops=2 * M * K * N))
 
     # raw int8 MXU rate (the vec_dot_type premise at M>1): if int8 through
     # XLA is ~2x the bf16 rate, an int8 prefill matmul path pays; if not,
