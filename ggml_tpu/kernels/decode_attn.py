@@ -46,21 +46,31 @@ def _kernel(pos_ref, q, k_new, v_new, kc, vc, out, *, scale, rep):
     full."""
     pos = pos_ref[0]
     hb, s, d = kc.shape
-    row = jax.lax.broadcasted_iota(jnp.int32, (hb, s, d), 1)
-    kc_full = jnp.where(row == pos, k_new[:], kc[:])
-    vc_full = jnp.where(row == pos, v_new[:], vc[:])
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (hb, s, d), 1)
+    kc_full = jnp.where(row3 == pos, k_new[:], kc[:]).reshape(hb * s, d)
+    vc_full = jnp.where(row3 == pos, v_new[:], vc[:]).reshape(hb * s, d)
 
+    # TWO flat 2D MXU dots across the whole head block (batch-dim
+    # dot_general lowers to a slow per-head loop in Mosaic — measured 238 vs
+    # 10 us): score ALL (query-head, key-head) pairs in one (hb*rep, d) x
+    # (d, hb*s) pass, then mask the off-diagonal head pairs together with
+    # the causal tail to -inf so softmax zeroes them — the second dot's
+    # cross-head terms then contribute exactly 0.  The 8x flop redundancy is
+    # free under the DMA stream (~17 MFLOP vs ~2 MB per step).
+    q2 = q[:].reshape(hb * rep, d)
     att = jax.lax.dot_general(
-        q[:].astype(jnp.float32), kc_full.astype(jnp.float32),
-        (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-    ) * scale  # (hb, rep, S)
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, (hb, rep, s), 2)
-    att = jnp.where(kv_pos <= pos, att, -jnp.inf)
+        q2.astype(jnp.float32), kc_full.astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale  # (hb*rep, hb*s)
+    rh = jax.lax.broadcasted_iota(jnp.int32, (hb * rep, hb * s), 0) // rep
+    cc = jax.lax.broadcasted_iota(jnp.int32, (hb * rep, hb * s), 1)
+    keep = (rh == cc // s) & ((cc % s) <= pos)
+    att = jnp.where(keep, att, -jnp.inf)
     att = jax.nn.softmax(att, axis=-1)
     out[:] = jax.lax.dot_general(
         att, vc_full.astype(jnp.float32),
-        (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-    ).astype(out.dtype)
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(hb, rep, d).astype(out.dtype)
 
 
 def fused_decode_attention(q, k_new, v_new, kc, vc, pos, *, scale,
@@ -89,12 +99,17 @@ def fused_decode_attention(q, k_new, v_new, kc, vc, pos, *, scale,
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
 
     # heads per grid step: ~1-2 MB of cache per block keeps the DMA pipeline
-    # full without hogging VMEM at long S (k+v = 2*hb*S*d*2 bytes)
-    hb = 1
-    for cand in (16, 8, 4, 2):
-        if hkv % cand == 0 and 2 * cand * s * d * 2 <= (2 << 20):
-            hb = cand
-            break
+    # full without hogging VMEM at long S (k+v = 2*hb*S*d*2 bytes);
+    # GGML_TPU_DECODE_ATTN_HB overrides for A/B measurement
+    import os
+
+    hb = int(os.environ.get("GGML_TPU_DECODE_ATTN_HB", "0"))
+    if hb <= 0 or hkv % hb != 0:
+        hb = 1
+        for cand in (16, 8, 4, 2):
+            if hkv % cand == 0 and 2 * cand * s * d * 2 <= (2 << 20):
+                hb = cand
+                break
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -574,6 +574,10 @@ def _wide_pad(n: int, n_pad_to: int) -> int:
     at npad=50432 (GPT-J lm head under 128-padding) no 512/1024 tile divides
     and the kernel fell to bn=256 — measured 550 GB/s vs 663-677 on the
     layer GEMVs (OP_PERF.json 2026-08-19).  Costs <0.2% extra bytes."""
+    import os
+
+    if os.environ.get("GGML_TPU_WIDE_NPAD", "1") != "1":
+        return n_pad_to
     if n >= 4096 and n_pad_to < 1024:
         return 1024
     return n_pad_to

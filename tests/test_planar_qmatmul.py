@@ -245,10 +245,24 @@ def test_compact_kquant_planes_match_expanded(monkeypatch):
 
     x1 = (rng.standard_normal((1, k)) * 0.5).astype(np.float32)
     xm = (rng.standard_normal((7, k)) * 0.5).astype(np.float32)
+    # same-activation-pipeline identity: disable the bd+in-kernel-quantize
+    # path (per-TILE activation scales by design differ from the per-row
+    # scales of the expanded path — its accuracy is gated separately below)
+    from ggml_tpu.kernels import qmatmul as qm
+
+    monkeypatch.setattr(qm, "_GEMV_BD", False)
     for x in (x1, xm):  # GEMV path and fused-dequant matmul path
         y_c = np.asarray(planar_matmul(jnp.asarray(x), pw_c, interpret=True))
         y_e = np.asarray(planar_matmul(jnp.asarray(x), pw_e, interpret=True))
         np.testing.assert_allclose(y_c, y_e, rtol=1e-4, atol=1e-3)
+    # the flagship bd path (in-kernel per-tile activation quantization):
+    # NMSE-close to the expanded per-row pipeline
+    monkeypatch.setattr(qm, "_GEMV_BD", True)
+    y_q = np.asarray(planar_matmul(jnp.asarray(x1), pw_c, interpret=True))
+    y_e = np.asarray(planar_matmul(jnp.asarray(x1), pw_e, interpret=True))
+    # two distinct int8 activation quantizations (per-tile vs per-row):
+    # same accuracy class, well under the 5e-4 matmul gate
+    assert _nmse(y_e, y_q) < 2e-4
 
 
 def test_compact_q6k_planes_match_expanded(monkeypatch):
