@@ -261,6 +261,8 @@ def check_floors() -> list[str]:
     floors = _json.loads(fp.read_text())
     failures = []
     for name, spec in floors.items():
+        if name.startswith("_"):  # _comment etc.
+            continue
         got = RESULTS.get(name)
         if got is None:
             failures.append(f"{name}: floor exists but the case did not run")
