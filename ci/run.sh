@@ -48,6 +48,7 @@ if [ "${CI_TPU:-0}" = "1" ]; then
   CI_BENCH_GATE=1 python bench.py
   CI_BENCH_GATE=1 BENCH=prefill python bench.py
   CI_BENCH_GATE=1 BENCH=batch python bench.py
+  CI_BENCH_GATE=1 BENCH=batch BENCH_BATCH=8 python bench.py
   CI_BENCH_GATE=1 BENCH=serve python bench.py
   CI_BENCH_GATE=1 BENCH=moe python bench.py
   CI_BENCH_GATE=1 BENCH=mla python bench.py
