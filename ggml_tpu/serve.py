@@ -657,7 +657,7 @@ class Engine:
                 break
             self._admit(bucket)
             if scan_mode:
-                aborted = self._run_scan_stretch(abort_callback)
+                aborted = self._run_scan_stretch(abort_callback, results, bucket)
             else:
                 self._tick()
             for i, s in enumerate(self.slots):
@@ -678,15 +678,19 @@ class Engine:
              if (s is not None and not s.done) else 0 for s in self.slots],
             np.int32)
 
-    def _consume_scan_outs(self, outs: np.ndarray) -> bool:
+    def _consume_scan_outs(self, outs: np.ndarray, rids=None) -> bool:
         """Apply one fetched scan tick (h, B) to host state with the SAME
         stop rules the device scan applied (EOS / budget / window), emitting
-        streaming callbacks.  Returns True when any slot is done (newly or
-        pending sweep) — the stretch's admission-break signal."""
+        streaming callbacks.  rids: per-slot request ids AT DISPATCH TIME —
+        a slot freed and re-admitted while this tick was in flight must not
+        receive the old request's masked garbage tokens.  Returns True when
+        any slot is done (newly or pending sweep)."""
         for j in range(outs.shape[0]):
             for i, s in enumerate(self.slots):
                 if s is None or s.done:
                     continue
+                if rids is not None and s.rid != rids[i]:
+                    continue  # slot re-admitted mid-flight
                 self.n_past[i] += 1
                 tok = int(outs[j, i])
                 s.out.append(tok)
@@ -709,14 +713,81 @@ class Engine:
         alive = alive & (budget > 0) & (n_past < self.max_seq - 1)
         return n_past, budget, alive
 
-    def _run_scan_stretch(self, abort_callback=None) -> bool:
+    def _stretch_admit(self, bucket: int, sampled: bool):
+        """Admission WITHOUT draining the pipeline: pop batchable fresh
+        requests for the free slots and run ONE chained prefill dispatch
+        (XLA orders it after the in-flight tick via the cache data
+        dependency; _prefill_into_slots never fetches).  Returns
+        (admitted [(slot, req, t)], must_break) — must_break when the
+        highest-priority queued request needs the out-of-stretch path
+        (snapshot restore, fork share, over-window, or a sampling-mode flip
+        that changes the compiled scan program)."""
+        admitted: list[tuple[int, Request, int]] = []
+        must_break = False
+        for i in range(self.max_batch):
+            if self.slots[i] is not None or not self.queue:
+                continue
+            req = min(self.queue, key=lambda r: r.priority)
+            if (req.snapshot is not None or req.share is not None
+                    or len(req.seq) >= self.max_seq
+                    or bool(self._any_slot_sampling) != sampled):
+                must_break = True
+                break
+            self.queue.remove(req)
+            self.slots[i] = req
+            self._slot_sampling_set(i, req)
+            admitted.append((i, req, len(req.seq)))
+        if admitted:
+            groups: dict[int, list] = {}
+            for item in admitted:
+                tb = min(self.max_seq, -(-item[2] // bucket) * bucket)
+                groups.setdefault(tb, []).append(item)
+            for tb in sorted(groups):
+                self._prefill_into_slots(groups[tb], tb)
+        return admitted, must_break
+
+    def _scatter_slot_state(self, tok_d, np_d, alive_d, budget_d, admitted):
+        """Overwrite the device-resident decode state for freshly admitted
+        slots (one jitted scatter; chains after the prefill dispatch)."""
+        B = self.max_batch
+        idx = np.full((B,), B, np.int32)  # out of range -> dropped
+        v_tok = np.zeros((B,), np.int32)
+        v_np = np.zeros((B,), np.int32)
+        v_bud = np.zeros((B,), np.int32)
+        for r, (i, req, _t) in enumerate(admitted):
+            idx[r] = i
+            v_tok[r] = self.cur_tok[i]
+            v_np[r] = self.n_past[i]
+            v_bud[r] = req.max_new_tokens - len(req.out)
+        if not hasattr(self, "_scatter_state_jit"):
+            def sc(tok, np_, alive, budget, idx, vt, vn, vb):
+                tok = tok.at[idx, 0].set(vt, mode="drop")
+                np_ = np_.at[idx].set(vn, mode="drop")
+                alive = alive.at[idx].set(jnp.ones_like(idx, jnp.bool_),
+                                          mode="drop")
+                budget = budget.at[idx].set(vb, mode="drop")
+                return tok, np_, alive, budget
+
+            self._scatter_state_jit = jax.jit(sc, donate_argnums=(0, 1, 2, 3))
+        return self._scatter_state_jit(
+            tok_d, np_d, alive_d, budget_d, jnp.asarray(idx),
+            jnp.asarray(v_tok), jnp.asarray(v_np), jnp.asarray(v_bud))
+
+    def _run_scan_stretch(self, abort_callback=None, results=None,
+                          bucket: int = 32) -> bool:
         """Pipelined multi-step decode (dense path): keep (token, n_past,
         alive, budget, key) DEVICE-resident across ticks and dispatch tick
         t+1 before fetching tick t's outputs — the host's np.asarray fetch
         (one relay round trip) and its token bookkeeping then overlap the
         device executing tick t+1 (the reference amortizes the same per-step
-        host cost with CUDA-graph capture, ggml-cuda.cu:2418-2474).  Returns
-        True if the abort callback fired."""
+        host cost with CUDA-graph capture, ggml-cuda.cu:2418-2474).
+
+        With `results` provided, ADMISSION RIDES THE PIPELINE TOO: finished
+        slots are swept in place and queued fresh requests prefill via a
+        chained dispatch + a device scatter of their decode state — the
+        pipeline never drains between requests (each in-flight tick carries
+        a slot->rid snapshot so a re-admitted slot ignores the old lane's
+        masked tokens).  Returns True if the abort callback fired."""
         alive_h = np.array([s is not None and not s.done for s in self.slots])
         if not alive_h.any():
             return False
@@ -732,22 +803,60 @@ class Engine:
         # host prediction of which slots are still alive after the in-flight
         # tick (exact for budget/window, optimistic for EOS)
         p_np, p_budget, p_alive = self.n_past.copy(), budget_h.copy(), alive_h.copy()
-        pending = None
+        pending = None  # (outs, rid-snapshot)
+
+        def rid_snapshot():
+            return [s.rid if s is not None else -1 for s in self.slots]
+
+        def drain():
+            if pending is not None:
+                self._consume_scan_outs(np.asarray(pending[0]), pending[1])
+
+        def sweep():
+            freed = False
+            for i, s in enumerate(self.slots):
+                if s is not None and s.done:
+                    results[s.rid] = s.out
+                    self.slots[i] = None
+                    freed = True
+            return freed
+
         while True:
             if abort_callback is not None and abort_callback():
-                if pending is not None:
-                    self._consume_scan_outs(np.asarray(pending))
+                drain()
                 return True
+            must_break = False
+            if results is not None and self.queue and any(
+                    s is None for s in self.slots):
+                admitted, must_break = self._stretch_admit(bucket, sampled)
+                if admitted:
+                    tok_d, np_d, alive_d, budget_d = self._scatter_slot_state(
+                        tok_d, np_d, alive_d, budget_d, admitted)
+                    temp_d = jnp.asarray(self._slot_temp)
+                    topp_d = jnp.asarray(self._slot_topp)
+                    # exact resync: new slots enter the alive prediction;
+                    # the in-flight tick never advances them (dead lanes at
+                    # ITS dispatch; rid snapshot guards the consume)
+                    for (i, req, _t) in admitted:
+                        p_np[i] = self.n_past[i]
+                        p_budget[i] = req.max_new_tokens - len(req.out)
+                        p_alive[i] = True
+            if must_break:
+                drain()
+                if results is not None:
+                    sweep()
+                return False
             newtick = None
             if p_alive.any():
                 (outs, self.cache, tok_d, np_d, alive_d, budget_d,
                  self._key) = self._step_scan(
                     self.model.params, self.cache, tok_d, np_d, alive_d,
                     budget_d, self._key, temp_d, topp_d, hb, sampled)
-                newtick = outs
+                newtick = (outs, rid_snapshot())
                 p_np, p_budget, p_alive = self._sim_tick(p_np, p_budget, p_alive, hb)
             if pending is not None:
-                finished = self._consume_scan_outs(np.asarray(pending))
+                finished = self._consume_scan_outs(np.asarray(pending[0]),
+                                                   pending[1])
                 if finished:
                     # resync the prediction from real post-consume state
                     p_alive = np.array(
@@ -757,13 +866,16 @@ class Engine:
                     if newtick is not None:
                         p_np, p_budget, p_alive = self._sim_tick(
                             p_np, p_budget, p_alive, hb)
-                    if self.queue:
-                        # a slot can free for queued work: drain and return
-                        # to run() for the admission sweep
+                    if results is not None:
+                        sweep()  # free slots; next iteration admits in-pipe
+                    elif self.queue:
+                        # no in-stretch admission (direct _tick-style use):
+                        # drain and return to run() for the admission sweep
                         if newtick is not None:
-                            self._consume_scan_outs(np.asarray(newtick))
+                            self._consume_scan_outs(np.asarray(newtick[0]),
+                                                    newtick[1])
                         return False
-                elif self.queue and not all(s is None or s.done for s in self.slots):
+                if self.queue and not all(s is None or s.done for s in self.slots):
                     # preemption check: an urgent arrival (submitted from a
                     # streaming callback) outranking a running slot must not
                     # wait out the whole stretch
@@ -771,10 +883,15 @@ class Engine:
                     running = [s for s in self.slots if s is not None and not s.done]
                     if running and max(r.priority for r in running) > head.priority:
                         if newtick is not None:
-                            self._consume_scan_outs(np.asarray(newtick))
+                            self._consume_scan_outs(np.asarray(newtick[0]),
+                                                    newtick[1])
+                        if results is not None:
+                            sweep()
                         return False
             pending = newtick
             if pending is None:
+                if results is not None:
+                    sweep()
                 return False
 
     def _snapshot_slot(self, i: int, req: Request):
@@ -1129,29 +1246,27 @@ class Engine:
 
             def prefill_slots(params, cache, toks, idx):
                 slot_cache = mk(B)
-                logits, slot_cache = self._fwd(
+                _, slot_cache = self._fwd(
                     params, cfgv, toks, jnp.zeros((B,), jnp.int32), slot_cache,
                     jnp.int32(0), prefill=True)
                 cache = jax.tree.map(
                     lambda big, s: big.at[idx].set(s.astype(big.dtype), mode="drop"),
                     cache, slot_cache)
-                return logits[:, -1, :], cache
+                return cache
 
             self._prefill_batch_cache[tb] = jax.jit(
                 prefill_slots, donate_argnums=(1,))
         self.prefill_count += len(group)
-        logits, self.cache = self._prefill_batch_cache[tb](
+        self.cache = self._prefill_batch_cache[tb](
             self.model.params, self.cache, jnp.asarray(toks), jnp.asarray(idx))
         for r, (i, req, t) in enumerate(group):
-            self.n_past[i] = t
-            if t == tb:
-                self._emit_first(req, i, logits[r:r + 1])
-            else:
-                # bucket padding wrote junk past t: re-decode the true last
-                # sequence token for position-exact logits (cache already
-                # contains it, attention masks by position)
-                self.n_past[i] = t - 1
-                self.cur_tok[i] = int(req.seq[-1])
+            # re-decode the true last sequence token for position-exact
+            # logits (its cache row gets rewritten identically: k/v depend
+            # only on the token + position) — uniform for every t, so
+            # admission NEVER fetches and can ride inside a pipelined
+            # stretch as a pure device-chained dispatch
+            self.n_past[i] = t - 1
+            self.cur_tok[i] = int(req.seq[-1])
 
     def _evict_for_pages(self, need_slot: int) -> bool:
         """Free pages by preempting the lowest-priority OTHER running slot
