@@ -616,8 +616,9 @@ def bench_train():
     # mixed precision by default: f32 master params + AdamW state, bf16
     # forward/backward (BENCH_TRAIN_F32=1 restores the all-f32 pass)
     cdt = None if os.environ.get("BENCH_TRAIN_F32") == "1" else jnp.bfloat16
-    model_fn = make_lm_model_fn(gpt2_mod, cfg, seq, batch, compute_dtype=cdt)
-    opt = Optimizer(model_fn, params, loss_type="cross_entropy_sparse",
+    model_fn = make_lm_model_fn(gpt2_mod, cfg, seq, batch, compute_dtype=cdt,
+                                cast_logits_f32=False)
+    opt = Optimizer(model_fn, params, loss_type="cross_entropy_sparse_fused",
                     adamw=AdamWConfig(), classify=False)
     del params
 

@@ -53,7 +53,8 @@ def _family(arch: str):
     return fam
 
 
-def make_lm_model_fn(fam, cfg, seq_len: int, batch: int, compute_dtype=None):
+def make_lm_model_fn(fam, cfg, seq_len: int, batch: int, compute_dtype=None,
+                     cast_logits_f32: bool = True):
     """(params, tokens (B, T)) -> logits (B, T, V) through the family
     forward from an empty cache (masked-einsum attention: differentiable;
     positions enter via the zeroed cache_len).
@@ -62,7 +63,11 @@ def make_lm_model_fn(fam, cfg, seq_len: int, batch: int, compute_dtype=None):
     params (the optimizer state stays f32) cast to bf16 at the forward
     boundary, so matmuls run at the full MXU bf16 rate and gradients
     accumulate back into f32 through the cast's VJP.  None keeps the f32
-    pass (bit-stable differential tests)."""
+    pass (bit-stable differential tests).
+
+    cast_logits_f32=False keeps logits in the compute dtype — pair with the
+    cross_entropy_sparse_fused loss, which does its own f32 accumulation
+    fused into the reductions, so the (B, T, V) f32 copy never exists."""
     def model_fn(params, tokens):
         if compute_dtype is not None:
             params = jax.tree.map(
@@ -76,7 +81,7 @@ def make_lm_model_fn(fam, cfg, seq_len: int, batch: int, compute_dtype=None):
             params, cfg, tokens, jnp.zeros((tokens.shape[0],), jnp.int32),
             cache, jnp.int32(0),
         )
-        return logits.astype(jnp.float32)
+        return logits.astype(jnp.float32) if cast_logits_f32 else logits
 
     return model_fn
 

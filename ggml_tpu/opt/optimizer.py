@@ -55,12 +55,57 @@ def loss_cross_entropy_sparse(outputs, labels):
     return jnp.mean(nll)
 
 
+@jax.custom_vjp
+def _ce_sparse_fused(logits, labels):
+    return _ce_sparse_fused_fwd(logits, labels)[0]
+
+
+def _ce_sparse_fused_fwd(logits, labels):
+    xf = logits.astype(jnp.float32)
+    m = jnp.max(xf, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(xf - m), axis=-1, keepdims=True))
+    gold = jnp.take_along_axis(xf, labels[..., None].astype(jnp.int32), axis=-1)
+    loss = jnp.mean(lse - gold)
+    return loss, (logits, lse, labels)
+
+
+def _ce_sparse_fused_bwd(res, g):
+    logits, lse, labels = res
+    n = labels.size
+    probs = jnp.exp(logits.astype(jnp.float32) - lse)
+    onehot = (
+        jnp.arange(logits.shape[-1], dtype=jnp.int32)
+        == labels[..., None].astype(jnp.int32)
+    )
+    # one elementwise fusion emitting the cotangent in the logits' own dtype
+    # (bf16 under mixed precision) — the lm-head backward streams half the
+    # bytes of the f32 log_softmax residual path
+    dx = ((probs - onehot.astype(jnp.float32)) * (g / n)).astype(logits.dtype)
+    return dx, None
+
+
+_ce_sparse_fused.defvjp(_ce_sparse_fused_fwd, _ce_sparse_fused_bwd)
+
+
+def loss_cross_entropy_sparse_fused(outputs, labels):
+    """Fused integer-label cross entropy: identical semantics to
+    loss_cross_entropy_sparse, restructured so nothing vocab-sized ever
+    materializes in f32.  Forward computes nll = lse(logits) - logits[label]
+    with f32 accumulation fused into the reductions (the reference's
+    ggml_cross_entropy_loss forward is the same max/exp/sum ladder,
+    src/ggml.c CROSS_ENTROPY_LOSS region); backward is a custom VJP whose
+    residuals are the logits themselves (compute dtype) plus a (B, T) f32
+    logsumexp — log_softmax's (B, T, V) f32 residual is gone."""
+    return _ce_sparse_fused(outputs, labels)
+
+
 LOSS_TYPES: dict[str, Callable] = {
     "mean": loss_mean,
     "sum": loss_sum,
     "mse": loss_mse,
     "cross_entropy": loss_cross_entropy,
     "cross_entropy_sparse": loss_cross_entropy_sparse,
+    "cross_entropy_sparse_fused": loss_cross_entropy_sparse_fused,
 }
 
 
@@ -198,6 +243,24 @@ def _loss_and_metrics(opt: Optimizer, params, inputs, labels):
     return loss, (ncorrect, n)
 
 
+def _adamw_apply(cfg: AdamWConfig, params, m, v, g_acc, t):
+    t = t + 1
+    tf = t.astype(jnp.float32)
+    b1c = 1.0 - jnp.power(cfg.beta1, tf)  # 1 - beta1^t (reference: src/ggml-opt.cpp:598-609)
+    b2c = 1.0 - jnp.power(cfg.beta2, tf)
+    m = jax.tree.map(lambda mm, g: cfg.beta1 * mm + (1 - cfg.beta1) * g, m, g_acc)
+    v = jax.tree.map(lambda vv, g: cfg.beta2 * vv + (1 - cfg.beta2) * g * g, v, g_acc)
+
+    def upd(p, mm, vv):
+        mhat = mm / b1c
+        vhat = vv / b2c
+        step = mhat / (jnp.sqrt(vhat) + cfg.eps) + cfg.wd * p.astype(jnp.float32)
+        return (p.astype(jnp.float32) - cfg.alpha * step).astype(p.dtype)
+
+    params = jax.tree.map(upd, params, m, v)
+    return params, m, v, t
+
+
 def _train_step(opt: Optimizer, state, inputs, labels):
     cfg = opt.cfg
     (loss, (ncorrect, n)), grads = jax.value_and_grad(
@@ -205,6 +268,24 @@ def _train_step(opt: Optimizer, state, inputs, labels):
     )(state["params"])
 
     period = opt.opt_period
+    if period == 1:
+        # every step updates: no g_acc read/modify/zero round trip (3 extra
+        # f32 param-sized streams) and no lax.cond — grads feed AdamW
+        # directly and the donated g_acc buffer passes through untouched
+        g = jax.tree.map(lambda x: x.astype(jnp.float32), grads)
+        params, m, v, t = _adamw_apply(
+            cfg, state["params"], state["m"], state["v"], g, state["t"]
+        )
+        new_state = {
+            "params": params,
+            "m": m,
+            "v": v,
+            "g_acc": state["g_acc"],
+            "t": t,
+            "i_acc": jnp.zeros((), jnp.int32),
+        }
+        return new_state, {"loss": loss, "ncorrect": ncorrect, "n": n}
+
     g_acc = jax.tree.map(
         lambda a, g: a + g.astype(jnp.float32) / period, state["g_acc"], grads
     )
@@ -213,20 +294,7 @@ def _train_step(opt: Optimizer, state, inputs, labels):
 
     def apply(carry):
         params, m, v, g_acc, t = carry
-        t = t + 1
-        tf = t.astype(jnp.float32)
-        b1c = 1.0 - jnp.power(cfg.beta1, tf)  # 1 - beta1^t (reference: src/ggml-opt.cpp:598-609)
-        b2c = 1.0 - jnp.power(cfg.beta2, tf)
-        m = jax.tree.map(lambda mm, g: cfg.beta1 * mm + (1 - cfg.beta1) * g, m, g_acc)
-        v = jax.tree.map(lambda vv, g: cfg.beta2 * vv + (1 - cfg.beta2) * g * g, v, g_acc)
-
-        def upd(p, mm, vv):
-            mhat = mm / b1c
-            vhat = vv / b2c
-            step = mhat / (jnp.sqrt(vhat) + cfg.eps) + cfg.wd * p.astype(jnp.float32)
-            return (p.astype(jnp.float32) - cfg.alpha * step).astype(p.dtype)
-
-        params = jax.tree.map(upd, params, m, v)
+        params, m, v, t = _adamw_apply(cfg, params, m, v, g_acc, t)
         g_acc = jax.tree.map(jnp.zeros_like, g_acc)
         return params, m, v, g_acc, t
 

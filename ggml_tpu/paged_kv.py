@@ -162,6 +162,23 @@ class PagedKVManager:
                 woff[i] = pos % ps
         return wpage, woff
 
+    def step_coords_multi(self, active: np.ndarray, t: int) -> tuple[np.ndarray, np.ndarray]:
+        """(wpages, woffs) of shape (B, t): write coordinates for the next t
+        positions per live row (the speculative-verify write window);
+        inactive rows point every write at the trash page.  Callers must
+        have ensured capacity for lengths+t first."""
+        b = len(active)
+        wpages = np.full((b, t), self.trash_page, np.int32)
+        woffs = np.zeros((b, t), np.int32)
+        ps = self.pcfg.page_size
+        for i in range(b):
+            if active[i]:
+                for j in range(t):
+                    pos = int(self.lengths[i]) + j
+                    wpages[i, j] = self.tables[i, pos // ps]
+                    woffs[i, j] = pos % ps
+        return wpages, woffs
+
     # -- host-side allocation ---------------------------------------------------
 
     def free_pages(self) -> int:
@@ -272,6 +289,39 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
 
     if isinstance(model, _phi3.Phi3):
         return _make_paged_step_phi3(model, pcfg)
+    gen = _make_paged_llama_general(model, pcfg)
+
+    def step(params, pools, tokens, lengths, tables, wpage, woff, active):
+        logits, pools = gen(params, pools, tokens, lengths, tables,
+                            wpage[:, None], woff[:, None], active)
+        return logits[:, 0], pools
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def make_paged_verify_step(model, pcfg: PagedConfig):
+    """Jitted MULTI-TOKEN paged step — the speculative-verify shape: write
+    T = draft_k+1 new KV rows per slot into their pages and evaluate all T
+    positions causally in one forward.  Returns step(params, pools,
+    tokens (B,T), lengths (B,), tables (B,P), wpages (B,T), woffs (B,T),
+    active (B,)) -> (logits (B,T,V), pools).  Rejected drafts need no
+    rollback: their page rows sit past the slot's accepted length, masked by
+    position, and the next tick overwrites the same (page, offset) rows —
+    the paged restatement of the dense engine's rollback-free invariant.
+    Llama family only (the speculative target families of serve.py)."""
+    from .models import llama as _llama
+
+    if not isinstance(model, _llama.Llama):
+        raise TypeError(
+            "paged speculative verify currently drives the llama family only"
+        )
+    return jax.jit(_make_paged_llama_general(model, pcfg), donate_argnums=(1,))
+
+
+def _make_paged_llama_general(model, pcfg: PagedConfig):
+    """Shared llama-family paged forward over T>=1 tokens per slot (T=1 is
+    the decode step; T=k+1 the speculative verify).  Query j of slot b sits
+    at position lengths[b]+j and attends kv_pos <= lengths[b]+j."""
     from .models.llama import _linear, _rms_norm, _rope_half_scaled
 
     cfg = model.cfg
@@ -287,8 +337,7 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
 
     def step(params, pools, tokens, lengths, tables, wpage, woff, active):
         b, t = tokens.shape
-        assert t == 1
-        positions = lengths[:, None]
+        positions = lengths[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
         embd = params.get("token_embd.weight@dense", params["token_embd.weight"])
         x = embd[tokens]
         if embd_scale != 1.0:
@@ -298,9 +347,9 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
         for i in range(cfg.n_layer):
             pre = f"blk.{i}."
             h = _rms_norm(x, params[pre + "attn_norm.weight"], cfg.rms_eps)
-            q = _linear(h, params[pre + "attn_q.weight"], params.get(pre + "attn_q.bias")).reshape(b, 1, cfg.n_head, cfg.head_dim)
-            k = _linear(h, params[pre + "attn_k.weight"], params.get(pre + "attn_k.bias")).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
-            v = _linear(h, params[pre + "attn_v.weight"], params.get(pre + "attn_v.bias")).reshape(b, 1, cfg.n_head_kv, cfg.head_dim)
+            q = _linear(h, params[pre + "attn_q.weight"], params.get(pre + "attn_q.bias")).reshape(b, t, cfg.n_head, cfg.head_dim)
+            k = _linear(h, params[pre + "attn_k.weight"], params.get(pre + "attn_k.bias")).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
+            v = _linear(h, params[pre + "attn_v.weight"], params.get(pre + "attn_v.bias")).reshape(b, t, cfg.n_head_kv, cfg.head_dim)
             if getattr(cfg, "qk_norm", False):  # qwen3 per-head q/k RMSNorm
                 q = _rms_norm(q, params[pre + "attn_q_norm.weight"], cfg.rms_eps)
                 k = _rms_norm(k, params[pre + "attn_k_norm.weight"], cfg.rms_eps)
@@ -316,28 +365,27 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
                 else:
                     q = _rope_half_scaled(q, positions, cfg)
                     k = _rope_half_scaled(k, positions, cfg)
-            q = q[:, 0]  # (B, Hq, D)
-            k = k[:, 0]  # (B, Hkv, D)
 
             kp, vp = new_pools[i]
             cdt = kp.dtype
-            kp = paged_write(kp, k.astype(cdt), wpage, woff)
-            vp = paged_write(vp, v[:, 0].astype(cdt), wpage, woff)
+            for j in range(t):  # T is small and static (1 or draft_k+1)
+                kp = paged_write(kp, k[:, j].astype(cdt), wpage[:, j], woff[:, j])
+                vp = paged_write(vp, v[:, j].astype(cdt), wpage[:, j], woff[:, j])
             new_pools[i] = (kp, vp)
 
             kwin = jax.vmap(lambda tr: paged_gather(kp, tr))(tables)  # (B,Hkv,W,D)
             vwin = jax.vmap(lambda tr: paged_gather(vp, tr))(tables)
 
-            qh = q.reshape(b, cfg.n_head_kv, rep, cfg.head_dim)
+            qh = q.reshape(b, t, cfg.n_head_kv, rep, cfg.head_dim)
             att = jnp.einsum(
-                "bgrd,bgkd->bgrk", qh.astype(jnp.float32), kwin.astype(jnp.float32),
+                "btgrd,bgkd->btgrk", qh.astype(jnp.float32), kwin.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             ) * scale
-            kv_pos = jnp.arange(window)[None, None, None, :]
-            att = jnp.where(kv_pos <= lengths[:, None, None, None], att, -jnp.inf)
+            kv_pos = jnp.arange(window)[None, None, None, None, :]
+            att = jnp.where(kv_pos <= positions[:, :, None, None, None], att, -jnp.inf)
             att = jax.nn.softmax(att, axis=-1).astype(vwin.dtype)
-            out = jnp.einsum("bgrk,bgkd->bgrd", att, vwin)
-            attn_out = out.reshape(b, 1, cfg.n_head * cfg.head_dim).astype(dt)
+            out = jnp.einsum("btgrk,bgkd->btgrd", att, vwin)
+            attn_out = out.reshape(b, t, cfg.n_head * cfg.head_dim).astype(dt)
             x = x + res(_linear(attn_out, params[pre + "attn_output.weight"]))
 
             h2 = _rms_norm(x, params[pre + "ffn_norm.weight"], cfg.rms_eps)
@@ -353,13 +401,13 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
         x = _rms_norm(x, params["output_norm.weight"], cfg.rms_eps)
         w_out = params.get("output.weight", params.get("token_embd.weight@dense",
                                                        params["token_embd.weight"]))
-        logits = _linear(x, w_out)[:, 0]
+        logits = _linear(x, w_out)
         if logit_scale != 1.0:
             logits = logits / logit_scale
-        logits = jnp.where(active[:, None], logits, 0.0)
+        logits = jnp.where(active[:, None, None], logits, 0.0)
         return logits, tuple(new_pools)
 
-    return jax.jit(step, donate_argnums=(1,))
+    return step
 
 
 def _make_paged_step_gptj(model, pcfg: PagedConfig):

@@ -335,6 +335,8 @@ class Engine:
         self._cache_put_slot = cache_put  # single-slot prefill caches too
         self.prefill_chunk = prefill_chunk  # fixed-chunk prefill (one program)
         self._chunk_step = None
+        self._chunk_multi = None  # compiled (B, C) batched chunk program
+        self._chunk_scatter = None  # compiled group->engine cache install
         # multi-step dense ticks: h decode steps per host dispatch (CUDA
         # Graphs analog; ~140 ms relay round trip per dispatch otherwise).
         # Greedy output is identical to horizon=1 — EOS/budget/window stops
@@ -463,8 +465,10 @@ class Engine:
         self.draft = draft
         self.draft_k = draft_k
         if draft is not None:
-            if paged is not None:
-                raise ValueError("speculative engine mode is dense-cache only")
+            if paged is not None and not isinstance(model, llama.Llama):
+                raise ValueError(
+                    "speculative + paged KV compose for llama-family targets "
+                    "only (the draft side stays dense)")
             dfwd = (llama.forward if isinstance(draft, llama.Llama)
                     else gptj.forward if isinstance(draft, gptj.GPTJ)
                     else phi3.forward if isinstance(draft, phi3.Phi3)
@@ -738,12 +742,17 @@ class Engine:
             self._slot_sampling_set(i, req)
             admitted.append((i, req, len(req.seq)))
         if admitted:
-            groups: dict[int, list] = {}
-            for item in admitted:
-                tb = min(self.max_seq, -(-item[2] // bucket) * bucket)
-                groups.setdefault(tb, []).append(item)
-            for tb in sorted(groups):
-                self._prefill_into_slots(groups[tb], tb)
+            if self.prefill_chunk:
+                # one wave of fixed-(B, C) chunk dispatches: no per-bucket
+                # compiles, bounded per-dispatch latency inside the stretch
+                self._prefill_into_slots_chunked(admitted)
+            else:
+                groups: dict[int, list] = {}
+                for item in admitted:
+                    tb = min(self.max_seq, -(-item[2] // bucket) * bucket)
+                    groups.setdefault(tb, []).append(item)
+                for tb in sorted(groups):
+                    self._prefill_into_slots(groups[tb], tb)
         return admitted, must_break
 
     def _scatter_slot_state(self, tok_d, np_d, alive_d, budget_d, admitted):
@@ -1136,7 +1145,7 @@ class Engine:
         # prefills) keeps the per-request path.
         batchable_mode = (
             self.paged is None and self.draft is None
-            and self._cache_put_slot is None and not self.prefill_chunk
+            and self._cache_put_slot is None
             and not (self._recurrent or getattr(self, "_exact_prefill", False)))
         deferred: list[tuple[int, Request, int]] = []
         for i in range(self.max_batch):
@@ -1220,12 +1229,15 @@ class Engine:
                 if self.paged is not None:
                     self.mgr.lengths[i] = self.n_past[i]
         if deferred:
-            groups: dict[int, list] = {}
-            for item in deferred:
-                tb = min(self.max_seq, -(-item[2] // bucket) * bucket)
-                groups.setdefault(tb, []).append(item)
-            for tb in sorted(groups):
-                self._prefill_into_slots(groups[tb], tb)
+            if self.prefill_chunk:
+                self._prefill_into_slots_chunked(deferred)
+            else:
+                groups: dict[int, list] = {}
+                for item in deferred:
+                    tb = min(self.max_seq, -(-item[2] // bucket) * bucket)
+                    groups.setdefault(tb, []).append(item)
+                for tb in sorted(groups):
+                    self._prefill_into_slots(groups[tb], tb)
 
     def _prefill_into_slots(self, group, tb: int):
         """ONE dispatch admits every request in `group` [(slot, req, t)]: a
@@ -1265,6 +1277,60 @@ class Engine:
             # only on the token + position) — uniform for every t, so
             # admission NEVER fetches and can ride inside a pipelined
             # stretch as a pure device-chained dispatch
+            self.n_past[i] = t - 1
+            self.cur_tok[i] = int(req.seq[-1])
+
+    def _prefill_into_slots_chunked(self, group):
+        """Batched CHUNKED admission: every request in `group` [(slot, req,
+        t)] prefills over a fresh multi-slot cache in ceil(max_t/C)
+        dispatches of ONE compiled (max_batch, C) chunk program, then ONE
+        compiled scatter installs the group's rows into the engine cache.
+        Fixed shapes end to end — no per-bucket programs, so a long prompt
+        admitted mid-stretch never triggers a compile stall, and each
+        dispatch is C tokens wide, bounding the latency spike running slots
+        see (the static-shape answer to vLLM's chunked prefill).  Nothing
+        fetches: every dispatch chains on the cache data dependency, so this
+        rides inside a pipelined stretch exactly like _prefill_into_slots."""
+        B, C = self.max_batch, self.prefill_chunk
+        maxt = max(t for (_i, _r, t) in group)
+        if self._chunk_multi is None:
+            cfgv = self.cfg
+
+            def chunk_multi(params, slot_cache, toks, pos0):
+                _, slot_cache = self._fwd(
+                    params, cfgv, toks, jnp.full((B,), pos0, jnp.int32),
+                    slot_cache, pos0)
+                return slot_cache
+
+            self._chunk_multi = jax.jit(chunk_multi, donate_argnums=(1,))
+
+            def chunk_scatter(cache, slot_cache, idx):
+                return jax.tree.map(
+                    lambda big, s: big.at[idx].set(s.astype(big.dtype),
+                                                   mode="drop"),
+                    cache, slot_cache)
+
+            self._chunk_scatter = jax.jit(chunk_scatter, donate_argnums=(0, 1))
+        idx = np.full((B,), B, np.int32)  # out of range -> dropped row
+        for r, (i, req, t) in enumerate(group):
+            idx[r] = i
+        slot_cache = self._make_cache(B)
+        if self._cache_put_slot is not None:
+            slot_cache = self._cache_put_slot(slot_cache)
+        for a in range(0, maxt, C):
+            toks = np.zeros((B, C), np.int32)
+            for r, (i, req, t) in enumerate(group):
+                if a < t:
+                    seg = req.seq[a:a + C]
+                    toks[r, :len(seg)] = seg
+            slot_cache = self._chunk_multi(
+                self.model.params, slot_cache, jnp.asarray(toks),
+                jnp.int32(a))
+        self.cache = self._chunk_scatter(self.cache, slot_cache,
+                                         jnp.asarray(idx))
+        self.prefill_count += len(group)
+        for r, (i, req, t) in enumerate(group):
+            # same position-exact re-decode contract as _prefill_into_slots
             self.n_past[i] = t - 1
             self.cur_tok[i] = int(req.seq[-1])
 

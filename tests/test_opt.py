@@ -126,3 +126,68 @@ def test_epoch_split_and_metrics():
     assert np.isfinite(loss_t) and np.isfinite(unc_t)
     assert acc_e > 0.9  # linearly separable by construction
     assert 0.0 <= acc_unc < 0.2
+
+
+def test_fused_sparse_ce_matches_spec():
+    # cross_entropy_sparse_fused is a fusion-friendly restructuring of
+    # cross_entropy_sparse (custom VJP, lse residual instead of the f32
+    # log_softmax): value AND gradient must match the spec, in f32 and
+    # from bf16 logits
+    from ggml_tpu.opt.optimizer import (
+        loss_cross_entropy_sparse,
+        loss_cross_entropy_sparse_fused,
+    )
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((4, 7, 33)).astype(np.float32)) * 5.0
+    labels = jnp.asarray(rng.integers(0, 33, (4, 7)).astype(np.int32))
+
+    v_spec = loss_cross_entropy_sparse(logits, labels)
+    v_fused = loss_cross_entropy_sparse_fused(logits, labels)
+    np.testing.assert_allclose(np.asarray(v_fused), np.asarray(v_spec), rtol=1e-6)
+
+    g_spec = jax.grad(lambda x: loss_cross_entropy_sparse(x, labels))(logits)
+    g_fused = jax.grad(lambda x: loss_cross_entropy_sparse_fused(x, labels))(logits)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_spec),
+                               rtol=1e-5, atol=1e-8)
+
+    # bf16 logits: fused path still accumulates in f32; the gradient comes
+    # back in bf16 (the point of the fusion) — compare after upcasting the
+    # spec's gradient-of-upcast to bf16
+    lb = logits.astype(jnp.bfloat16)
+    v_fused16 = loss_cross_entropy_sparse_fused(lb, labels)
+    v_spec16 = loss_cross_entropy_sparse(lb.astype(jnp.float32), labels)
+    np.testing.assert_allclose(np.asarray(v_fused16), np.asarray(v_spec16), rtol=1e-6)
+    g_fused16 = jax.grad(lambda x: loss_cross_entropy_sparse_fused(x, labels))(lb)
+    assert g_fused16.dtype == jnp.bfloat16
+    g_spec16 = jax.grad(
+        lambda x: loss_cross_entropy_sparse(x.astype(jnp.float32), labels))(lb)
+    np.testing.assert_allclose(
+        np.asarray(g_fused16, np.float32), np.asarray(g_spec16, np.float32),
+        rtol=2e-2, atol=1e-6)
+
+
+def test_period_one_step_matches_analytic_adamw():
+    # the opt_period==1 fast path (no g_acc round trip, no lax.cond) must
+    # produce the exact AdamW update
+    x, y, model, params = _linreg_setup()
+    cfg = AdamWConfig(alpha=0.01)
+    opt = Optimizer(model, dict(params), loss_type="mse", adamw=cfg)
+    opt.step(x[:32], y[:32])
+
+    def loss(p):
+        d = model(p, x[:32]) - y[:32]
+        return jnp.mean(d * d)
+
+    g = jax.grad(loss)(params)
+    for k in ("a", "b"):
+        gk = np.asarray(g[k], np.float64)
+        m = (1 - cfg.beta1) * gk
+        v = (1 - cfg.beta2) * gk * gk
+        mhat = m / (1 - cfg.beta1)
+        vhat = v / (1 - cfg.beta2)
+        expect = 0.0 - cfg.alpha * (mhat / (np.sqrt(vhat) + cfg.eps))
+        np.testing.assert_allclose(np.asarray(opt.params[k]), expect, rtol=1e-5)
+        # g_acc never participates: stays zero
+        np.testing.assert_array_equal(np.asarray(opt.state["g_acc"][k]), 0.0)
+    assert int(opt.state["t"]) == 1

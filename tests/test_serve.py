@@ -470,6 +470,37 @@ def test_chunked_prefill_matches_bucketed(tiny_model):
     assert len(eng._prefill_cache) == 0
 
 
+def test_chunked_prefill_rides_pipelined_stretch(tiny_model):
+    """prefill_chunk + horizon>1: admission inside the pipelined stretch
+    routes through the batched chunked path (_prefill_into_slots_chunked) —
+    ONE compiled (B, C) chunk program serves every prompt length (a long
+    prompt admitted mid-stretch never compiles a new bucket program), and
+    outputs equal the plain bucketed engine exactly."""
+    m = tiny_model
+    rng = np.random.default_rng(7)
+    # more requests than slots with mixed lengths: later requests are
+    # admitted MID-STRETCH when earlier slots finish
+    prompts = [list(rng.integers(0, 256, n)) for n in (3, 21, 11, 2, 17, 5)]
+
+    base = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    rids = [base.submit(p, 6) for p in prompts]
+    bres = base.run()
+    want = {tuple(p): bres[r] for p, r in zip(prompts, rids)}
+
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                 prefill_chunk=8, horizon=4)
+    rids = [eng.submit(p, 6) for p in prompts]
+    res = eng.run()
+    for p, r in zip(prompts, rids):
+        assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
+    # the fixed-shape chunk program handled ALL admission: no per-bucket
+    # programs (neither single- nor multi-slot) were ever compiled
+    assert len(eng._prefill_cache) == 0
+    assert len(eng._prefill_batch_cache) == 0
+    assert eng._chunk_multi is not None
+    assert eng.prefill_count == len(prompts)
+
+
 def test_chunked_prefill_speculative(tiny_model, tmp_path_factory):
     """Chunked prefill composes with the speculative engine (draft cache
     prefilled through the padded path), staying lossless vs plain greedy."""
