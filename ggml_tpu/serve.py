@@ -479,6 +479,13 @@ class Engine:
                 dcfg.n_layer, max_batch, d_kv, max_seq, dcfg.head_dim, cache_dtype
             )
             kk = draft_k
+            # stop margin: room for kk+1 verify writes inside the window
+            # (the paged logical window may be tighter than max_seq)
+            self._spec_margin = max_seq - draft_k - 2
+            if paged is not None:
+                self._spec_margin = min(
+                    self._spec_margin,
+                    paged.max_pages_per_seq * paged.page_size - draft_k - 1)
 
             def spec_tick(params, dparams, cache, dcache, tokens, n_past, active):
                 """One speculative tick for all slots: draft kk tokens each,
@@ -561,6 +568,83 @@ class Engine:
             self._draft_prefill = jax.jit(
                 lambda dp, dc, toks: dfwd(dp, dcfg, toks, jnp.zeros((toks.shape[0],), jnp.int32), dc, jnp.int32(0), prefill=True)[1]
             )
+            # speculative x paged compose: the verify forward writes its
+            # kk+1 KV rows straight into the slots' PAGES (one multi-token
+            # paged step); the draft keeps its own dense cache.  Rejected
+            # rows are junk past the accepted length — masked by position
+            # and overwritten by the next tick at the same (page, offset).
+            if paged is not None:
+                from .paged_kv import _make_paged_llama_general
+
+                pverify = _make_paged_llama_general(model, paged)
+
+                def spec_tick_paged(params, dparams, pools, dcache, tokens,
+                                    n_past, tables, wpages, woffs, active):
+                    dc = dcache
+                    tok = tokens
+                    drafts = []
+                    for j in range(kk):
+                        lg, dc = dfwd(dparams, dcfg, tok, n_past + j, dc, n_past + j)
+                        tok = jnp.argmax(lg[:, -1, :], -1).astype(jnp.int32)[:, None]
+                        drafts.append(tok[:, 0])
+                    _, dc = dfwd(dparams, dcfg, tok, n_past + kk, dc, n_past + kk)
+                    drafts = jnp.stack(drafts, 1)  # (B, kk)
+                    seq = jnp.concatenate([tokens, drafts], 1)  # (B, kk+1)
+                    tlg, pools = pverify(params, pools, seq, n_past, tables,
+                                         wpages, woffs, active)
+                    greedy = jnp.argmax(tlg, -1).astype(jnp.int32)  # (B, kk+1)
+                    return drafts, greedy, pools, dc
+
+                self._spec_tick_paged = jax.jit(
+                    spec_tick_paged, donate_argnums=(2, 3))
+
+                def spec_tick_paged_sampled(params, dparams, pools, dcache,
+                                            tokens, n_past, tables, wpages,
+                                            woffs, active, key):
+                    from .sampling import warp_logits
+
+                    skw = self.sampler
+                    key, k_draft, k_acc, k_corr = jax.random.split(key, 4)
+                    dc = dcache
+                    tok = tokens
+                    drafts, q_rows = [], []
+                    for j, dk in enumerate(jax.random.split(k_draft, kk)):
+                        lg, dc = dfwd(dparams, dcfg, tok, n_past + j, dc, n_past + j)
+                        wl = warp_logits(lg[:, -1, :], **skw)
+                        q_rows.append(jax.nn.log_softmax(wl, axis=-1))
+                        tok = jax.random.categorical(dk, wl, axis=-1).astype(jnp.int32)[:, None]
+                        drafts.append(tok[:, 0])
+                    _, dc = dfwd(dparams, dcfg, tok, n_past + kk, dc, n_past + kk)
+                    drafts = jnp.stack(drafts, 1)
+                    q_logp = jnp.stack(q_rows, 1)
+                    seq = jnp.concatenate([tokens, drafts], 1)
+                    tlg, pools = pverify(params, pools, seq, n_past, tables,
+                                         wpages, woffs, active)
+                    p_logp = jax.nn.log_softmax(warp_logits(tlg, **skw), axis=-1)
+                    p_d = jnp.take_along_axis(p_logp[:, :kk, :], drafts[..., None], -1)[..., 0]
+                    q_d = jnp.take_along_axis(q_logp, drafts[..., None], -1)[..., 0]
+                    accept = jax.random.uniform(k_acc, drafts.shape) < jnp.exp(p_d - q_d)
+                    b = drafts.shape[0]
+                    ext = jnp.concatenate([accept, jnp.zeros((b, 1), bool)], 1)
+                    n_acc = jnp.argmin(ext, axis=1).astype(jnp.int32)
+                    p_row = jnp.take_along_axis(p_logp, n_acc[:, None, None], 1)[:, 0]
+                    q_row = jnp.where(
+                        (n_acc < kk)[:, None],
+                        jnp.take_along_axis(q_logp, jnp.minimum(n_acc, kk - 1)[:, None, None], 1)[:, 0],
+                        -jnp.inf,
+                    )
+                    residual = jnp.clip(jnp.exp(p_row) - jnp.exp(q_row), 0.0, None)
+                    total = residual.sum(-1, keepdims=True)
+                    probs = jnp.where(total > 1e-12,
+                                      residual / jnp.maximum(total, 1e-12),
+                                      jnp.exp(p_row))
+                    correction = jax.random.categorical(
+                        k_corr, jnp.log(probs + 1e-30), axis=-1
+                    ).astype(jnp.int32)
+                    return drafts, n_acc, correction, pools, dc, key
+
+                self._spec_tick_paged_sampled = jax.jit(
+                    spec_tick_paged_sampled, donate_argnums=(2, 3))
 
         self.slots: list[Request | None] = [None] * max_batch
         self.n_past = np.zeros(max_batch, np.int32)
@@ -1354,8 +1438,10 @@ class Engine:
     def _tick(self):
         active = np.array([s is not None and not s.done for s in self.slots])
         if self.paged is not None:
+            # speculative ticks write kk+1 rows; plain decode writes 1
+            grow = (self.draft_k + 1) if self.draft is not None else 1
             for i in np.nonzero(active)[0]:
-                while not self.mgr.ensure_capacity(int(i), int(self.mgr.lengths[i]) + 1):
+                while not self.mgr.ensure_capacity(int(i), int(self.mgr.lengths[i]) + grow):
                     if not self._evict_for_pages(int(i)):
                         # nothing left to evict: requeue this request too
                         req = self.slots[int(i)]
@@ -1371,7 +1457,26 @@ class Engine:
         toks = jnp.asarray(self.cur_tok.reshape(-1, 1))
         if self.draft is not None:
             kk = self.draft_k
-            if self.sampler is not None:
+            if self.paged is not None:
+                wpages, woffs = self.mgr.step_coords_multi(active, kk + 1)
+                pargs = (jnp.asarray(self.mgr.tables), jnp.asarray(wpages),
+                         jnp.asarray(woffs), jnp.asarray(active))
+                if self.sampler is not None:
+                    (drafts, n_accs, corrections, self.mgr.pools,
+                     self.draft_cache, self._key) = self._spec_tick_paged_sampled(
+                        self.model.params, self.draft.params, self.mgr.pools,
+                        self.draft_cache, toks, jnp.asarray(self.n_past),
+                        *pargs, self._key)
+                    drafts = np.asarray(drafts)
+                    n_accs, corrections = np.asarray(n_accs), np.asarray(corrections)
+                else:
+                    drafts, greedy, self.mgr.pools, self.draft_cache = (
+                        self._spec_tick_paged(
+                            self.model.params, self.draft.params,
+                            self.mgr.pools, self.draft_cache, toks,
+                            jnp.asarray(self.n_past), *pargs))
+                    drafts, greedy = np.asarray(drafts), np.asarray(greedy)
+            elif self.sampler is not None:
                 drafts, n_accs, corrections, self.cache, self.draft_cache, self._key = (
                     self._spec_tick_sampled(
                         self.model.params, self.draft.params, self.cache,
@@ -1407,10 +1512,14 @@ class Engine:
                     sl.out.append(tok)
                     self.cur_tok[i] = tok
                     if (tok == self.eos_id or len(sl.out) >= sl.max_new_tokens
-                            or self.n_past[i] >= self.max_seq - kk - 2):
+                            or self.n_past[i] >= self._spec_margin):
                         sl.done = True
                     if sl.on_token is not None:
                         sl.on_token(sl.rid, tok, sl.done)
+                if self.paged is not None:
+                    # accepted tokens advance the page-table view; rejected
+                    # rows stay as junk past lengths, rewritten next tick
+                    self.mgr.lengths[i] = self.n_past[i]
             return
         if self.paged is None and self._hb > 1:
             outs, self.cache, _, _, _, _, self._key = self._step_scan(

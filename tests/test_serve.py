@@ -565,3 +565,74 @@ def test_horizon_invariance(tiny_model):
             ref = got
         else:
             assert got == ref, horizon
+
+
+def test_speculative_paged_lossless(tiny_model, tmp_path_factory):
+    """Speculative decoding over PAGED KV: the (B, k+1) verify writes its
+    rows straight into the slots' pages (paged_kv.make_paged_verify_step);
+    rejected rows are junk past the accepted length, overwritten next tick.
+    Greedy spec+paged must equal the plain dense engine exactly."""
+    from ggml_tpu.paged_kv import PagedConfig
+
+    m = tiny_model
+    draft = _make_unrelated_draft(tmp_path_factory.mktemp("spec_paged"))
+    prompts = [[1, 2, 3], [4, 5], [7, 8, 9, 2], [9] * 11]
+
+    plain = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    rids = [plain.submit(p, 7) for p in prompts]
+    pres = plain.run()
+    want = {tuple(p): pres[r] for p, r in zip(prompts, rids)}
+
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                 draft=draft, draft_k=3,
+                 paged=PagedConfig(n_pages=10, page_size=8, max_pages_per_seq=8))
+    rids = [eng.submit(p, 7) for p in prompts]
+    res = eng.run()
+    for p, r in zip(prompts, rids):
+        assert res[r] == want[tuple(p)], (p, res[r], want[tuple(p)])
+
+
+def test_speculative_paged_sampled_deterministic(tiny_model, tmp_path_factory):
+    """Rejection-sampling speculative ticks over paged KV: deterministic per
+    seed, tokens in-vocab, exact lengths."""
+    from ggml_tpu.paged_kv import PagedConfig
+
+    m = tiny_model
+    draft = _make_unrelated_draft(tmp_path_factory.mktemp("spec_paged_s"))
+
+    def run_once():
+        eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                     sampler={"temperature": 0.9, "top_k": 20, "top_p": 0.95},
+                     draft=draft, draft_k=3, seed=4,
+                     paged=PagedConfig(n_pages=10, page_size=8, max_pages_per_seq=8))
+        rids = [eng.submit(p, 6) for p in ([5, 1], [7, 2, 2])]
+        res = eng.run()
+        return [res[r] for r in rids]
+
+    a = run_once()
+    b = run_once()
+    assert a == b
+    assert all(0 <= t < 256 for out in a for t in out)
+    assert all(len(out) == 6 for out in a)
+
+
+def test_speculative_paged_rejects_non_llama_target(tmp_path_factory):
+    """The compose gate: non-llama targets keep the dense-only error."""
+    import transformers as _tr
+
+    from ggml_tpu.models.gpt2 import GPT2
+    from ggml_tpu.paged_kv import PagedConfig
+    from tools.convert_hf_gpt2 import convert_state_dict as conv_gpt2
+
+    cfg = _tr.GPT2Config(vocab_size=256, n_positions=128, n_embd=32,
+                         n_layer=1, n_head=2)
+    torch.manual_seed(1)
+    hf = _tr.GPT2LMHeadModel(cfg).eval()
+    path = tmp_path_factory.mktemp("nospec") / "g.gguf"
+    conv_gpt2(hf.state_dict(), cfg).write(path)
+    m = GPT2.from_gguf(path, max_seq=64, batch=1)
+    draft = GPT2.from_gguf(path, max_seq=64, batch=1)
+    with pytest.raises((ValueError, TypeError)):
+        Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+               draft=draft, draft_k=2,
+               paged=PagedConfig(n_pages=10, page_size=8, max_pages_per_seq=8))
