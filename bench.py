@@ -617,7 +617,9 @@ def bench_train():
     # forward/backward (BENCH_TRAIN_F32=1 restores the all-f32 pass)
     cdt = None if os.environ.get("BENCH_TRAIN_F32") == "1" else jnp.bfloat16
     model_fn = make_lm_model_fn(gpt2_mod, cfg, seq, batch, compute_dtype=cdt,
-                                cast_logits_f32=False)
+                                cast_logits_f32=False,
+                                remat_policy=os.environ.get("BENCH_TRAIN_REMAT") or None,
+                                train_flash=os.environ.get("BENCH_TRAIN_FLASH", "1") == "1")
     opt = Optimizer(model_fn, params, loss_type="cross_entropy_sparse_fused",
                     adamw=AdamWConfig(), classify=False)
     del params

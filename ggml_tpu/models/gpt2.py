@@ -157,11 +157,19 @@ def _gelu_fp16(x):
 
 
 def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len,
-            *, prefill: bool = False):
+            *, prefill: bool = False, train_flash: bool = False):
     """One step over `tokens` (batch, T): returns (logits, new_cache).
 
     prefill is accepted for forward-signature parity with gptj/llama (no
     fused flash path here — attention always reads the cache window).
+
+    train_flash=True (training from an empty cache only): attention runs
+    through the differentiable fused flash kernel
+    (kernels.flash_attn.flash_attention_train) — O(seq) residuals instead
+    of the (B, H, T, T) attention matrices the einsum path saves for the
+    backward, which dominate training-step HBM traffic at LM shapes.  The
+    cache writes become dead code under jit (training discards the cache),
+    so XLA removes them.
 
     pos_start: (batch,) starting position of tokens in each sequence (static
     shapes; cache_len = positions already in cache for attention masking).
@@ -193,16 +201,24 @@ def forward(params: dict, cfg: GPT2Config, tokens, pos_start, cache, cache_len,
         vc = cache_write(new_cache[i][1], v.astype(cache_dtype), cache_len)
         new_cache[i] = (kc, vc)
 
-        # attention over the full cache with causal+length mask
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, kc, precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32) * scale
-        kv_pos = jnp.arange(max_seq)[None, None, None, :]
-        q_pos = positions[:, None, :, None]
-        mask = kv_pos <= q_pos
-        att = jnp.where(mask, att, -jnp.inf)
-        att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", att, vc, precision=jax.lax.Precision.HIGHEST)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd).astype(x.dtype)
+        if train_flash and t > 1:
+            from .common import causal_mask
+            from ..kernels.flash_attn import flash_attention_train
+
+            out = flash_attention_train(q, k, v, mask=causal_mask(t),
+                                        scale=scale)  # (b, t, h, d)
+            out = out.reshape(b, t, cfg.n_embd).astype(x.dtype)
+        else:
+            # attention over the full cache with causal+length mask
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, kc, precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32) * scale
+            kv_pos = jnp.arange(max_seq)[None, None, None, :]
+            q_pos = positions[:, None, :, None]
+            mask = kv_pos <= q_pos
+            att = jnp.where(mask, att, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", att, vc, precision=jax.lax.Precision.HIGHEST)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd).astype(x.dtype)
         x = x + _linear(out, params[pre + "attn_output.weight"], params[pre + "attn_output.bias"])
 
         h = _layer_norm(x, params[pre + "ffn_norm.weight"], params[pre + "ffn_norm.bias"], cfg.eps)

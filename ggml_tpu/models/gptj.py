@@ -208,13 +208,17 @@ def forward(params: dict, cfg: GPTJConfig, tokens, pos_start, cache, cache_len,
             out = flash_attention(q, k, v, mask=_causal_mask(t), scale=scale)
             attn_out = out.reshape(b, t, cfg.n_embd).astype(compute_dtype)
         else:
-            att = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kc.astype(jnp.float32),
+            from .common import dequant_cache as _dq  # q8 KV cache view
+
+            att = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                             _dq(kc).astype(jnp.float32),
                              preferred_element_type=jnp.float32) * scale
             kv_pos = jnp.arange(max_seq)[None, None, None, :]
             q_pos = positions[:, None, :, None]
             att = jnp.where(kv_pos <= q_pos, att, -jnp.inf)
-            att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", att, vc)
+            vcd = _dq(vc)
+            att = jax.nn.softmax(att, axis=-1).astype(vcd.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", att, vcd)
             attn_out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_embd).astype(compute_dtype)
         attn_out = _linear(attn_out, params[pre + "attn_output.weight"])
 

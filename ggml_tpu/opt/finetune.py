@@ -54,7 +54,8 @@ def _family(arch: str):
 
 
 def make_lm_model_fn(fam, cfg, seq_len: int, batch: int, compute_dtype=None,
-                     cast_logits_f32: bool = True):
+                     cast_logits_f32: bool = True, remat_policy: str | None = None,
+                     train_flash: bool = False):
     """(params, tokens (B, T)) -> logits (B, T, V) through the family
     forward from an empty cache (masked-einsum attention: differentiable;
     positions enter via the zeroed cache_len).
@@ -67,7 +68,13 @@ def make_lm_model_fn(fam, cfg, seq_len: int, batch: int, compute_dtype=None,
 
     cast_logits_f32=False keeps logits in the compute dtype — pair with the
     cross_entropy_sparse_fused loss, which does its own f32 accumulation
-    fused into the reductions, so the (B, T, V) f32 copy never exists."""
+    fused into the reductions, so the (B, T, V) f32 copy never exists.
+
+    remat_policy: name of a jax.checkpoint_policies policy (e.g.
+    'dots_with_no_batch_dims_saveable' keeps weight-matmul outputs but
+    recomputes attention einsums and elementwise residuals in the backward
+    — trading MXU-cheap recompute for HBM residual traffic, the
+    jax.checkpoint rematerialization lever from the prompt's HBM playbook)."""
     def model_fn(params, tokens):
         if compute_dtype is not None:
             params = jax.tree.map(
@@ -77,12 +84,16 @@ def make_lm_model_fn(fam, cfg, seq_len: int, batch: int, compute_dtype=None,
         # latent, not per-head K/V)
         cache = fam.init_cache(cfg, tokens.shape[0], seq_len,
                                compute_dtype or jnp.float32)
+        kw = {"train_flash": True} if train_flash else {}
         logits, _ = fam.forward(
             params, cfg, tokens, jnp.zeros((tokens.shape[0],), jnp.int32),
-            cache, jnp.int32(0),
+            cache, jnp.int32(0), **kw,
         )
         return logits.astype(jnp.float32) if cast_logits_f32 else logits
 
+    if remat_policy:
+        model_fn = jax.checkpoint(
+            model_fn, policy=getattr(jax.checkpoint_policies, remat_policy))
     return model_fn
 
 

@@ -165,3 +165,35 @@ def test_mixed_precision_training_matches_f32_quality(tiny_gpt2):
     # the 4-token repeating pattern is memorizable to near-zero loss
     assert finals["f32"] < 0.15, finals
     assert finals["bf16"] < 0.15, finals
+
+
+def test_train_flash_matches_einsum_attention():
+    """make_lm_model_fn(train_flash=True) routes attention through the
+    differentiable fused flash kernel (O(seq) residuals); loss and gradients
+    must match the einsum-attention path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ggml_tpu.models import gpt2 as gpt2_mod
+    from ggml_tpu.models.gpt2 import GPT2Config, init_random_params
+    from ggml_tpu.opt.finetune import make_lm_model_fn
+    from ggml_tpu.opt.optimizer import loss_cross_entropy_sparse_fused
+
+    cfg = GPT2Config(n_vocab=128, n_ctx=64, n_embd=64, n_head=4, n_layer=2)
+    params = init_random_params(cfg, seed=0, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 128, (2, 64)).astype(np.int32))
+
+    def loss(p, tf):
+        mf = make_lm_model_fn(gpt2_mod, cfg, 64, 2, cast_logits_f32=False,
+                              train_flash=tf)
+        return loss_cross_entropy_sparse_fused(mf(p, x), x)
+
+    l0, g0 = jax.value_and_grad(loss)(params, False)
+    l1, g1 = jax.value_and_grad(loss)(params, True)
+    assert abs(float(l0) - float(l1)) < 1e-3
+    for k in g0:
+        a, b = np.asarray(g0[k], np.float64), np.asarray(g1[k], np.float64)
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        assert rel < 2e-2, (k, rel)
