@@ -9,8 +9,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== stage 0: reference parity harness build (ours-vs-reference-binary gate) =="
+bash ci/build_ref.sh
+
 echo "== stage 1: test suite (CPU mesh) =="
-env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu CI_REQUIRE_REF=1 \
     XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8" \
     python -m pytest tests/ -q
 

