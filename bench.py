@@ -655,6 +655,88 @@ def bench_train():
     _check_floor(f"train_gpt2_{scale}_tokens_per_sec_per_chip", tok_per_s)
 
 
+def bench_qlora():
+    """BENCH=qlora: QLoRA finetuning throughput on the chip — the flagship
+    GPT-J-6B Q4_K base FROZEN in planar-quantized form (the same fused
+    dequant-matmul kernels as inference serve the forward; gradients reach
+    the adapters through planar_matmul's activation VJP) + rank-16 LoRA
+    adapters trained with the fused donated AdamW step.  The reference
+    restricts training to F32/F16 params (src/ggml.c:5859): a 6B-class
+    finetune on one 16 GB chip is only possible because the base stays
+    packed (~3.5 GB vs ~24 GB f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models import gptj as gptj_mod
+    from ggml_tpu.models.gptj import random_config, synth_quantized_params
+    from ggml_tpu.opt.finetune import make_lm_model_fn
+    from ggml_tpu.opt.lora import init_lora, wrap_lora
+    from ggml_tpu.opt.optimizer import AdamWConfig, Optimizer
+
+    _enable_compile_cache()
+    scale = os.environ.get("BENCH_SCALE", "6b")
+    cfg = random_config(scale)
+    if scale == "tiny":
+        seq, batch, steps, rank = 32, 2, 2, 4
+    else:
+        seq = int(os.environ.get("BENCH_SEQ", "512"))
+        batch = int(os.environ.get("BENCH_BATCH", "4"))
+        steps = int(os.environ.get("BENCH_TOKENS", "8"))
+        rank = int(os.environ.get("BENCH_LORA_RANK", "16"))
+
+    t0 = time.perf_counter()
+    base = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
+    t_load = time.perf_counter() - t0
+    # adapt every quantized matmul in the layer stack + the lm head
+    targets = ("attn_qkvup.weight", "attn_qkv.weight", "attn_output.weight",
+               "ffn_up.weight", "ffn_down.weight", "output.weight")
+    lora = init_lora(base, rank, targets=targets)
+    n_base = sum(
+        int(np.prod(v.shape)) for v in base.values() if hasattr(v, "shape"))
+    n_adapt = sum(int(np.prod(ab[x].shape)) for ab in lora.values() for x in "ab")
+
+    lm_fn = make_lm_model_fn(gptj_mod, cfg, seq, batch, cast_logits_f32=False)
+
+    def model_fn(lora_params, toks):
+        return lm_fn(wrap_lora(base, lora_params, 1.0), toks)
+
+    opt = Optimizer(model_fn, lora, loss_type="cross_entropy_sparse_fused",
+                    adamw=AdamWConfig(alpha=1e-4), classify=False)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, cfg.n_vocab, (batch, seq)).astype(np.int32))
+    y = jnp.asarray(rng.integers(0, cfg.n_vocab, (batch, seq)).astype(np.int32))
+
+    t0 = time.perf_counter()
+    m0 = opt.step(x, y)
+    loss0 = float(np.asarray(m0["loss"]))
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(steps):
+        last = opt.step(x, y)  # async chain; one fetch at the end
+    loss_val = float(np.asarray(last["loss"]))
+    dt = (time.perf_counter() - t0) / steps
+
+    tok_per_s = batch * seq / dt
+    # fwd (2) + activation-grad bwd (2) passes over the frozen base + rank-r
+    # adapter matmuls (no dW for the base — that's the QLoRA win)
+    flops_per_step = 4.0 * n_base * batch * seq + 6.0 * n_adapt * batch * seq
+    mfu = flops_per_step / dt / 197e12
+    print(json.dumps({
+        "metric": f"qlora_gptj_{scale}_q4k_tokens_per_sec_per_chip",
+        "value": round(tok_per_s, 1), "unit": "tokens/s",
+        "vs_baseline": 0.0,
+    }))
+    print(f"# base {n_base/1e9:.2f}B Q4_K frozen + {n_adapt/1e6:.1f}M rank-{rank} "
+          f"adapters, batch {batch} x seq {seq}: {dt*1000:.1f} ms/step, "
+          f"loss {loss0:.3f}->{loss_val:.3f}, MFU {mfu*100:.1f}%, "
+          f"synth {t_load:.1f}s, compile {t_compile:.1f}s", file=sys.stderr)
+    _check_floor(f"qlora_gptj_{scale}_q4k_tokens_per_sec_per_chip", tok_per_s)
+
+
 def bench_serve():
     """Serving throughput: the continuous-batching Engine drives mixed-length
     requests through GPT-J-6B Q4_K (BENCH_BATCH slots) — aggregate emitted
@@ -695,6 +777,147 @@ def bench_serve():
     print(f"# {n_req} requests x {max_new} toks, {slots} slots: {tot} tokens in {dt:.2f}s",
           file=sys.stderr)
     _check_floor(f"gptj_6b_q4k_serve_agg_tokens_per_sec_slots{slots}", agg)
+
+
+def _spec_bias_params(cfg, params):
+    """Pin the argmax with a large-margin output bias so draft and target
+    agree by construction: synthetic random weights give near-uniform logits
+    whose argmax flips on kernel-shape numerics (t=1 vs t=k+1 forwards), so
+    accept rate over random weights measures noise, not machinery.  With the
+    bias pinned, accept ≈ 1 and the bench measures the speculative MACHINERY
+    at its ceiling; real-model accept rates land on the analytic curve
+    printed alongside (tok/s(α) = (αk+1)/T_round from the same measured
+    times)."""
+    import jax.numpy as jnp
+
+    V = cfg.n_vocab
+    b = np.zeros((V,), np.float32)
+    b[[7, 11, 23]] = [50.0, 49.0, 48.0]
+    out = dict(params)
+    out["output.bias"] = jnp.asarray(b)
+    return out
+
+
+def bench_spec():
+    """BENCH=spec: speculative decoding on the chip — GPT-J-6B Q4_K target
+    with a layer-truncated SELF-speculative draft (the draft shares the
+    target's first BENCH_DRAFT_LAYERS layers + embedding/head — LayerSkip-
+    style drafting, zero extra HBM).  Memory-bound decode makes verified
+    tokens nearly free: a (k+1)-token verify streams the same 3.5 GB of
+    weights as a 1-token step.  Reports effective tok/s vs the plain decode
+    baseline measured in the same process, the measured accept rate, and the
+    analytic tok/s(α) curve from the measured round time."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models.gptj import GPTJ, random_config, synth_quantized_params
+    from ggml_tpu.speculative import make_speculative_decoder
+
+    _enable_compile_cache()
+    scale = os.environ.get("BENCH_SCALE", "6b")
+    cfg = random_config(scale)
+    k = int(os.environ.get("BENCH_SPEC_K", "7"))
+    n_draft = int(os.environ.get("BENCH_DRAFT_LAYERS", "2" if scale == "6b" else "1"))
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "192"))
+
+    t0 = time.perf_counter()
+    params = _spec_bias_params(cfg, synth_quantized_params(cfg, GGMLType.Q4_K, seed=0))
+    t_load = time.perf_counter() - t0
+
+    target = GPTJ(params, cfg, max_seq=256, batch=1)
+    draft = GPTJ(params, dataclasses.replace(cfg, n_layer=n_draft),
+                 max_seq=256, batch=1)
+
+    # plain decode baseline, same process/window
+    first = np.asarray([[11]], np.int32)
+    _ = target.decode_greedy(target.new_cache(dtype=jnp.bfloat16), first, 0, n_tokens)
+    c = target.new_cache(dtype=jnp.bfloat16)
+    t0 = time.perf_counter()
+    c, _toks = target.decode_greedy(c, first, 0, n_tokens)
+    t_plain = (time.perf_counter() - t0) / n_tokens
+
+    dec = make_speculative_decoder(target, draft, k=k, max_new=n_tokens)
+
+    t0 = time.perf_counter()
+    toks, rounds, tc, dc = dec(target.new_cache(dtype=jnp.bfloat16),
+                               draft.new_cache(dtype=jnp.bfloat16),
+                               jnp.int32(11), jnp.int32(0))
+    rounds = int(rounds)  # fetch blocks
+    t_compile = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    toks, rounds, tc, dc = dec(tc, dc, jnp.int32(11), jnp.int32(0))
+    rounds = int(rounds)
+    dt = time.perf_counter() - t0
+
+    tok_per_s = n_tokens / dt
+    accept = (n_tokens / rounds - 1) / k
+    t_round = dt / rounds
+    curve = {f"{a:.1f}": round((a * k + 1) / t_round, 1)
+             for a in (0.2, 0.4, 0.6, 0.8, 1.0)}
+    print(json.dumps({
+        "metric": f"spec_gptj_{scale}_q4k_tokens_per_sec_per_chip",
+        "value": round(tok_per_s, 2), "unit": "tokens/s",
+        "vs_baseline": round(tok_per_s * t_plain, 3),  # speedup vs plain decode
+    }))
+    print(f"# k={k}, draft={n_draft} layers: {rounds} rounds for {n_tokens} toks "
+          f"(accept {accept:.2f}), {1000*t_round:.2f} ms/round; plain "
+          f"{1000*t_plain:.2f} ms/tok -> spec {1000*dt/n_tokens:.2f} ms/tok "
+          f"({tok_per_s*t_plain:.2f}x); tok/s(alpha)={curve}; "
+          f"synth {t_load:.1f}s, compile {t_compile:.1f}s", file=sys.stderr)
+    _check_floor(f"spec_gptj_{scale}_q4k_tokens_per_sec_per_chip", tok_per_s)
+
+
+def bench_spec_serve():
+    """BENCH=spec_serve: speculative continuous batching on the chip — the
+    Engine's per-tick draft-k + one (B, k+1) verify across BENCH_BATCH slots
+    (GPT-J-6B Q4_K target, layer-truncated self-draft, pinned-argmax bias as
+    in BENCH=spec).  Aggregate emitted tok/s including admission overhead."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ggml_tpu.dtypes import GGMLType
+    from ggml_tpu.models.gptj import GPTJ, random_config, synth_quantized_params
+    from ggml_tpu.serve import Engine
+
+    _enable_compile_cache()
+    scale = os.environ.get("BENCH_SCALE", "6b")
+    cfg = random_config(scale)
+    slots = int(os.environ.get("BENCH_BATCH", "8"))
+    n_req = int(os.environ.get("BENCH_REQUESTS", str(slots * 3)))
+    max_new = int(os.environ.get("BENCH_TOKENS", "32"))
+    k = int(os.environ.get("BENCH_SPEC_K", "4"))
+    n_draft = int(os.environ.get("BENCH_DRAFT_LAYERS", "2" if scale == "6b" else "1"))
+
+    params = _spec_bias_params(cfg, synth_quantized_params(cfg, GGMLType.Q4_K, seed=0))
+    m = GPTJ(params, cfg, max_seq=256, batch=slots)
+    draft = GPTJ(params, dataclasses.replace(cfg, n_layer=n_draft),
+                 max_seq=256, batch=slots)
+
+    rng = np.random.default_rng(0)
+    eng = Engine(m, max_batch=slots, max_seq=256, cache_dtype=jnp.bfloat16,
+                 draft=draft, draft_k=k)
+    eng.submit(rng.integers(0, cfg.n_vocab, 16).tolist(), 2)
+    eng.run(bucket=32)
+
+    for _ in range(n_req):
+        eng.submit(rng.integers(0, cfg.n_vocab, int(rng.integers(4, 30))).tolist(), max_new)
+    t0 = time.perf_counter()
+    res = eng.run(bucket=32)
+    dt = time.perf_counter() - t0
+    tot = sum(len(v) for v in res.values())
+    agg = tot / dt
+    print(json.dumps({
+        "metric": f"spec_serve_gptj_{scale}_q4k_agg_tokens_per_sec_slots{slots}",
+        "value": round(agg, 2), "unit": "tokens/s",
+        "vs_baseline": round(agg / (1000.0 / 124.62), 3),
+    }))
+    print(f"# k={k}, draft={n_draft} layers, {n_req} req x {max_new} toks, "
+          f"{slots} slots: {tot} tokens in {dt:.2f}s", file=sys.stderr)
+    _check_floor(f"spec_serve_gptj_{scale}_q4k_agg_tokens_per_sec_slots{slots}", agg)
 
 
 def bench_gptj_autotune():
@@ -811,6 +1034,12 @@ if __name__ == "__main__":
         bench_serve()
     elif mode == "train":
         bench_train()
+    elif mode == "qlora":
+        bench_qlora()
+    elif mode == "spec":
+        bench_spec()
+    elif mode == "spec_serve":
+        bench_spec_serve()
     elif mode == "moe":
         bench_moe_decode()
     elif mode == "mla":

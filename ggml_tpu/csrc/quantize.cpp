@@ -807,6 +807,332 @@ static void quant_q3_k_block(const float* x, uint8_t* out) {
     std::memcpy(out + 108, &d_bits, 2);
 }
 
+// ---- IQ4_NL / IQ4_XS: non-linear LUT quantizers ----------------------------
+// spec: ggml_tpu/quant/imatrix.py _quant_iq4 / _iq4_fit_blocks /
+// _best_index_int8 (itself matching quantize_row_iq4_nl_impl,
+// src/ggml-quants.c:4573-4683).  Supports both the unweighted chunk path
+// (w = x^2) and the imatrix path (w = qw * sqrt(sigma2 + x^2)).
+
+static const int8_t kvalues_iq4nl[16] = {
+    -127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113,
+};
+
+static inline int best_index_int8(const int8_t* vals, int n, float x) {
+    // mirror np.searchsorted(vals, x, side='right') + the spec's clip and
+    // edge overrides (NaN inserts at n: every x < vals[mid] compare false)
+    int lo = 0, hi = n;
+    while (lo < hi) {
+        int mid = (lo + hi) >> 1;
+        if (x < (float)vals[mid]) hi = mid; else lo = mid + 1;
+    }
+    int mu = lo < 1 ? 1 : (lo > n - 1 ? n - 1 : lo);
+    float l = (float)vals[mu - 1], h = (float)vals[mu];
+    int idx = (x - l) < (h - x) ? mu - 1 : mu;
+    if (x <= (float)vals[0]) idx = 0;
+    if (x >= (float)vals[n - 1]) idx = n - 1;
+    return idx;
+}
+
+// indices for 32 scaled elements: L[j] = best_index_int8(id * x[j]).
+// AVX2 path replaces the per-element binary search with a 16-value argmin
+// sweep — the tie rule (equidistant -> HIGHER index) maps to ascending-i
+// `d <= best` updates, and the spec's edge overrides (x <= vals[0] -> 0,
+// x >= vals[15] -> 15, NaN -> 15) are applied as masked blends, so the
+// result is identical for every input including NaN/inf products.
+static inline void iq4_indices32(float id, const float* x, int* L) {
+#if defined(__AVX2__)
+    const __m256 vid = _mm256_set1_ps(id);
+    const __m256 absmask = _mm256_castsi256_ps(_mm256_set1_epi32(0x7FFFFFFF));
+    const __m256 v0 = _mm256_set1_ps((float)kvalues_iq4nl[0]);
+    const __m256 v15 = _mm256_set1_ps((float)kvalues_iq4nl[15]);
+    for (int j0 = 0; j0 < 32; j0 += 8) {
+        __m256 xv = _mm256_mul_ps(vid, _mm256_loadu_ps(x + j0));
+        __m256 bestd = _mm256_set1_ps(INFINITY);
+        __m256i besti = _mm256_set1_epi32(15);
+        for (int i = 0; i < 16; ++i) {
+            __m256 d = _mm256_and_ps(
+                absmask,
+                _mm256_sub_ps(xv, _mm256_set1_ps((float)kvalues_iq4nl[i])));
+            __m256 m = _mm256_cmp_ps(d, bestd, _CMP_LE_OQ);
+            besti = _mm256_blendv_epi8(besti, _mm256_set1_epi32(i),
+                                       _mm256_castps_si256(m));
+            bestd = _mm256_blendv_ps(bestd, d, m);
+        }
+        besti = _mm256_blendv_epi8(
+            besti, _mm256_setzero_si256(),
+            _mm256_castps_si256(_mm256_cmp_ps(xv, v0, _CMP_LE_OQ)));
+        besti = _mm256_blendv_epi8(
+            besti, _mm256_set1_epi32(15),
+            _mm256_castps_si256(_mm256_cmp_ps(xv, v15, _CMP_GE_OQ)));
+        _mm256_storeu_si256((__m256i*)(L + j0), besti);
+    }
+#else
+    for (int j = 0; j < 32; ++j)
+        L[j] = best_index_int8(kvalues_iq4nl, 16, id * x[j]);
+#endif
+}
+
+// per-32-block scale fit (spec _iq4_fit_blocks, ntry=7); returns d and, via
+// L, the FIRST-pass indices (the spec recomputes L from the final d later)
+static void iq4_fit_block32(const float* xb, const float* wb,
+                            float* out_d, int* L, int* dead_out) {
+    const int8_t* vals = kvalues_iq4nl;
+    int aidx = 0;
+    float amax = std::fabs(xb[0]);
+    for (int j = 1; j < 32; ++j) {
+        float ax = std::fabs(xb[j]);
+        if (ax > amax) { amax = ax; aidx = j; }
+    }
+    float mx = xb[aidx];
+    int dead = amax < GROUP_MAX_EPS;
+    float safe_mx = mx != 0.0f ? mx : 1.0f;
+    float d = -safe_mx / (float)vals[0];  // ntry>0 path
+    float idv = 1.0f / d;
+
+    // indices vectorized; the fp32 ACCUMULATION stays scalar in j order
+    // (vectorizing it would change rounding vs the spec)
+    iq4_indices32(idv, xb, L);
+    float sumqx = 0.0f, sumq2 = 0.0f;
+    for (int j = 0; j < 32; ++j) {
+        float q = (float)vals[L[j]];
+        sumqx = sumqx + wb[j] * q * xb[j];
+        sumq2 = sumq2 + wb[j] * q * q;
+    }
+    d = sumqx / sumq2;  // NaN on 0/0, as the spec allows
+    float best = d * sumqx;
+    int Lt[32];
+    for (int itry = -7; itry <= 7; ++itry) {
+        float id_try = ((float)itry + (float)vals[0]) / safe_mx;
+        iq4_indices32(id_try, xb, Lt);
+        float sqx = 0.0f, sq2 = 0.0f;
+        for (int j = 0; j < 32; ++j) {
+            float q = (float)vals[Lt[j]];
+            sqx = sqx + wb[j] * q * xb[j];
+            sq2 = sq2 + wb[j] * q * q;
+        }
+        if (sq2 > 0.0f && sqx * sqx > best * sq2) {
+            d = sqx / sq2;
+            best = d * sqx;
+        }
+    }
+    if (dead) d = 0.0f;
+    *out_d = d;
+    *dead_out = dead;
+}
+
+#if defined(__AVX2__)
+// ---- 8-lane IQ4 fit: lane = 32-block (the make_qkx2_v8 idiom) -------------
+// Each lane runs the EXACT scalar fp32 op sequence of iq4_fit_block32; only
+// independent blocks are parallelized, so outputs stay byte-identical.
+
+static inline __m256 iq4_lut16(__m256i idx, __m256 v0, __m256 v1) {
+    // vals[idx] for idx in [0,16): permutevar8x32 uses idx&7, select by bit 3
+    __m256 a = _mm256_permutevar8x32_ps(v0, idx);
+    __m256 b = _mm256_permutevar8x32_ps(v1, idx);
+    __m256 sel = _mm256_castsi256_ps(_mm256_cmpgt_epi32(idx, _mm256_set1_epi32(7)));
+    return _mm256_blendv_ps(a, b, sel);
+}
+
+// q = (float)vals[best_index_int8(vals, 16, xv)] for 8 lanes at once.
+// searchsorted-right count + tie pick + the spec's edge/NaN overrides.
+static inline __m256 iq4_nearest_q8(__m256 xv, __m256 v0, __m256 v1) {
+    __m256i cnt = _mm256_setzero_si256();
+    for (int i = 0; i < 16; ++i) {
+        __m256 ge = _mm256_cmp_ps(xv, _mm256_set1_ps((float)kvalues_iq4nl[i]),
+                                  _CMP_GE_OQ);
+        cnt = _mm256_sub_epi32(cnt, _mm256_castps_si256(ge));
+    }
+    __m256i mu = _mm256_min_epi32(_mm256_max_epi32(cnt, _mm256_set1_epi32(1)),
+                                  _mm256_set1_epi32(15));
+    __m256 lo = iq4_lut16(_mm256_sub_epi32(mu, _mm256_set1_epi32(1)), v0, v1);
+    __m256 hi = iq4_lut16(mu, v0, v1);
+    __m256 pick_lo = _mm256_cmp_ps(_mm256_sub_ps(xv, lo), _mm256_sub_ps(hi, xv),
+                                   _CMP_LT_OQ);
+    __m256 q = _mm256_blendv_ps(hi, lo, pick_lo);
+    const __m256 vmin = _mm256_set1_ps(-127.0f), vmax = _mm256_set1_ps(113.0f);
+    q = _mm256_blendv_ps(q, vmin, _mm256_cmp_ps(xv, vmin, _CMP_LE_OQ));
+    q = _mm256_blendv_ps(q, vmax, _mm256_cmp_ps(xv, vmax, _CMP_GE_OQ));
+    q = _mm256_blendv_ps(q, vmax, _mm256_cmp_ps(xv, xv, _CMP_UNORD_Q));  // NaN -> idx 15
+    return q;
+}
+
+static inline void iq4_pass8(const float xt[32][8], const float wt[32][8],
+                             __m256 id, __m256 v0, __m256 v1,
+                             __m256* sqx_out, __m256* sq2_out) {
+    __m256 sqx = _mm256_setzero_ps(), sq2 = _mm256_setzero_ps();
+    for (int j = 0; j < 32; ++j) {
+        __m256 x = _mm256_loadu_ps(xt[j]);
+        __m256 w = _mm256_loadu_ps(wt[j]);
+        __m256 q = iq4_nearest_q8(_mm256_mul_ps(id, x), v0, v1);
+        __m256 wq = _mm256_mul_ps(w, q);
+        sqx = _mm256_add_ps(sqx, _mm256_mul_ps(wq, x));   // (w*q)*x, j order
+        sq2 = _mm256_add_ps(sq2, _mm256_mul_ps(wq, q));
+    }
+    *sqx_out = sqx;
+    *sq2_out = sq2;
+}
+
+// fit 8 independent 32-blocks (SoA xt/wt: [element][lane]) -> d per lane
+static void iq4_fit8(const float xt[32][8], const float wt[32][8],
+                     float d_out[8]) {
+    const __m256 v0 = _mm256_setr_ps(-127, -104, -83, -65, -49, -35, -22, -10);
+    const __m256 v1 = _mm256_setr_ps(1, 13, 25, 38, 53, 69, 89, 113);
+    // first-max amax/mx (strict > keeps the earliest index, as np.argmax)
+    __m256 absmask = _mm256_castsi256_ps(_mm256_set1_epi32(0x7FFFFFFF));
+    __m256 mx = _mm256_loadu_ps(xt[0]);
+    __m256 amax = _mm256_and_ps(absmask, mx);
+    for (int j = 1; j < 32; ++j) {
+        __m256 x = _mm256_loadu_ps(xt[j]);
+        __m256 ax = _mm256_and_ps(absmask, x);
+        __m256 m = _mm256_cmp_ps(ax, amax, _CMP_GT_OQ);
+        amax = _mm256_blendv_ps(amax, ax, m);
+        mx = _mm256_blendv_ps(mx, x, m);
+    }
+    __m256 dead = _mm256_cmp_ps(amax, _mm256_set1_ps(GROUP_MAX_EPS), _CMP_LT_OQ);
+    __m256 safe_mx = _mm256_blendv_ps(
+        mx, _mm256_set1_ps(1.0f),
+        _mm256_cmp_ps(mx, _mm256_setzero_ps(), _CMP_EQ_OQ));
+    __m256 d = _mm256_div_ps(
+        _mm256_sub_ps(_mm256_setzero_ps(), safe_mx), _mm256_set1_ps(-127.0f));
+    __m256 idv = _mm256_div_ps(_mm256_set1_ps(1.0f), d);
+
+    __m256 sqx, sq2;
+    iq4_pass8(xt, wt, idv, v0, v1, &sqx, &sq2);
+    d = _mm256_div_ps(sqx, sq2);
+    __m256 best = _mm256_mul_ps(d, sqx);
+    for (int itry = -7; itry <= 7; ++itry) {
+        // (itry + vals[0]) is an exact small-integer f32 constant
+        __m256 id_try = _mm256_div_ps(_mm256_set1_ps((float)itry - 127.0f),
+                                      safe_mx);
+        iq4_pass8(xt, wt, id_try, v0, v1, &sqx, &sq2);
+        __m256 better = _mm256_and_ps(
+            _mm256_cmp_ps(sq2, _mm256_setzero_ps(), _CMP_GT_OQ),
+            _mm256_cmp_ps(_mm256_mul_ps(sqx, sqx), _mm256_mul_ps(best, sq2),
+                          _CMP_GT_OQ));
+        __m256 d_new = _mm256_div_ps(sqx, sq2);
+        d = _mm256_blendv_ps(d, d_new, better);
+        best = _mm256_blendv_ps(best, _mm256_mul_ps(d_new, sqx), better);
+    }
+    d = _mm256_blendv_ps(d, _mm256_setzero_ps(), dead);
+    _mm256_storeu_ps(d_out, d);
+}
+#endif  // __AVX2__
+
+// weights for one 32-block: unweighted -> x^2; imatrix -> qw*sqrt(s2+x^2)
+static inline void iq4_block_weights(const float* xb, const float* qw,
+                                     float sigma2, float* wb) {
+    if (qw == nullptr) {
+        for (int j = 0; j < 32; ++j) wb[j] = xb[j] * xb[j];
+    } else {
+        for (int j = 0; j < 32; ++j)
+            wb[j] = qw[j] * std::sqrt(sigma2 + xb[j] * xb[j]);
+    }
+}
+
+// sequential fp32 sum of squares (spec _seq_sumsq order)
+static inline float seq_sumsq(const float* x, int n) {
+    float acc = 0.0f;
+    for (int j = 0; j < n; ++j) acc = acc + x[j] * x[j];
+    return acc;
+}
+
+static void quant_iq4_nl_block(const float* x, const float* qw, uint8_t* out) {
+    float sigma2 = 2.0f * seq_sumsq(x, 32) / 32.0f;
+    float wb[32];
+    iq4_block_weights(x, qw, sigma2, wb);
+    float d; int L[32]; int dead;
+    iq4_fit_block32(x, wb, &d, L, &dead);
+    // re-index every element with the final 1/d (dead blocks: id=0)
+    float id0 = d != 0.0f ? 1.0f / d : 0.0f;
+    iq4_indices32(id0, x, L);
+    uint16_t dh = f32_to_f16_bits(d);
+    out[0] = (uint8_t)(dh & 0xFF); out[1] = (uint8_t)(dh >> 8);
+    for (int j = 0; j < 16; ++j)
+        out[2 + j] = (uint8_t)(L[j] | (L[j + 16] << 4));
+}
+
+#if defined(__AVX2__)
+// 8 consecutive 32-blocks at once, lane = block (per-lane qw pointers)
+static void quant_iq4_nl_block8(const float* x, const float* const qws[8],
+                                uint8_t* out) {
+    float xt[32][8], wt[32][8], d8[8];
+    for (int lane = 0; lane < 8; ++lane) {
+        const float* xb = x + 32 * lane;
+        float sigma2 = 2.0f * seq_sumsq(xb, 32) / 32.0f;
+        float wb[32];
+        iq4_block_weights(xb, qws[lane], sigma2, wb);
+        for (int j = 0; j < 32; ++j) { xt[j][lane] = xb[j]; wt[j][lane] = wb[j]; }
+    }
+    iq4_fit8(xt, wt, d8);
+    for (int lane = 0; lane < 8; ++lane) {
+        const float* xb = x + 32 * lane;
+        uint8_t* o = out + 18 * lane;
+        float d = d8[lane];
+        float id0 = d != 0.0f ? 1.0f / d : 0.0f;
+        int L[32];
+        iq4_indices32(id0, xb, L);
+        uint16_t dh = f32_to_f16_bits(d);
+        o[0] = (uint8_t)(dh & 0xFF); o[1] = (uint8_t)(dh >> 8);
+        for (int j = 0; j < 16; ++j)
+            o[2 + j] = (uint8_t)(L[j] | (L[j + 16] << 4));
+    }
+}
+#endif
+
+static void quant_iq4_xs_block(const float* x, const float* qw, uint8_t* out) {
+    float sigma2 = 2.0f * seq_sumsq(x, QK_K) / (float)QK_K;
+    float scales[8];
+#if defined(__AVX2__)
+    {   // lane = sub-block: one 8-lane fit per superblock
+        float xt[32][8], wt[32][8];
+        for (int ib = 0; ib < 8; ++ib) {
+            const float* xb = x + 32 * ib;
+            float wb[32];
+            iq4_block_weights(xb, qw ? qw + 32 * ib : nullptr, sigma2, wb);
+            for (int j = 0; j < 32; ++j) { xt[j][ib] = xb[j]; wt[j][ib] = wb[j]; }
+        }
+        iq4_fit8(xt, wt, scales);
+    }
+#else
+    for (int ib = 0; ib < 8; ++ib) {
+        float wb[32];
+        const float* xb = x + 32 * ib;
+        iq4_block_weights(xb, qw ? qw + 32 * ib : nullptr, sigma2, wb);
+        int L[32]; int dead;
+        iq4_fit_block32(xb, wb, &scales[ib], L, &dead);
+    }
+#endif
+    int aidx = 0; float amax = std::fabs(scales[0]);
+    for (int ib = 1; ib < 8; ++ib) {
+        float as = std::fabs(scales[ib]);
+        if (as > amax) { amax = as; aidx = ib; }
+    }
+    float max_scale = scales[aidx];
+    float d_sb = -max_scale / 32.0f;
+    float id_sb = d_sb != 0.0f ? 1.0f / d_sb : 0.0f;
+    uint16_t dh = f32_to_f16_bits(d_sb);
+    out[0] = (uint8_t)(dh & 0xFF); out[1] = (uint8_t)(dh >> 8);
+    uint16_t scales_h = 0;
+    uint8_t scales_l[4] = {0, 0, 0, 0};
+    for (int ib = 0; ib < 8; ++ib) {
+        int l6 = clip(nearest_int(id_sb * scales[ib]), -32, 31);
+        // the spec keeps the UNROUNDED f32 d_sb when re-indexing
+        float dl = d_sb * (float)l6;
+        float idl = dl != 0.0f ? 1.0f / dl : 0.0f;
+        const float* xb = x + 32 * ib;
+        int Lb[32];
+        iq4_indices32(idl, xb, Lb);
+        int lq = l6 + 32;
+        scales_h |= (uint16_t)((lq >> 4) << (2 * ib));
+        if (ib % 2 == 0) scales_l[ib / 2] = (uint8_t)(lq & 0xF);
+        else scales_l[ib / 2] |= (uint8_t)((lq & 0xF) << 4);
+        uint8_t* qs = out + 8 + 16 * ib;
+        for (int j = 0; j < 16; ++j) qs[j] = (uint8_t)(Lb[j] | (Lb[j + 16] << 4));
+    }
+    out[2] = (uint8_t)(scales_h & 0xFF); out[3] = (uint8_t)(scales_h >> 8);
+    for (int j = 0; j < 4; ++j) out[4 + j] = scales_l[j];
+}
+
 // ---- Q8_0: one 32-element block -> 34 bytes --------------------------------
 static void quant_q8_0_block(const float* x, uint8_t* out) {
     float amax = 0.0f;
@@ -836,22 +1162,39 @@ int gt_quantize_supported(int ggml_type) {
         case 12:  // Q4_K
         case 13:  // Q5_K
         case 14:  // Q6_K
+        case 20:  // IQ4_NL
+        case 23:  // IQ4_XS
             return 1;
     }
     return 0;
 }
 
-int gt_quantize(int ggml_type, const float* src, int64_t nrows, int64_t k,
-                uint8_t* dst, int nthreads) {
+// which types take imatrix weights natively (qw != NULL honored)
+int gt_quantize_imatrix_supported(int ggml_type) {
+    switch (ggml_type) {
+        case 20:  // IQ4_NL
+        case 23:  // IQ4_XS
+            return 1;
+    }
+    return 0;
+}
+
+// qw: optional (k,) f32 per-column imatrix weights, or NULL
+int gt_quantize2(int ggml_type, const float* src, const float* qw,
+                 int64_t nrows, int64_t k, uint8_t* dst, int nthreads) {
     int64_t block, bsize;
-    void (*fn)(const float*, uint8_t*);
+    void (*fn)(const float*, uint8_t*) = nullptr;
+    void (*fnw)(const float*, const float*, uint8_t*) = nullptr;
     if (ggml_type == 12) { block = 256; bsize = 144; fn = quant_q4_k_block; }
     else if (ggml_type == 13) { block = 256; bsize = 176; fn = quant_q5_k_block; }
     else if (ggml_type == 14) { block = 256; bsize = 210; fn = quant_q6_k_block; }
     else if (ggml_type == 10) { block = 256; bsize = 84; fn = quant_q2_k_block; }
     else if (ggml_type == 11) { block = 256; bsize = 110; fn = quant_q3_k_block; }
     else if (ggml_type == 8) { block = 32; bsize = 34; fn = quant_q8_0_block; }
+    else if (ggml_type == 20) { block = 32; bsize = 18; fnw = quant_iq4_nl_block; }
+    else if (ggml_type == 23) { block = 256; bsize = 136; fnw = quant_iq4_xs_block; }
     else return 1;
+    if (fn && qw) return 3;  // imatrix not supported for this type natively
     if (k % block) return 2;
     int64_t blocks_per_row = k / block;
     int64_t total = nrows * blocks_per_row;
@@ -862,12 +1205,36 @@ int gt_quantize(int ggml_type, const float* src, int64_t nrows, int64_t k,
     for (int t = 0; t < nt; ++t) {
         ts.emplace_back([=]() {
             int64_t lo = total * t / nt, hi = total * (t + 1) / nt;
-            for (int64_t b = lo; b < hi; ++b)
-                fn(src + b * block, dst + b * bsize);
+            int64_t b = lo;
+#if defined(__AVX2__)
+            if (ggml_type == 20) {  // IQ4_NL: 8 blocks per fit, lane = block
+                for (; b + 8 <= hi; b += 8) {
+                    const float* qws[8];
+                    for (int l = 0; l < 8; ++l)
+                        qws[l] = qw ? qw + ((b + l) % blocks_per_row) * block
+                                    : nullptr;
+                    quant_iq4_nl_block8(src + b * block, qws, dst + b * bsize);
+                }
+            }
+#endif
+            for (; b < hi; ++b) {
+                const float* x = src + b * block;
+                uint8_t* o = dst + b * bsize;
+                if (fn) fn(x, o);
+                else {
+                    const float* w = qw ? qw + (b % blocks_per_row) * block : nullptr;
+                    fnw(x, w, o);
+                }
+            }
         });
     }
     for (auto& th : ts) th.join();
     return 0;
+}
+
+int gt_quantize(int ggml_type, const float* src, int64_t nrows, int64_t k,
+                uint8_t* dst, int nthreads) {
+    return gt_quantize2(ggml_type, src, nullptr, nrows, k, dst, nthreads);
 }
 
 }  // extern "C"

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -899,14 +901,90 @@ def _record_selection(kind, k, n, m, path):
             )
 
 
+def planar_dequant(pw: PlanarWeight, dtype=jnp.float32):
+    """Dense (K, Npad) dequantized weight — the executable spec of the planar
+    factoring (identical math to the fused kernels' in-tile reconstruction).
+
+    Used by the dense fallback for shapes with no legal Mosaic tiling, and by
+    the planar_matmul VJP (QLoRA: gradients w.r.t. activations flow through a
+    frozen quantized base — the reference restricts training to F32/F16 params
+    entirely, src/ggml.c:5859)."""
+    codes = jnp.asarray(pw.codes)
+    scales = jnp.asarray(pw.scales)
+    offsets = None if pw.offsets is None else jnp.asarray(pw.offsets)
+    g = pw.group
+    if pw.supers is not None:
+        d_pl = jnp.asarray(pw.supers[0])
+        sc = jnp.repeat(d_pl.astype(jnp.float32), pw.sb, axis=-2) * scales.astype(jnp.float32)
+        off = None
+        if offsets is not None:
+            # dmin is plane-major 3D; offsets are natural element order 2D
+            dmin_nat = jnp.asarray(pw.supers[1]).astype(jnp.float32).reshape(
+                -1, offsets.shape[-1])
+            off = -jnp.repeat(dmin_nat, pw.sb, axis=0) * offsets.astype(jnp.float32)
+    else:
+        sc, off = scales.astype(jnp.float32), offsets
+    if pw.kind == "q4":
+        lo = (codes & 0xF).astype(jnp.float32)
+        hi = (codes >> 4).astype(jnp.float32)
+        w = jnp.concatenate(
+            [lo * jnp.repeat(sc[0], g, axis=0), hi * jnp.repeat(sc[1], g, axis=0)], 0
+        )
+    else:
+        w = codes.astype(jnp.float32) * jnp.repeat(sc, g, axis=0)
+    if off is not None:
+        w = w + jnp.repeat(off.astype(jnp.float32), g, axis=0)
+    return w.astype(dtype)
+
+
 def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
     """y = x @ W^T with W a planar-repacked quantized weight.
 
     x: (..., K) float array (computed in bf16 on the MXU, fp32 accumulation).
     Returns (..., N) in x's dtype.
+
+    Differentiable w.r.t. x (custom VJP: dx = dy @ dequant(W)^T, dequantized
+    per-weight in the backward only); the quantized planes get zero
+    cotangents — codes are frozen by construction (QLoRA-style training).
     """
     if interpret is None:
         interpret = _interpret_default()
+    return _planar_matmul_d(bool(interpret), x, pw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _planar_matmul_d(interpret, x, pw):
+    return _planar_matmul_impl(x, pw, interpret)
+
+
+def _planar_matmul_d_fwd(interpret, x, pw):
+    # y carries x's dtype (see _planar_matmul_impl), so g.dtype == x.dtype —
+    # no need to save x itself
+    return _planar_matmul_impl(x, pw, interpret), pw
+
+
+def _planar_matmul_d_bwd(interpret, res, g):
+    pw = res
+    # dx = dy @ W (W in x@W orientation is (K, N)); dequantize the frozen
+    # base per-weight in the backward — bf16 operands, f32 accumulation on
+    # the MXU.  XLA frees the dense W right after the dot (per-layer peak).
+    wd = planar_dequant(pw, jnp.bfloat16)[:, : pw.n]
+    dx = jnp.einsum("...n,kn->...k", g.astype(jnp.bfloat16), wd,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+
+    def _zero_ct(a):
+        if jnp.issubdtype(jnp.result_type(a), jnp.inexact):
+            return jnp.zeros(jnp.shape(a), jnp.result_type(a))
+        return np.zeros(jnp.shape(a), jax.dtypes.float0)
+
+    return dx.astype(g.dtype), jax.tree.map(_zero_ct, pw)
+
+
+_planar_matmul_d.defvjp(_planar_matmul_d_fwd, _planar_matmul_d_bwd)
+
+
+def _planar_matmul_impl(x, pw: PlanarWeight, interpret: bool):
     batch_shape = x.shape[:-1]
     k = x.shape[-1]
     assert k == pw.k, f"K mismatch: x {k} vs weight {pw.k}"
@@ -951,22 +1029,7 @@ def planar_matmul(x, pw: PlanarWeight, interpret: bool | None = None):
         """Shapes too small for legal Mosaic lane tiling (q4 half-planes need
         K/2 % 128 == 0): dequantize in jnp and matmul — XLA handles tiny
         models fine; the kernels exist for the big ones."""
-        g = pw.group
-        if has_sb:
-            sc, off = _effective_planes()
-        else:
-            sc, off = scales.astype(jnp.float32), offsets
-        if pw.kind == "q4":
-            lo = (codes & 0xF).astype(jnp.float32)
-            hi = (codes >> 4).astype(jnp.float32)
-            w = jnp.concatenate(
-                [lo * jnp.repeat(sc[0], g, axis=0), hi * jnp.repeat(sc[1], g, axis=0)], 0
-            )
-        else:
-            w = codes.astype(jnp.float32) * jnp.repeat(sc, g, axis=0)
-        if off is not None:
-            w = w + jnp.repeat(off.astype(jnp.float32), g, axis=0)
-        return xc.astype(jnp.float32) @ w
+        return xc.astype(jnp.float32) @ planar_dequant(pw)
 
     q4_tileable = pw.kind != "q4" or (k // 2) % 128 == 0
 

@@ -180,13 +180,53 @@ def collect_imatrix(params: dict):
         _imatrix_collector = prev
 
 
+@jax.tree_util.register_pytree_node_class
+class LoRAWeight:
+    """A weight with a low-rank adapter riding it: W_eff = base + scale·B@A.
+
+    The QLoRA shape: `base` stays a PlanarWeight (frozen quantized codes in
+    HBM, streamed by the fused kernels; gradients flow to activations through
+    planar_matmul's custom VJP) while `a` (r, k) / `b` (n, r) are small dense
+    trainables.  linear() applies the adapter as (x@Aᵀ)@Bᵀ — rank-r matmuls,
+    never materializing B@A.  Works over dense bases too.  The reference
+    restricts training to F32/F16 params entirely (src/ggml.c:5859); llama.cpp
+    applies adapters by merging at load (common/common.cpp)."""
+
+    def __init__(self, base, a, b, scale: float = 1.0):
+        self.base = base
+        self.a = a
+        self.b = b
+        self.scale = scale
+
+    @property
+    def shape(self):  # ggml orientation (N, K), like PlanarWeight
+        return (self.b.shape[0], self.a.shape[1])
+
+    @property
+    def ndim(self):
+        return 2
+
+    def tree_flatten(self):
+        return (self.base, self.a, self.b), (self.scale,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, scale=aux[0])
+
+
 def linear(x, w, b=None):
     """Dense or planar-quantized matmul: y = x @ W^T (+ b)."""
     from ..quant.planar import PlanarWeight
 
     if _imatrix_collector is not None:
         _imatrix_collector.observe(w, x)
-    if isinstance(w, PlanarWeight):
+    if isinstance(w, LoRAWeight):
+        out = linear(x, w.base)
+        lo = jnp.einsum("...k,rk->...r", x, w.a.astype(x.dtype),
+                        precision=jax.lax.Precision.HIGHEST)
+        out = out + w.scale * jnp.einsum("...r,nr->...n", lo, w.b.astype(x.dtype),
+                                         precision=jax.lax.Precision.HIGHEST)
+    elif isinstance(w, PlanarWeight):
         from ..kernels.qmatmul import planar_matmul
 
         out = planar_matmul(x, w)

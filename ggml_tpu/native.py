@@ -196,15 +196,28 @@ def _get_qlib():
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.gt_quantize_imatrix_supported.restype = ctypes.c_int
+        lib.gt_quantize_imatrix_supported.argtypes = [ctypes.c_int]
+        lib.gt_quantize2.restype = ctypes.c_int
+        lib.gt_quantize2.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+        ]
         _qlib = lib
         return _qlib
 
 
-def native_quantize(x: np.ndarray, ggml_type) -> np.ndarray | None:
+def native_quantize(x: np.ndarray, ggml_type, qw: np.ndarray | None = None
+                    ) -> np.ndarray | None:
     """Quantize (nrows, k) f32 to packed blocks via the native path, or None
-    when unsupported (callers fall back to quant.reference.quantize)."""
+    when unsupported (callers fall back to quant.reference.quantize).
+
+    qw: optional (k,) f32 imatrix column weights (types reporting
+    gt_quantize_imatrix_supported only — currently IQ4_NL/IQ4_XS)."""
     lib = _get_qlib()
     if lib is None or not lib.gt_quantize_supported(int(ggml_type)):
+        return None
+    if qw is not None and not lib.gt_quantize_imatrix_supported(int(ggml_type)):
         return None
     from .dtypes import get_type_traits
 
@@ -213,9 +226,14 @@ def native_quantize(x: np.ndarray, ggml_type) -> np.ndarray | None:
     tt = get_type_traits(ggml_type)
     if k % tt.block_size:
         return None
+    if qw is not None:
+        qw = np.ascontiguousarray(qw, np.float32).reshape(-1)
+        if qw.size != k:
+            return None
     out = np.empty((nrows, k // tt.block_size * tt.type_size), np.uint8)
-    rc = lib.gt_quantize(
-        int(ggml_type), x.ctypes.data_as(ctypes.c_void_p), nrows, k,
+    rc = lib.gt_quantize2(
+        int(ggml_type), x.ctypes.data_as(ctypes.c_void_p),
+        None if qw is None else qw.ctypes.data_as(ctypes.c_void_p), nrows, k,
         out.ctypes.data_as(ctypes.c_void_p), os.cpu_count() or 1,
     )
     if rc != 0:

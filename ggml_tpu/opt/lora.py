@@ -28,12 +28,16 @@ DEFAULT_TARGETS = (
 
 def init_lora(params: dict, rank: int, targets=DEFAULT_TARGETS, seed: int = 0):
     """{weight name: {'a': (r, k) ~ N(0, 1/r), 'b': (n, r) zeros}} for every
-    2-D dense target — b=0 makes the adapted model exactly the base at
-    step 0 (the standard LoRA init)."""
+    2-D target (dense OR planar-quantized — QLoRA) — b=0 makes the adapted
+    model exactly the base at step 0 (the standard LoRA init)."""
+    from ..quant.planar import PlanarWeight
+
     rng = np.random.default_rng(seed)
     lora = {}
     for name, w in params.items():
-        if not name.endswith(tuple(targets)) or getattr(w, "ndim", 0) != 2:
+        if not name.endswith(tuple(targets)):
+            continue
+        if not (isinstance(w, PlanarWeight) or getattr(w, "ndim", 0) == 2):
             continue
         n, k = w.shape
         lora[name] = {
@@ -42,9 +46,20 @@ def init_lora(params: dict, rank: int, targets=DEFAULT_TARGETS, seed: int = 0):
             "b": jnp.zeros((n, rank), jnp.float32),
         }
     if not lora:
-        raise ValueError(f"no LoRA targets matched among {len(params)} params "
-                         "(quantized base? load dense)")
+        raise ValueError(f"no LoRA targets matched among {len(params)} params")
     return lora
+
+
+def wrap_lora(params: dict, lora: dict, scale: float = 1.0) -> dict:
+    """params with every adapted weight wrapped as a models.common.LoRAWeight
+    (base + scale·B@A applied as rank-r matmuls inside linear()).  The QLoRA
+    apply: quantized bases stay packed in HBM — only the adapters train."""
+    from ..models.common import LoRAWeight
+
+    out = dict(params)
+    for name, ab in lora.items():
+        out[name] = LoRAWeight(params[name], ab["a"], ab["b"], scale)
+    return out
 
 
 def merge_lora(params: dict, lora: dict, scale: float = 1.0) -> dict:
@@ -104,11 +119,18 @@ def apply_lora_to_params(params: dict, path, scale: float | None = None) -> dict
 def finetune_lora(model_path, tokens, *, rank: int = 8, alpha: float | None = None,
                   arch: str | None = None, seq_len: int = 64, batch: int = 2,
                   steps: int = 100, adamw=None, targets=DEFAULT_TARGETS,
-                  seed: int = 0, adapter_out=None, merged_out=None, log=None):
+                  seed: int = 0, adapter_out=None, merged_out=None, log=None,
+                  keep_quantized: bool = False):
     """LoRA next-token finetuning.  Returns (losses, lora dict).
 
     alpha defaults to rank (scale 1.0).  adapter_out: write the adapter
-    GGUF; merged_out: write base+adapter merged as a full model GGUF."""
+    GGUF; merged_out: write base+adapter merged as a full model GGUF.
+
+    keep_quantized=True is QLoRA: the base stays planar-quantized in HBM
+    (the same fused kernels as inference serve the forward; gradients reach
+    the adapters through planar_matmul's activation VJP), so a 6B Q4_K base
+    finetunes on one 16 GB chip.  Beyond the reference, which restricts
+    training to F32/F16 params (src/ggml.c:5859)."""
     from .finetune import _family, make_lm_model_fn, save_params_gguf, token_windows
     from .optimizer import AdamWConfig, Optimizer
 
@@ -117,8 +139,13 @@ def finetune_lora(model_path, tokens, *, rank: int = 8, alpha: float | None = No
     fam = _family(arch)
     from ..models.gpt2 import load_params
 
-    base = load_params(g, jnp.float32, keep_quantized=False)
-    base = {k: jnp.asarray(v) for k, v in base.items() if "@" not in k}
+    base = load_params(g, jnp.float32, keep_quantized=keep_quantized)
+    if keep_quantized:
+        # keep loader aliases (token_embd.weight@dense: the embedding lookup
+        # needs a dense table even when the matmul view stays packed)
+        base = dict(base)
+    else:
+        base = {k: jnp.asarray(v) for k, v in base.items() if "@" not in k}
     cfg = fam.config_from_gguf(g)
     metadata = dict(g.metadata)
 
@@ -127,8 +154,12 @@ def finetune_lora(model_path, tokens, *, rank: int = 8, alpha: float | None = No
     lora = init_lora(base, rank, targets=targets, seed=seed)
     lm_fn = make_lm_model_fn(fam, cfg, seq_len, batch)
 
-    def model_fn(lora_params, toks):
-        return lm_fn(merge_lora(base, lora_params, scale), toks)
+    if keep_quantized:
+        def model_fn(lora_params, toks):
+            return lm_fn(wrap_lora(base, lora_params, scale), toks)
+    else:
+        def model_fn(lora_params, toks):
+            return lm_fn(merge_lora(base, lora_params, scale), toks)
 
     opt = Optimizer(model_fn, lora, loss_type="cross_entropy_sparse",
                     adamw=adamw or AdamWConfig(alpha=1e-3))
@@ -148,5 +179,13 @@ def finetune_lora(model_path, tokens, *, rank: int = 8, alpha: float | None = No
     if adapter_out is not None:
         save_lora_gguf(adapter_out, trained, alpha, base_arch=arch)
     if merged_out is not None:
-        save_params_gguf(merged_out, merge_lora(base, trained, scale), metadata)
+        if keep_quantized:
+            # merged export is a dense model: dequantize the base once
+            # (llama.cpp merges adapters into dequantized weights the same
+            # way, src/llama-adapter.cpp apply path)
+            dense = load_params(g, jnp.float32, keep_quantized=False)
+            dense = {k: jnp.asarray(v) for k, v in dense.items() if "@" not in k}
+            save_params_gguf(merged_out, merge_lora(dense, trained, scale), metadata)
+        else:
+            save_params_gguf(merged_out, merge_lora(base, trained, scale), metadata)
     return losses, trained

@@ -99,8 +99,8 @@ class Engine:
         draft_k speculative tokens per slot and ONE (B, k+1) target verify.
         Greedy engines emit tokens IDENTICAL to plain decoding; with a
         sampler configured the tick runs batched rejection sampling
-        (lossless in distribution — speculative.py semantics).
-        Incompatible with paged.
+        (lossless in distribution — speculative.py semantics).  Composes
+        with paged for llama-family targets (tests/test_serve.py).
 
         forward_fn: override the model-family forward with any function of
         the same signature — e.g. parallel.tp_inference.make_tp_engine_forward

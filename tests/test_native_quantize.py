@@ -11,7 +11,7 @@ from ggml_tpu.native import fast_quantize, native_quantize
 from ggml_tpu.quant import reference as R
 
 TYPES = [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
-         GGMLType.Q6_K, GGMLType.Q8_0]
+         GGMLType.Q6_K, GGMLType.Q8_0, GGMLType.IQ4_NL, GGMLType.IQ4_XS]
 
 
 @pytest.mark.parametrize("ggml_type", TYPES, ids=lambda t: t.name)
@@ -39,6 +39,29 @@ def test_native_edge_blocks(ggml_type):
     a = native_quantize(rows, ggml_type)
     b = np.asarray(R.quantize(rows, ggml_type))
     assert np.array_equal(a.reshape(-1), b.reshape(-1))
+
+
+@pytest.mark.parametrize("ggml_type", [GGMLType.IQ4_NL, GGMLType.IQ4_XS],
+                         ids=lambda t: t.name)
+def test_native_imatrix_matches_numpy_spec(ggml_type):
+    """Imatrix-weighted native IQ4 encoders == the NumPy spec byte-for-byte
+    (w = qw*sqrt(sigma2 + x^2) path, quantize_row_iq4_nl_impl with
+    quant_weights, src/ggml-quants.c:4573)."""
+    from ggml_tpu.quant.imatrix import quantize_with_imatrix, quant_iq4_nl, quant_iq4_xs
+
+    if native_quantize(np.zeros((1, 256), np.float32), ggml_type,
+                       qw=np.ones(256, np.float32)) is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((24, 512)).astype(np.float32)
+    qw = (np.abs(rng.standard_normal(512)) + 0.01).astype(np.float32)
+    a = native_quantize(x, ggml_type, qw=qw)
+    pyfn = quant_iq4_nl if ggml_type == GGMLType.IQ4_NL else quant_iq4_xs
+    b = np.asarray(pyfn(x, qw))
+    assert np.array_equal(a.reshape(-1), b.reshape(-1))
+    # and the public imatrix entry point routes through the native path
+    c = quantize_with_imatrix(x, ggml_type, qw)
+    assert np.array_equal(np.asarray(c).reshape(-1), b.reshape(-1))
 
 
 def test_fast_quantize_fallback():

@@ -225,10 +225,12 @@ def quant_cases():
     n, k = 1024, 4096  # 16 MB f32 per pass
     w = (RNG.standard_normal((n, k)) * 0.5).astype(np.float32)
     nbytes = w.nbytes
-    for t in (GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K):
+    for t in (GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K,
+              GGMLType.IQ4_NL, GGMLType.IQ4_XS):
         raw = R.quantize(w, t).reshape(n, -1)
-        yield (f"quantize {t.name} 1024x4096",
-               lambda t=t: R.quantize(w, t), nbytes)
+        if t not in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):  # numpy iq4 is the
+            yield (f"quantize {t.name} 1024x4096",       # slow spec; skip
+                   lambda t=t: R.quantize(w, t), nbytes)
         from ggml_tpu.native import native_quantize
 
         if native_quantize(w[:1], t) is not None:
