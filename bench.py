@@ -681,8 +681,8 @@ def bench_qlora():
         seq, batch, steps, rank = 32, 2, 2, 4
     else:
         seq = int(os.environ.get("BENCH_SEQ", "512"))
-        batch = int(os.environ.get("BENCH_BATCH", "4"))
-        steps = int(os.environ.get("BENCH_TOKENS", "8"))
+        batch = int(os.environ.get("BENCH_BATCH", "2"))
+        steps = int(os.environ.get("BENCH_TOKENS", "6"))
         rank = int(os.environ.get("BENCH_LORA_RANK", "16"))
 
     t0 = time.perf_counter()
@@ -696,7 +696,13 @@ def bench_qlora():
         int(np.prod(v.shape)) for v in base.values() if hasattr(v, "shape"))
     n_adapt = sum(int(np.prod(ab[x].shape)) for ab in lora.values() for x in "ab")
 
-    lm_fn = make_lm_model_fn(gptj_mod, cfg, seq, batch, cast_logits_f32=False)
+    # remat: recompute attention einsums in the backward instead of saving
+    # the (B, H, T, S) f32 probability buffers across 28 layers (which alone
+    # exceed HBM at 6B scale); weight-matmul outputs stay saved
+    lm_fn = make_lm_model_fn(
+        gptj_mod, cfg, seq, batch, cast_logits_f32=False,
+        remat_policy=os.environ.get("BENCH_QLORA_REMAT",
+                                    "dots_with_no_batch_dims_saveable"))
 
     def model_fn(lora_params, toks):
         return lm_fn(wrap_lora(base, lora_params, 1.0), toks)

@@ -35,6 +35,7 @@ import numpy as np
 
 from ..gguf import GGUFFile
 from .common import cache_write as _cache_write
+from .common import dequant_cache as _dq
 from .common import linear as _linear
 from .llama import _rms_norm, _rope_half, moe_expert_sum, moe_expert_sum_grouped
 
@@ -163,7 +164,20 @@ def _moe_block(params, pre, h, cfg: DeepseekConfig):
 def init_cache(cfg: DeepseekConfig, batch: int, max_seq: int,
                dtype=jnp.bfloat16):
     """Per-layer (c_kv (b,1,S,kv_lora_rank), k_rot (b,1,S,qk_rope_dim)) —
-    the compressed MLA cache (the whole point of the architecture)."""
+    the compressed MLA cache (the whole point of the architecture).
+
+    dtype="q8_kv" quantizes the LATENT rows (int8 codes + one f32 scale per
+    (b, pos) row for both the kv_lora_rank latent and the shared rope key) —
+    on top of MLA's 57x compression, another ~2x for ~0.3% of a dense bf16
+    cache per token."""
+    from .common import QUANT_KV_DTYPE, QuantKV
+
+    if dtype == QUANT_KV_DTYPE:
+        def mk(d):
+            return QuantKV(jnp.zeros((batch, 1, max_seq, d), jnp.int8),
+                           jnp.zeros((batch, 1, max_seq, 1), jnp.float32))
+        return tuple((mk(cfg.kv_lora_rank), mk(cfg.qk_rope_dim))
+                     for _ in range(cfg.n_layer))
     return tuple(
         (jnp.zeros((batch, 1, max_seq, cfg.kv_lora_rank), dtype),
          jnp.zeros((batch, 1, max_seq, cfg.qk_rope_dim), dtype))
@@ -216,8 +230,8 @@ def forward(params: dict, cfg: DeepseekConfig, tokens, pos_start, cache,
         cc = _cache_write(new_cache[i][0], c_t[:, None].astype(cache_dtype), cache_len)
         kc = _cache_write(new_cache[i][1], krot_t[:, None].astype(cache_dtype), cache_len)
         new_cache[i] = (cc, kc)
-        c_all = cc[:, 0]  # (b, S, rank)
-        krot_all = kc[:, 0]  # (b, S, rope_d)
+        c_all = _dq(cc)[:, 0]  # (b, S, rank); q8 latent dequants on read
+        krot_all = _dq(kc)[:, 0]  # (b, S, rope_d)
 
         # absorb: project per-head q_nope into the latent space through W_uk
         w_kv_b = params[pre + "attn_kv_b.weight"].reshape(

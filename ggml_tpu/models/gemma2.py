@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf import GGUFFile
-from .common import cache_write as _cache_write, linear as _linear
+from .common import (cache_write as _cache_write, dequant_cache as _dq,
+                     linear as _linear)
 from .llama import _rope_half
 
 
@@ -169,7 +170,7 @@ def forward(params: dict, cfg: Gemma2Config, tokens, pos_start, cache, cache_len
 
         qg = q.reshape(b, cfg.n_head_kv, rep, t, cfg.head_dim)
         att = jnp.einsum("bgrqd,bgkd->bgrqk", qg.astype(jnp.float32),
-                         kc.astype(jnp.float32),
+                         _dq(kc).astype(jnp.float32),
                          preferred_element_type=jnp.float32) * scale
         if cfg.attn_softcap:
             att = _softcap(att, cfg.attn_softcap)
@@ -179,8 +180,9 @@ def forward(params: dict, cfg: Gemma2Config, tokens, pos_start, cache, cache_len
         if sliding and cfg.sliding_window:  # gemma2: 1:1, gemma3: 5:1; gemma1: none
             keep = keep & (kv_pos > q_pos - cfg.sliding_window)
         att = jnp.where(keep, att, -jnp.inf)
-        att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
-        out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
+        vcd = _dq(vc)  # q8_kv cache: dequantize on read (XLA fuses the mul)
+        att = jax.nn.softmax(att, axis=-1).astype(vcd.dtype)
+        out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vcd)
         out = out.reshape(b, cfg.n_head, t, cfg.head_dim).transpose(0, 2, 1, 3)
         attn_out = out.reshape(b, t, cfg.n_head * cfg.head_dim).astype(dt)
         o = _linear(attn_out, params[pre + "attn_output.weight"])

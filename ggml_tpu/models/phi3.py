@@ -33,6 +33,7 @@ import numpy as np
 
 from ..gguf import GGUFFile
 from .common import cache_write as _cache_write
+from .common import dequant_cache as _dq
 from .common import linear as _linear
 from .llama import _rms_norm
 
@@ -150,7 +151,7 @@ def forward(params: dict, cfg: Phi3Config, tokens, pos_start, cache, cache_len,
 
         qg = q.reshape(b, cfg.n_head_kv, rep, t, cfg.head_dim)
         att = jnp.einsum("bgrqd,bgkd->bgrqk", qg.astype(jnp.float32),
-                         kc.astype(jnp.float32),
+                         _dq(kc).astype(jnp.float32),
                          preferred_element_type=jnp.float32) * scale
         kv_pos = jnp.arange(max_seq)[None, None, None, None, :]
         q_pos = positions[:, None, None, :, None]
@@ -158,8 +159,9 @@ def forward(params: dict, cfg: Phi3Config, tokens, pos_start, cache, cache_len,
         if cfg.sliding_window:
             keep = keep & (kv_pos > q_pos - cfg.sliding_window)
         att = jnp.where(keep, att, -jnp.inf)
-        att = jax.nn.softmax(att, axis=-1).astype(vc.dtype)
-        out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vc)
+        vcd = _dq(vc)  # q8_kv cache: dequantize on read (XLA fuses the mul)
+        att = jax.nn.softmax(att, axis=-1).astype(vcd.dtype)
+        out = jnp.einsum("bgrqk,bgkd->bgrqd", att, vcd)
         out = out.reshape(b, cfg.n_head, t, cfg.head_dim).transpose(0, 2, 1, 3)
         attn_out = out.reshape(b, t, cfg.n_head * cfg.head_dim).astype(dt)
         x = x + _linear(attn_out, params[pre + "attn_output.weight"])

@@ -472,6 +472,7 @@ class Engine:
             dfwd = (llama.forward if isinstance(draft, llama.Llama)
                     else gptj.forward if isinstance(draft, gptj.GPTJ)
                     else phi3.forward if isinstance(draft, phi3.Phi3)
+                    else gemma2.forward if isinstance(draft, gemma2.Gemma2)
                     else gpt2.forward)
             dcfg = draft.cfg
             d_kv = getattr(dcfg, "n_head_kv", dcfg.n_head)

@@ -37,9 +37,11 @@ def _classes():
     paged_ok = (llama.Llama, gptj.GPTJ, gemma2.Gemma2, deepseek.Deepseek,
                 phi3.Phi3)
     # speculative draft/verify needs a forward in the engine's draft table
-    # (serve.py dfwd); the q8 KV cache needs the llama/gptj dequant-on-read
-    spec_ok = (llama.Llama, gptj.GPTJ, phi3.Phi3)
-    q8_ok = (llama.Llama, gptj.GPTJ)
+    # (serve.py dfwd); the q8 KV cache needs dequant-on-read in the family
+    # forward (llama/gptj/gemma2/phi3 KV; deepseek quantizes the MLA LATENT)
+    spec_ok = (llama.Llama, gptj.GPTJ, phi3.Phi3, gemma2.Gemma2)
+    q8_ok = (llama.Llama, gptj.GPTJ, gemma2.Gemma2, phi3.Phi3,
+             deepseek.Deepseek)
     return recurrent, exactish, paged_ok, spec_ok, q8_ok
 
 
@@ -82,13 +84,13 @@ _KIND_FEATURES = {
               "prefix_cache": True, "speculative": True, "q8_kv": True,
               "forks": True},
     "gemma": {"dense": True, "chunked_prefill": True, "paged_kv": True,
-              "prefix_cache": True, "speculative": False, "q8_kv": False,
+              "prefix_cache": True, "speculative": True, "q8_kv": True,
               "forks": True},
     "phi3": {"dense": True, "chunked_prefill": True, "paged_kv": True,
-             "prefix_cache": True, "speculative": True, "q8_kv": False,
+             "prefix_cache": True, "speculative": True, "q8_kv": True,
              "forks": True},
     "mla": {"dense": True, "chunked_prefill": True, "paged_kv": True,
-            "prefix_cache": True, "speculative": False, "q8_kv": False,
+            "prefix_cache": True, "speculative": False, "q8_kv": True,
             "forks": True},
     "dense": {"dense": True, "chunked_prefill": True, "paged_kv": False,
               "prefix_cache": False, "speculative": False, "q8_kv": False,

@@ -103,3 +103,138 @@ def test_grad_repeat_and_get_rows():
     tbl = RNG.standard_normal((5, 4)).astype(np.float32)
     ids = jnp.asarray([1, 3, 1], jnp.int32)
     check(lambda v: jnp.sum(ops.get_rows(v, ids) * 0.5), tbl)
+
+
+# -- recurrent-op gradients (VERDICT r4: MODE_GRAD breadth) -------------------
+# The reference FD-checks essentially every op case
+# (tests/test-backend-ops.cpp:732 eval_grad); these cover the recurrent /
+# transposed-conv / pool families that were previously ungated.
+
+
+def test_grad_ssm_scan():
+    """Mamba selective scan: gradients flow through the lax.scan recurrence
+    to every input (x, dt, B, C, state)."""
+    n_s, n_t, d_in, d_st = 1, 3, 2, 4
+    s0 = jnp.asarray(RNG.standard_normal((n_s, d_in, d_st)).astype(np.float32) * 0.1)
+    A = jnp.asarray(-np.abs(RNG.standard_normal((d_in, d_st))).astype(np.float32))
+    dt = jnp.asarray(RNG.standard_normal((n_s, n_t, d_in)).astype(np.float32) * 0.5)
+    B = jnp.asarray(RNG.standard_normal((n_s, n_t, d_st)).astype(np.float32) * 0.5)
+    C = jnp.asarray(RNG.standard_normal((n_s, n_t, d_st)).astype(np.float32) * 0.5)
+    x = RNG.standard_normal((n_s, n_t, d_in)).astype(np.float32) * 0.5
+
+    def f(v):
+        y, s_out = ops.ssm_scan(s0, v, dt, A, B, C)
+        return jnp.sum(y * 0.3) + jnp.sum(s_out * 0.1)
+
+    check(f, x, rtol=5e-2, atol=5e-3)
+    # and w.r.t. dt (through the softplus + exp discretization)
+    dtv = np.asarray(dt)
+    check(lambda v: jnp.sum(ops.ssm_scan(s0, jnp.asarray(x), v, A, B, C)[0] * 0.3),
+          dtv, rtol=5e-2, atol=5e-3)
+
+
+def test_grad_rwkv_wkv6():
+    """RWKV-6 WKV recurrence: gradients w.r.t. k and the decay td."""
+    b, t, h, s = 1, 3, 1, 4
+    v = jnp.asarray(RNG.standard_normal((b, t, h, s)).astype(np.float32) * 0.5)
+    r = jnp.asarray(RNG.standard_normal((b, t, h, s)).astype(np.float32) * 0.5)
+    tf = jnp.asarray(RNG.standard_normal((h, s)).astype(np.float32) * 0.5)
+    td = jnp.asarray((RNG.random((b, t, h, s)) * 0.5 + 0.4).astype(np.float32))
+    st = jnp.asarray(RNG.standard_normal((b, h, s, s)).astype(np.float32) * 0.1)
+    k = RNG.standard_normal((b, t, h, s)).astype(np.float32) * 0.5
+
+    def f(kk):
+        y, s_out = ops.rwkv_wkv6(kk, v, r, tf, td, st)
+        return jnp.sum(y * 0.3) + jnp.sum(s_out * 0.05)
+
+    check(f, k, rtol=5e-2, atol=5e-3)
+    tdv = np.asarray(td)
+    check(lambda x: jnp.sum(ops.rwkv_wkv6(jnp.asarray(k), v, r, tf, x, st)[0] * 0.3),
+          tdv, rtol=5e-2, atol=5e-3)
+
+
+def test_grad_gated_linear_attn():
+    b, t, h, s = 1, 3, 1, 4
+    v = jnp.asarray(RNG.standard_normal((b, t, h, s)).astype(np.float32) * 0.5)
+    q = jnp.asarray(RNG.standard_normal((b, t, h, s)).astype(np.float32) * 0.5)
+    g = jnp.asarray((RNG.random((b, t, h, s)) * 0.5 + 0.4).astype(np.float32))
+    st = jnp.asarray(RNG.standard_normal((b, h, s, s)).astype(np.float32) * 0.1)
+    k = RNG.standard_normal((b, t, h, s)).astype(np.float32) * 0.5
+
+    def f(kk):
+        y, s_out = ops.gated_linear_attn(kk, v, q, g, st, scale=0.5)
+        return jnp.sum(y * 0.3) + jnp.sum(s_out * 0.05)
+
+    check(f, k, rtol=5e-2, atol=5e-3)
+    gv = np.asarray(g)
+    check(lambda x: jnp.sum(
+        ops.gated_linear_attn(jnp.asarray(k), v, q, x, st, scale=0.5)[0] * 0.3),
+        gv, rtol=5e-2, atol=5e-3)
+
+
+def test_grad_conv_transpose_1d():
+    """CONV_TRANSPOSE_1D adjoints (w.r.t. input AND kernel) — the reference
+    has no backward for this op at all; jax.grad derives both."""
+    x = RNG.standard_normal((1, 2, 5)).astype(np.float32) * 0.5
+    w = jnp.asarray(RNG.standard_normal((2, 3, 3)).astype(np.float32) * 0.5)
+    check(lambda v: jnp.sum(ops.conv_transpose_1d(v, w, s=2) ** 2) / 10, x,
+          rtol=5e-2, atol=5e-3)
+    wv = np.asarray(w)
+    xj = jnp.asarray(x)
+    check(lambda v: jnp.sum(ops.conv_transpose_1d(xj, v, s=2) ** 2) / 10, wv,
+          rtol=5e-2, atol=5e-3)
+
+
+def test_grad_conv_transpose_2d():
+    x = RNG.standard_normal((1, 2, 4, 4)).astype(np.float32) * 0.5
+    w = jnp.asarray(RNG.standard_normal((2, 2, 3, 3)).astype(np.float32) * 0.5)
+    check(lambda v: jnp.sum(ops.conv_transpose_2d(v, w, stride=2) ** 2) / 10, x,
+          rtol=5e-2, atol=5e-3)
+    wv = np.asarray(w)
+    xj = jnp.asarray(x)
+    check(lambda v: jnp.sum(ops.conv_transpose_2d(xj, v, stride=2) ** 2) / 10, wv,
+          rtol=5e-2, atol=5e-3)
+
+
+def test_grad_pool_1d_and_max_pool():
+    """POOL back-passes: avg (uniform scatter) and max (argmax scatter —
+    FD needs points away from ties, so inputs are well-separated)."""
+    x = (np.arange(12, dtype=np.float32).reshape(1, 2, 6) * 0.7
+         + RNG.standard_normal((1, 2, 6)).astype(np.float32) * 0.05)
+    check(lambda v: jnp.sum(ops.pool_1d(v, "avg", 2, 2) * 0.5), x)
+    check(lambda v: jnp.sum(ops.pool_1d(v, "max", 2, 2) * 0.5), x)
+    x2 = (np.arange(32, dtype=np.float32).reshape(1, 2, 4, 4) * 0.7
+          + RNG.standard_normal((1, 2, 4, 4)).astype(np.float32) * 0.05)
+    check(lambda v: jnp.sum(ops.pool_2d(v, "max", 2, 2, 0) * 0.5), x2)
+
+
+def test_grad_flash_attn_vjp_vs_xla():
+    """The fused flash-attention custom VJP (kernels.flash_attn.
+    flash_attention_train, tiled Pallas backward from saved O/logsumexp)
+    against jax.grad of the XLA einsum attention — same math, independent
+    derivations, must agree to fp32 tolerance for q, k AND v."""
+    from ggml_tpu.kernels.flash_attn import flash_attention_train
+
+    b, h, nq, nkv, d = 1, 2, 8, 8, 8
+    q = jnp.asarray(RNG.standard_normal((b, h, nq, d)).astype(np.float32) * 0.5)
+    k = jnp.asarray(RNG.standard_normal((b, h, nkv, d)).astype(np.float32) * 0.5)
+    v = jnp.asarray(RNG.standard_normal((b, h, nkv, d)).astype(np.float32) * 0.5)
+    scale = 0.35
+
+    def loss_fused(q, k, v):
+        return jnp.sum(flash_attention_train(q, k, v, scale=scale,
+                                             interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       precision=jax.lax.Precision.HIGHEST) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bqhd", p, v,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(o ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)

@@ -138,11 +138,11 @@ EXPECT = {
     "gptj": dict(dense=True, chunked_prefill=True, paged_kv=True,
                  prefix_cache=True, speculative=True, q8_kv=True, forks=True),
     "gemma2": dict(dense=True, chunked_prefill=True, paged_kv=True,
-                   prefix_cache=True, speculative=False, q8_kv=False, forks=True),
+                   prefix_cache=True, speculative=True, q8_kv=True, forks=True),
     "mamba": dict(dense=True, chunked_prefill=False, paged_kv=False,
                   prefix_cache=False, speculative=False, q8_kv=False, forks=False),
     "phi3": dict(dense=True, chunked_prefill=True, paged_kv=True,
-                 prefix_cache=True, speculative=True, q8_kv=False, forks=True),
+                 prefix_cache=True, speculative=True, q8_kv=True, forks=True),
 }
 
 
