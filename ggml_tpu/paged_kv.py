@@ -268,13 +268,18 @@ def paged_gather(pool_kv, table_row):
     return g.transpose(1, 0, 2, 3).reshape(h, p * ps, d)
 
 
-def make_paged_decode_step(model, pcfg: PagedConfig):
-    """Jitted one-token decode step over paged KV (Llama or GPT-J family).
+def make_paged_decode_step(model, pcfg: PagedConfig, forward_fn=None):
+    """Jitted one-token decode step over paged KV.
 
     Returns step(params, pools, tokens (B,1), lengths (B,), tables (B,P),
     write_pages (B,), write_offs (B,), active (B,)) ->
     (logits (B, vocab), pools).  Works for any batch of slots at distinct
-    positions (continuous batching)."""
+    positions (continuous batching).
+
+    Specialized steps exist for the high-traffic families (llama, gptj,
+    gemma2, phi3, deepseek-MLA); EVERY other dense-KV attention family runs
+    the generic adapter over its own forward (pass forward_fn — serve.Engine
+    passes its family forward)."""
     from .models import deepseek as _deepseek
     from .models import gemma2 as _gemma2
     from .models import gptj as _gptj
@@ -285,16 +290,57 @@ def make_paged_decode_step(model, pcfg: PagedConfig):
         return _make_paged_step_gemma2(model, pcfg)
     if isinstance(model, _deepseek.Deepseek):
         return _make_paged_step_deepseek(model, pcfg)
+    from .models import llama as _llama
     from .models import phi3 as _phi3
 
     if isinstance(model, _phi3.Phi3):
         return _make_paged_step_phi3(model, pcfg)
-    gen = _make_paged_llama_general(model, pcfg)
+    if isinstance(model, _llama.Llama):
+        gen = _make_paged_llama_general(model, pcfg)
+
+        def step(params, pools, tokens, lengths, tables, wpage, woff, active):
+            logits, pools = gen(params, pools, tokens, lengths, tables,
+                                wpage[:, None], woff[:, None], active)
+            return logits[:, 0], pools
+
+        return jax.jit(step, donate_argnums=(1,))
+    if forward_fn is None:
+        raise TypeError(
+            f"no specialized paged step for {type(model).__name__} and no "
+            "forward_fn given for the generic adapter")
+    return _make_paged_step_generic(model, pcfg, forward_fn)
+
+
+def _make_paged_step_generic(model, pcfg: PagedConfig, forward_fn):
+    """ANY dense-KV attention family paged, by composition: gather each
+    layer's paged window into a dense per-layer cache VIEW, run the family's
+    OWN forward over it (the exact program the dense engine serves — paged ==
+    dense by construction, masks/ALiBi/softcaps/rope variants included), then
+    scatter the row each slot just wrote back into its page.  The gather is
+    the same traffic the hand-specialized steps pay; the extra dense-row
+    write+read per layer is noise.  llama.cpp hand-builds paged attention
+    into every per-arch graph (src/llama-kv-cache); here the family forward
+    is reused verbatim."""
+    cfg = model.cfg
 
     def step(params, pools, tokens, lengths, tables, wpage, woff, active):
-        logits, pools = gen(params, pools, tokens, lengths, tables,
-                            wpage[:, None], woff[:, None], active)
-        return logits[:, 0], pools
+        views = tuple(
+            (jax.vmap(lambda tr, p=kp: paged_gather(p, tr))(tables),
+             jax.vmap(lambda tr, p=vp: paged_gather(p, tr))(tables))
+            for kp, vp in pools)
+        logits, new_views = forward_fn(params, cfg, tokens, lengths, views,
+                                       lengths)
+        pick = jax.vmap(
+            lambda c, p: jax.lax.dynamic_index_in_dim(c, p, axis=1,
+                                                      keepdims=False))
+        new_pools = []
+        for (kp, vp), (kv, vv) in zip(pools, new_views):
+            krow, vrow = pick(kv, lengths), pick(vv, lengths)
+            new_pools.append(
+                (paged_write(kp, krow.astype(kp.dtype), wpage, woff),
+                 paged_write(vp, vrow.astype(vp.dtype), wpage, woff)))
+        logits = jnp.where(active[:, None], logits[:, -1], 0.0)
+        return logits, tuple(new_pools)
 
     return jax.jit(step, donate_argnums=(1,))
 

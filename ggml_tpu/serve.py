@@ -297,17 +297,7 @@ class Engine:
             from .models import llama as _llama
             from .paged_kv import PagedKVManager, make_paged_decode_step
 
-            from .models import gptj as _gptj
-
             from .models import deepseek as _deepseek
-            from .models import gemma2 as _gemma2
-            from .models import phi3 as _phi3
-
-            if not isinstance(model, (_llama.Llama, _gptj.GPTJ, _gemma2.Gemma2,
-                                      _deepseek.Deepseek, _phi3.Phi3)):
-                raise TypeError(
-                    "paged KV drives Llama-, GPT-J-, Gemma-, DeepSeek- and "
-                    "Phi3-family models")
             from .models.common import QUANT_KV_DTYPE
 
             if cache_dtype == QUANT_KV_DTYPE:
@@ -325,7 +315,8 @@ class Engine:
                 self.mgr = PagedKVManager(
                     cfgv.n_layer, n_kv, cfgv.head_dim, max_batch, paged, cache_dtype
                 )
-            self._paged_step = make_paged_decode_step(model, paged)
+            self._paged_step = make_paged_decode_step(model, paged,
+                                                      forward_fn=self._fwd)
             self.cache = None
         else:
             self.cache = self._make_cache(max_batch)

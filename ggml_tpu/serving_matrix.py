@@ -34,8 +34,10 @@ def _classes():
     exactish = (bamba.Bamba, jamba.Jamba, qwen3next.Qwen3Next,
                 recurrentgemma.RecurrentGemma, lfm2.LFM2,
                 granitehybrid.GraniteHybrid, minimax.MiniMax, zamba2.Zamba2)
-    paged_ok = (llama.Llama, gptj.GPTJ, gemma2.Gemma2, deepseek.Deepseek,
-                phi3.Phi3)
+    # paged KV: specialized steps for llama/gptj/gemma2/phi3/deepseek, the
+    # generic family-forward adapter for every other dense-KV attention
+    # family (paged_kv._make_paged_step_generic) — so paged = "not stateful"
+    paged_ok = None  # computed as `not stateful` in features_for
     # speculative draft/verify needs a forward in the engine's draft table
     # (serve.py dfwd); the q8 KV cache needs dequant-on-read in the family
     # forward (llama/gptj/gemma2/phi3 KV; deepseek quantizes the MLA LATENT)
@@ -48,15 +50,15 @@ def _classes():
 def features_for(model) -> dict[str, bool]:
     """Feature support for a constructed model instance (same predicates the
     Engine constructor enforces)."""
-    recurrent, exactish, paged_ok, spec_ok, q8_ok = _classes()
+    recurrent, exactish, _paged_ok, spec_ok, q8_ok = _classes()
     is_rec = isinstance(model, recurrent)
     is_exact = isinstance(model, exactish)
     stateful = is_rec or is_exact
     return {
         "dense": True,  # every Engine-drivable family
         "chunked_prefill": not stateful,
-        "paged_kv": isinstance(model, paged_ok),
-        "prefix_cache": isinstance(model, paged_ok),
+        "paged_kv": not stateful,
+        "prefix_cache": not stateful,
         "speculative": isinstance(model, spec_ok) and not stateful,
         "q8_kv": isinstance(model, q8_ok),
         "forks": not stateful,
@@ -92,8 +94,8 @@ _KIND_FEATURES = {
     "mla": {"dense": True, "chunked_prefill": True, "paged_kv": True,
             "prefix_cache": True, "speculative": False, "q8_kv": True,
             "forks": True},
-    "dense": {"dense": True, "chunked_prefill": True, "paged_kv": False,
-              "prefix_cache": False, "speculative": False, "q8_kv": False,
+    "dense": {"dense": True, "chunked_prefill": True, "paged_kv": True,
+              "prefix_cache": True, "speculative": False, "q8_kv": False,
               "forks": True},
     "hybrid": {"dense": True, "chunked_prefill": False, "paged_kv": False,
                "prefix_cache": False, "speculative": False, "q8_kv": False,
