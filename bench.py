@@ -704,11 +704,13 @@ def bench_qlora():
         remat_policy=os.environ.get("BENCH_QLORA_REMAT",
                                     "dots_with_no_batch_dims_saveable"))
 
-    def model_fn(lora_params, toks):
-        return lm_fn(wrap_lora(base, lora_params, 1.0), toks)
+    # base rides the step as the `frozen` jit ARGUMENT — closing over 3.5 GB
+    # of planar planes embeds them as lowered constants (compile never ends)
+    def model_fn(lora_params, toks, frozen_base):
+        return lm_fn(wrap_lora(frozen_base, lora_params, 1.0), toks)
 
     opt = Optimizer(model_fn, lora, loss_type="cross_entropy_sparse_fused",
-                    adamw=AdamWConfig(alpha=1e-4), classify=False)
+                    adamw=AdamWConfig(alpha=1e-4), classify=False, frozen=base)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, cfg.n_vocab, (batch, seq)).astype(np.int32))

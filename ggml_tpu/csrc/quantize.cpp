@@ -21,6 +21,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -1133,6 +1135,1021 @@ static void quant_iq4_xs_block(const float* x, const float* qw, uint8_t* out) {
     for (int j = 0; j < 4; ++j) out[4 + j] = scales_l[j];
 }
 
+// ---- grid-codebook i-quants (IQ2_XXS/XS/S, IQ3_XXS/S, IQ1_S/M) -------------
+// spec: ggml_tpu/quant/iquant_encode.py (itself golden-gated vs the
+// reference binary; algorithm of quantize_row_iq2_xxs_impl et al.,
+// src/ggml-quants.c:2954 onward).  The code lattices are supplied from
+// Python at init (gt_iq_set_lattice) so the grid data stays single-sourced
+// in quant/data/iq_grids.npz; neighbour candidate lists are precomputed
+// eagerly for every off-grid lattice point (the reference's iq2xs_init_impl
+// idiom) — ~10M integer ops once, then lock-free lookups.
+
+struct IQLattice {
+    int dim = 0, shift = 0, nwant = 0, kmap_size = 0, ngrid = 0;
+    std::vector<int8_t> L;       // ngrid*dim integer codes
+    std::vector<float> posf;     // ngrid*dim grid bytes (2c+1) as float
+    std::vector<int32_t> kmap;   // packed-code -> grid index or -1
+    std::vector<int32_t> noff;   // CSR offsets (kmap_size+1) into ndata
+    std::vector<int16_t> ndata;  // neighbour grid indices per off-grid point
+    bool ready = false;
+};
+
+static IQLattice g_lat[8];  // slot per lattice id (see _LAT_SLOT in native.py)
+static std::mutex g_lat_mu;
+
+static void iq_lat_build(IQLattice& la, const int8_t* codes, int ngrid,
+                         int dim, int shift, int nwant, int kmap_size) {
+    la.dim = dim; la.shift = shift; la.nwant = nwant;
+    la.kmap_size = kmap_size; la.ngrid = ngrid;
+    la.L.assign(codes, codes + (size_t)ngrid * dim);
+    la.posf.resize((size_t)ngrid * dim);
+    for (size_t i = 0; i < la.posf.size(); ++i)
+        la.posf[i] = (float)(2 * codes[i] + 1);
+    la.kmap.assign(kmap_size, -1);
+    for (int g = 0; g < ngrid; ++g) {
+        int64_t u = 0;
+        for (int i = 0; i < dim; ++i)
+            u |= (int64_t)codes[g * dim + i] << (shift * i);
+        la.kmap[u] = g;
+    }
+    // eager neighbour lists for every representable off-grid point
+    la.noff.assign(kmap_size + 1, 0);
+    std::vector<std::pair<int32_t, int32_t>> dist(ngrid);  // (d2, idx)
+    std::vector<int16_t> all;
+    int mask = (1 << shift) - 1;
+    for (int64_t u = 0; u < kmap_size; ++u) {
+        la.noff[u] = (int32_t)all.size();
+        if (la.kmap[u] >= 0) continue;
+        // reject impossible packings (fields beyond the code alphabet have
+        // no kmap entry either — python never queries them, so lists for
+        // them are never read; computing them anyway is harmless)
+        int pu[8];
+        for (int i = 0; i < dim; ++i)
+            pu[i] = 2 * (int)((u >> (shift * i)) & mask) + 1;
+        for (int g = 0; g < ngrid; ++g) {
+            int32_t d2 = 0;
+            for (int i = 0; i < dim; ++i) {
+                int d = (int)la.posf[g * dim + i] - pu[i];
+                d2 += d * d;
+            }
+            dist[g] = {d2, g};
+        }
+        std::sort(dist.begin(), dist.end());
+        // all points within the nwant smallest DISTINCT distances
+        int distinct = 0, last = -1, cut = dist[ngrid - 1].first;
+        for (int g = 0; g < ngrid; ++g) {
+            if (dist[g].first != last) {
+                last = dist[g].first;
+                if (++distinct == nwant) { cut = last; break; }
+            }
+        }
+        for (int g = 0; g < ngrid && dist[g].first <= cut; ++g)
+            all.push_back((int16_t)dist[g].second);
+    }
+    la.noff[kmap_size] = (int32_t)all.size();
+    la.ndata = std::move(all);
+    la.ready = true;
+}
+
+// weighted-L2 best neighbour (iq2/iq3_find_best_neighbour; spec
+// _best_neighbours): first minimum wins (strict <).  The per-dim products
+// are vectorized; the ACCUMULATION stays sequential in dim order (lane
+// extract + ordered adds) so near-tie argmins round exactly like the spec.
+static int iq_best_neighbour(const IQLattice& la, int64_t u, const float* xval,
+                             const float* waux, float scale) {
+    int32_t lo = la.noff[u], hi = la.noff[u + 1];
+    int best = la.ndata[lo];
+    float bestd = INFINITY;
+#if defined(__AVX2__)
+    if (la.dim == 8) {
+        const __m256 xv = _mm256_loadu_ps(xval);
+        const __m256 wv = _mm256_loadu_ps(waux);
+        const __m256 sc = _mm256_set1_ps(scale);
+        for (int32_t n = lo; n < hi; ++n) {
+            int g = la.ndata[n];
+            __m256 q = _mm256_loadu_ps(&la.posf[(size_t)g * 8]);
+            __m256 d = _mm256_sub_ps(_mm256_mul_ps(sc, q), xv);
+            __m256 p = _mm256_mul_ps(_mm256_mul_ps(wv, d), d);
+            float prod[8];
+            _mm256_storeu_ps(prod, p);
+            float acc = 0.0f;
+            for (int i = 0; i < 8; ++i) acc = acc + prod[i];
+            if (acc < bestd) { bestd = acc; best = g; }
+        }
+        return best;
+    }
+    if (la.dim == 4) {
+        const __m128 xv = _mm_loadu_ps(xval);
+        const __m128 wv = _mm_loadu_ps(waux);
+        const __m128 sc = _mm_set1_ps(scale);
+        for (int32_t n = lo; n < hi; ++n) {
+            int g = la.ndata[n];
+            __m128 q = _mm_loadu_ps(&la.posf[(size_t)g * 4]);
+            __m128 d = _mm_sub_ps(_mm_mul_ps(sc, q), xv);
+            __m128 p = _mm_mul_ps(_mm_mul_ps(wv, d), d);
+            float prod[4];
+            _mm_storeu_ps(prod, p);
+            float acc = 0.0f;
+            for (int i = 0; i < 4; ++i) acc = acc + prod[i];
+            if (acc < bestd) { bestd = acc; best = g; }
+        }
+        return best;
+    }
+#endif
+    for (int32_t n = lo; n < hi; ++n) {
+        int g = la.ndata[n];
+        float acc = 0.0f;
+        for (int i = 0; i < la.dim; ++i) {
+            float diff = scale * la.posf[g * la.dim + i] - xval[i];
+            acc = acc + (waux[i] * diff) * diff;
+        }
+        if (acc < bestd) { bestd = acc; best = g; }
+    }
+    return best;
+}
+
+// pack dim codes -> lattice index
+static inline int64_t iq_pack(const IQLattice& la, const int8_t* Lg) {
+    int64_t u = 0;
+    for (int i = 0; i < la.dim; ++i)
+        u |= (int64_t)Lg[i] << (la.shift * i);
+    return u;
+}
+
+// spec _lookup_groups for one dim-sized group: on-grid -> its index, else
+// best neighbour (codes corrected in place).  Returns grid index.
+static int iq_lookup_group(const IQLattice& la, int8_t* Lg, const float* xval,
+                           const float* waux, float scale, int* on_grid) {
+    int64_t u = iq_pack(la, Lg);
+    int gi = la.kmap[u];
+    if (gi >= 0) { *on_grid = 1; return gi; }
+    *on_grid = 0;
+    gi = iq_best_neighbour(la, u, xval, waux, scale);
+    for (int i = 0; i < la.dim; ++i) Lg[i] = la.L[gi * la.dim + i];
+    return gi;
+}
+
+// spec imatrix.make_qp_quants (reference make_qp_quants
+// src/ggml-quants.c:829): weighted positive quantizer -> scale
+static float iq_make_qp_scale(const float* x, int n, int nmax,
+                              const float* qw) {
+    float mx = 0.0f;
+    for (int j = 0; j < n; ++j) if (x[j] > mx) mx = x[j];
+    if (mx == 0.0f) return 0.0f;
+    float iscale = (float)nmax / mx;
+    float scale = 1.0f / iscale;
+    float best_mse = 0.0f;
+    for (int j = 0; j < n; ++j) {
+        int l = nearest_int(iscale * x[j]);
+        float d = x[j] - scale * (float)l;
+        best_mse = best_mse + qw[j] * d * d;
+    }
+    for (int is = -4; is <= 4; ++is) {
+        if (is == 0) continue;
+        float iscale_is = (0.1f * (float)is + (float)nmax) / mx;
+        float scale_is = 1.0f / iscale_is;
+        float mse = 0.0f;
+        for (int j = 0; j < n; ++j) {
+            int l = nearest_int(iscale_is * x[j]);
+            if (l > nmax) l = nmax;
+            float d = x[j] - scale_is * (float)l;
+            mse = mse + qw[j] * d * d;
+        }
+        if (mse < best_mse) { best_mse = mse; iscale = iscale_is; }
+    }
+    int L[32];
+    float sumlx = 0.0f, suml2 = 0.0f;
+    for (int j = 0; j < n; ++j) {
+        int l = nearest_int(iscale * x[j]);
+        if (l > nmax) l = nmax;
+        L[j] = l;
+        float lf = (float)l;
+        sumlx = sumlx + qw[j] * x[j] * lf;
+        suml2 = suml2 + qw[j] * lf * lf;
+    }
+    for (int round = 0; round < 5; ++round) {
+        bool changed_any = false;
+        for (int j = 0; j < n; ++j) {
+            float w = qw[j], lf = (float)L[j];
+            float slx = sumlx - w * x[j] * lf;
+            float sl2 = suml2 - w * lf * lf;
+            if (!(slx > 0.0f && sl2 > 0.0f)) continue;
+            int new_l = nearest_int(x[j] * sl2 / slx);
+            if (new_l > nmax) new_l = nmax;
+            if (new_l == L[j]) continue;
+            float nlf = (float)new_l;
+            float slx2 = slx + w * x[j] * nlf;
+            float sl22 = sl2 + w * nlf * nlf;
+            if (slx2 * slx2 * suml2 > sumlx * sumlx * sl22) {
+                L[j] = new_l;
+                sumlx = slx2;
+                suml2 = sl22;
+                changed_any = true;
+            }
+        }
+        if (!changed_any) break;
+    }
+    return suml2 != 0.0f ? sumlx / suml2 : 0.0f;
+}
+
+// spec _signed_split for one 8-group (parity variant): |x| magnitudes +
+// 7-bit sign code, odd-negative groups flip the least-important element
+static void iq_signed_split8(const float* xg, const float* wg, float* xval,
+                             uint32_t* sign_out, bool parity) {
+    uint32_t s = 0;
+    int nneg = 0;
+    for (int i = 0; i < 8; ++i) {
+        bool neg = !(xg[i] >= 0.0f);
+        xval[i] = neg ? -xg[i] : xg[i];
+        if (neg) { s |= 1u << i; ++nneg; }
+    }
+    if (parity) {
+        if ((nneg % 2) == 1) {
+            int imin = 0;
+            float bestp = INFINITY;
+            for (int i = 0; i < 8; ++i) {
+                float p = (wg[i] * xg[i]) * xg[i];
+                if (p < bestp) { bestp = p; imin = i; }
+            }
+            xval[imin] = -xval[imin];
+            s ^= 1u << imin;
+        }
+        s &= 127u;  // parity codes carry 7 explicit bits for EVERY group
+    }
+    *sign_out = s;
+}
+
+// spec _sum_qx_q2: q = 2L+1, sequential fp32
+static inline void iq_sum_qx_q2(const float* w, const float* xval,
+                                const int8_t* L, int n, float* sqx_out,
+                                float* sq2_out) {
+    float sqx = 0.0f, sq2 = 0.0f;
+    for (int i = 0; i < n; ++i) {
+        float q = (float)(2 * (int)L[i] + 1);
+        sqx = sqx + (w[i] * xval[i]) * q;
+        sq2 = sq2 + (w[i] * q) * q;
+    }
+    *sqx_out = sqx;
+    *sq2_out = sq2;
+}
+
+// one IQ2_XXS superblock (256 elems) -> 66 bytes; qw REQUIRED
+// (spec quant_iq2_xxs; reference quantize_row_iq2_xxs_impl :2954)
+static void quant_iq2_xxs_block(const float* x, const float* qw, uint8_t* out) {
+    const IQLattice& la = g_lat[0];
+    float sigma2 = seq_sumsq(x, QK_K) / (float)QK_K;  // sigma_mul = 1
+    float scales_ib[8];
+    int gi_sb[8][4];
+    uint32_t signs_sb[8][4];
+    for (int ib = 0; ib < 8; ++ib) {
+        const float* xb = x + 32 * ib;
+        const float* qwb = qw + 32 * ib;
+        float weight[32], waux[32], xval[32];
+        for (int i = 0; i < 32; ++i)
+            weight[i] = qwb[i] * std::sqrt(sigma2 + xb[i] * xb[i]);
+        for (int i = 0; i < 32; ++i) waux[i] = std::sqrt(weight[i]);
+        uint32_t signs[4];
+        for (int g = 0; g < 4; ++g)
+            iq_signed_split8(xb + 8 * g, weight + 8 * g, xval + 8 * g,
+                             &signs[g], /*parity=*/true);
+        float maxv = xval[0];
+        for (int i = 1; i < 32; ++i) if (xval[i] > maxv) maxv = xval[i];
+        bool dead = maxv < GROUP_MAX_EPS;
+
+        float scale = iq_make_qp_scale(xval, 32, 4, weight);
+        float eff_max = scale * 3.0f;
+        float safe_eff = eff_max != 0.0f ? eff_max : 1.0f;
+        float best = 0.0f;
+        int8_t L[32] = {0};
+        for (int is = -6; is <= 6; ++is) {
+            float id = (5.0f + (float)is * 0.1f) / safe_eff;
+            float this_scale = 1.0f / id;
+            int8_t Laux[32];
+            for (int i = 0; i < 32; ++i) {
+                int l = nearest_int(0.5f * (id * xval[i] - 1.0f));
+                Laux[i] = (int8_t)clip(l, 0, 2);
+            }
+            for (int g = 0; g < 4; ++g) {
+                int on;
+                iq_lookup_group(la, Laux + 8 * g, xval + 8 * g, waux + 8 * g,
+                                this_scale, &on);
+            }
+            float sqx, sq2;
+            iq_sum_qx_q2(weight, xval, Laux, 32, &sqx, &sq2);
+            if (sq2 > 0.0f && sqx * sqx > best * sq2) {
+                scale = sqx / sq2;
+                best = scale * sqx;
+                std::memcpy(L, Laux, 32);
+            }
+        }
+        if (scale > 0.0f) {
+            float id = 1.0f / scale;
+            int8_t Lq[32];
+            for (int i = 0; i < 32; ++i) {
+                int l = nearest_int(0.5f * (id * xval[i] - 1.0f));
+                Lq[i] = (int8_t)clip(l, 0, 2);
+            }
+            for (int g = 0; g < 4; ++g) {
+                int on;
+                iq_lookup_group(la, Lq + 8 * g, xval + 8 * g, waux + 8 * g,
+                                scale, &on);
+            }
+            std::memcpy(L, Lq, 32);
+            float sqx, sq2;
+            iq_sum_qx_q2(weight, xval, L, 32, &sqx, &sq2);
+            if (sq2 > 0.0f) scale = sqx / sq2;
+        }
+        if (scale < 0.0f) {
+            scale = -scale;
+            for (int g = 0; g < 4; ++g) signs[g] = (~signs[g]) & 127u;
+        }
+        for (int g = 0; g < 4; ++g) {
+            int on;
+            gi_sb[ib][g] = iq_lookup_group(la, L + 8 * g, xval + 8 * g,
+                                           waux + 8 * g, scale, &on);
+        }
+        if (dead) {
+            for (int g = 0; g < 4; ++g) { gi_sb[ib][g] = 0; signs[g] = 0; }
+            scale = 0.0f;
+        }
+        for (int g = 0; g < 4; ++g) signs_sb[ib][g] = signs[g];
+        scales_ib[ib] = scale;
+    }
+
+    float max_scale = scales_ib[0];
+    for (int ib = 1; ib < 8; ++ib)
+        if (scales_ib[ib] > max_scale) max_scale = scales_ib[ib];
+    bool sb_live = max_scale != 0.0f;
+    float d = max_scale / 31.0f;
+    float id_sb = 1.0f / (sb_live ? d : 1.0f);
+
+    uint16_t dh = f32_to_f16_bits(sb_live ? d : 0.0f);
+    out[0] = (uint8_t)(dh & 0xFF); out[1] = (uint8_t)(dh >> 8);
+    for (int ib = 0; ib < 8; ++ib) {
+        uint32_t idx_word = 0, sign_word = 0;
+        uint32_t l_ib = 0;
+        if (sb_live) {
+            int l = nearest_int(0.5f * (id_sb * scales_ib[ib] - 1.0f));
+            l_ib = (uint32_t)clip(l, 0, 15);
+        }
+        for (int k = 0; k < 4; ++k) {
+            idx_word |= (uint32_t)gi_sb[ib][k] << (8 * k);
+            sign_word |= signs_sb[ib][k] << (7 * k);
+        }
+        sign_word |= l_ib << 28;
+        if (!sb_live) { idx_word = 0; sign_word = 0; }
+        std::memcpy(out + 2 + 8 * ib, &idx_word, 4);
+        std::memcpy(out + 2 + 8 * ib + 4, &sign_word, 4);
+    }
+}
+
+// shared IQ2_XS / IQ2_S body (16-element sub-blocks, per-sub-block 4-bit
+// scales; spec _quant_iq2_fine; reference :3127 and :4749)
+static void quant_iq2_fine_block(const float* x, const float* qw, uint8_t* out,
+                                 const IQLattice& la, int is_range, bool parity,
+                                 float eps, float d_fudge, bool variant_xs,
+                                 float sigma_mul) {
+    float sigma2 = (sigma_mul * seq_sumsq(x, QK_K)) / (float)QK_K;
+    float scales_ib[16];
+    int gi_sb[16][2];
+    uint32_t signs_sb[16][2];
+    for (int ib = 0; ib < 16; ++ib) {
+        const float* xb = x + 16 * ib;
+        float weight[16], waux[16], xval[16];
+        if (qw != nullptr) {
+            const float* qwb = qw + 16 * ib;
+            for (int i = 0; i < 16; ++i)
+                weight[i] = qwb[i] * std::sqrt(sigma2 + xb[i] * xb[i]);
+        } else {  // iq2_s unweighted fallback
+            for (int i = 0; i < 16; ++i)
+                weight[i] = 0.25f * sigma2 + xb[i] * xb[i];
+        }
+        for (int i = 0; i < 16; ++i) waux[i] = std::sqrt(weight[i]);
+        uint32_t signs[2];
+        for (int g = 0; g < 2; ++g)
+            iq_signed_split8(xb + 8 * g, weight + 8 * g, xval + 8 * g,
+                             &signs[g], parity);
+        float maxv = xval[0];
+        for (int i = 1; i < 16; ++i) if (xval[i] > maxv) maxv = xval[i];
+        bool dead = maxv < eps;
+
+        float safe_max = maxv != 0.0f ? maxv : 1.0f;
+        float scale = safe_max / 5.0f;  // max/(2*kMaxQ-1)
+        float best = 0.0f;
+        int8_t L[16] = {0};
+        int on_grid[2] = {1, 1};
+        for (int is = -is_range; is <= is_range; ++is) {
+            float id = (5.0f + (float)is * 0.1f) / safe_max;
+            float this_scale = 1.0f / id;
+            int8_t Laux[16];
+            int on_aux[2];
+            for (int i = 0; i < 16; ++i)
+                Laux[i] = (int8_t)clip(
+                    nearest_int(0.5f * (id * xval[i] - 1.0f)), 0, 2);
+            for (int g = 0; g < 2; ++g)
+                iq_lookup_group(la, Laux + 8 * g, xval + 8 * g, waux + 8 * g,
+                                this_scale, &on_aux[g]);
+            float sqx, sq2;
+            iq_sum_qx_q2(weight, xval, Laux, 16, &sqx, &sq2);
+            if (sq2 > 0.0f && sqx * sqx > best * sq2) {
+                scale = sqx / sq2;
+                best = scale * sqx;
+                std::memcpy(L, Laux, 16);
+                on_grid[0] = on_aux[0]; on_grid[1] = on_aux[1];
+            }
+        }
+        // refresh only off-grid groups with the final scale
+        if ((!on_grid[0] || !on_grid[1]) && scale > 0.0f) {
+            float id = 1.0f / scale;
+            int8_t Lg[16];
+            std::memcpy(Lg, L, 16);
+            for (int g = 0; g < 2; ++g) {
+                if (on_grid[g]) continue;
+                int8_t lq[8];
+                for (int i = 0; i < 8; ++i)
+                    lq[i] = (int8_t)clip(
+                        nearest_int(0.5f * (id * xval[8 * g + i] - 1.0f)), 0, 2);
+                int64_t u = iq_pack(la, lq);
+                int gi = la.kmap[u];
+                if (gi < 0) {
+                    gi = iq_best_neighbour(la, u, xval + 8 * g, waux + 8 * g,
+                                           scale);
+                    for (int i = 0; i < 8; ++i) lq[i] = la.L[gi * 8 + i];
+                }
+                std::memcpy(Lg + 8 * g, lq, 8);
+            }
+            float sqx, sq2;
+            iq_sum_qx_q2(weight, xval, Lg, 16, &sqx, &sq2);
+            if (sq2 > 0.0f) scale = sqx / sq2;
+            std::memcpy(L, Lg, 16);
+        }
+        if (scale < 0.0f) {
+            scale = -scale;
+            uint32_t smask = parity ? 127u : 255u;
+            for (int g = 0; g < 2; ++g) signs[g] = (~signs[g]) & smask;
+        }
+        for (int g = 0; g < 2; ++g) {
+            int on;
+            gi_sb[ib][g] = iq_lookup_group(la, L + 8 * g, xval + 8 * g,
+                                           waux + 8 * g, scale, &on);
+        }
+        if (dead) {
+            gi_sb[ib][0] = gi_sb[ib][1] = 0;
+            signs[0] = signs[1] = 0;
+            scale = 0.0f;
+        }
+        signs_sb[ib][0] = signs[0]; signs_sb[ib][1] = signs[1];
+        scales_ib[ib] = scale;
+    }
+
+    float max_scale = scales_ib[0];
+    for (int ib = 1; ib < 16; ++ib)
+        if (scales_ib[ib] > max_scale) max_scale = scales_ib[ib];
+    bool sb_live = max_scale != 0.0f;
+    float d = max_scale / 31.0f;
+    float id_sb = 1.0f / (sb_live ? d : 1.0f);
+    int l_ib[16];
+    for (int ib = 0; ib < 16; ++ib)
+        l_ib[ib] = sb_live
+            ? clip(nearest_int(0.5f * (id_sb * scales_ib[ib] - 1.0f)), 0, 15)
+            : 0;
+
+    uint16_t d16 = f32_to_f16_bits(sb_live ? d * d_fudge : 0.0f);
+    uint8_t scale_bytes[8];
+    for (int j = 0; j < 8; ++j)
+        scale_bytes[j] = (uint8_t)(l_ib[2 * j] | (l_ib[2 * j + 1] << 4));
+
+    if (variant_xs) {
+        // reference memsets qs on !max_scale (src/ggml-quants.c:3289)
+        out[0] = (uint8_t)(d16 & 0xFF); out[1] = (uint8_t)(d16 >> 8);
+        for (int ib = 0; ib < 16; ++ib)
+            for (int g = 0; g < 2; ++g) {
+                uint16_t q2 = sb_live
+                    ? (uint16_t)(gi_sb[ib][g] | (signs_sb[ib][g] << 9)) : 0;
+                std::memcpy(out + 2 + 2 * (2 * ib + g), &q2, 2);
+            }
+        std::memcpy(out + 66, scale_bytes, 8);
+        return;
+    }
+    // iq2_s: qs (32 idx bytes + 32 sign bytes), qh, scales; packed bytes are
+    // retained even when max_scale == 0 (no memset on the continue path)
+    out[0] = (uint8_t)(d16 & 0xFF); out[1] = (uint8_t)(d16 >> 8);
+    uint8_t qh[8] = {0};
+    for (int ib = 0; ib < 16; ++ib)
+        for (int g = 0; g < 2; ++g) {
+            int i8 = 2 * ib + g;
+            out[2 + i8] = (uint8_t)(gi_sb[ib][g] & 255);
+            out[34 + i8] = (uint8_t)signs_sb[ib][g];
+            qh[i8 / 4] |= (uint8_t)((gi_sb[ib][g] >> 8) << (2 * (i8 % 4)));
+        }
+    std::memcpy(out + 66, qh, 8);
+    std::memcpy(out + 74, scale_bytes, 8);
+}
+
+static void quant_iq2_xs_block(const float* x, const float* qw, uint8_t* out) {
+    quant_iq2_fine_block(x, qw, out, g_lat[1], 9, /*parity=*/true,
+                         GROUP_MAX_EPS, 1.0f, /*variant_xs=*/true, 1.0f);
+}
+
+static void quant_iq2_s_block(const float* x, const float* qw, uint8_t* out) {
+    quant_iq2_fine_block(x, qw, out, g_lat[2], 9, /*parity=*/false,
+                         1e-8f /*GROUP_MAX_EPS_IQ2_S*/, 0.9875f,
+                         /*variant_xs=*/false, 2.0f);
+}
+
+// shared IQ3_XXS / IQ3_S search for ONE 32-element sub-block (8 groups of 4,
+// kMaxQ=8; spec _quant_iq3_core; reference :3548 / :3778)
+static void iq3_search_subblock(const IQLattice& la, const float* xb,
+                                const float* qwb, float sigma2, int is_range,
+                                float step, bool parity, bool eps_zero,
+                                float eps, bool refresh_all, bool on_init,
+                                int gi_out[8], uint32_t signs_out[4],
+                                float* scale_out, int* dead_out) {
+    float weight[32], waux[32], xval[32];
+    if (qwb != nullptr) {
+        for (int i = 0; i < 32; ++i)
+            weight[i] = qwb[i] * std::sqrt(sigma2 + xb[i] * xb[i]);
+    } else {
+        for (int i = 0; i < 32; ++i) weight[i] = xb[i] * xb[i];
+    }
+    for (int i = 0; i < 32; ++i) waux[i] = std::sqrt(weight[i]);
+    uint32_t signs[4];
+    for (int g = 0; g < 4; ++g)
+        iq_signed_split8(xb + 8 * g, weight + 8 * g, xval + 8 * g,
+                         &signs[g], parity);
+    float maxv = xval[0];
+    for (int i = 1; i < 32; ++i) if (xval[i] > maxv) maxv = xval[i];
+    bool dead = eps_zero ? (maxv == 0.0f) : (maxv < eps);
+
+    float safe_max = maxv != 0.0f ? maxv : 1.0f;
+    float scale = safe_max / 15.0f;  // max/(2*kMaxQ-1)
+    float best = 0.0f;
+    int8_t L[32] = {0};
+    int on_grid[8];
+    for (int g = 0; g < 8; ++g) on_grid[g] = on_init ? 1 : 0;
+    for (int is = -is_range; is <= is_range; ++is) {
+        float id = (15.0f + (float)is * step) / safe_max;
+        float this_scale = 1.0f / id;
+        int8_t Laux[32];
+        int on_aux[8];
+        for (int i = 0; i < 32; ++i)
+            Laux[i] = (int8_t)clip(
+                nearest_int(0.5f * (id * xval[i] - 1.0f)), 0, 7);
+        for (int g = 0; g < 8; ++g)
+            iq_lookup_group(la, Laux + 4 * g, xval + 4 * g, waux + 4 * g,
+                            this_scale, &on_aux[g]);
+        float sqx, sq2;
+        iq_sum_qx_q2(weight, xval, Laux, 32, &sqx, &sq2);
+        if (sq2 > 0.0f && sqx * sqx > best * sq2) {
+            scale = sqx / sq2;
+            best = scale * sqx;
+            std::memcpy(L, Laux, 32);
+            std::memcpy(on_grid, on_aux, sizeof(on_aux));
+        }
+    }
+    bool all_on = true;
+    for (int g = 0; g < 8; ++g) all_on = all_on && on_grid[g];
+    if (!all_on && scale > 0.0f) {
+        float id = 1.0f / (scale != 0.0f ? scale : 1.0f);
+        int8_t Lg[32];
+        std::memcpy(Lg, L, 32);
+        for (int g = 0; g < 8; ++g) {
+            if (!refresh_all && on_grid[g]) continue;
+            int8_t lq[4];
+            for (int i = 0; i < 4; ++i)
+                lq[i] = (int8_t)clip(
+                    nearest_int(0.5f * (id * xval[4 * g + i] - 1.0f)), 0, 7);
+            int64_t u = iq_pack(la, lq);
+            int gi = la.kmap[u];
+            if (gi < 0) {
+                gi = iq_best_neighbour(la, u, xval + 4 * g, waux + 4 * g, scale);
+                for (int i = 0; i < 4; ++i) lq[i] = la.L[gi * 4 + i];
+            }
+            std::memcpy(Lg + 4 * g, lq, 4);
+        }
+        float sqx, sq2;
+        iq_sum_qx_q2(weight, xval, Lg, 32, &sqx, &sq2);
+        if (sq2 > 0.0f) scale = sqx / sq2;
+        std::memcpy(L, Lg, 32);
+    }
+    if (scale < 0.0f) {
+        scale = -scale;
+        uint32_t smask = parity ? 127u : 255u;
+        for (int g = 0; g < 4; ++g) signs[g] = (~signs[g]) & smask;
+    }
+    for (int g = 0; g < 8; ++g) {
+        int on;
+        gi_out[g] = iq_lookup_group(la, L + 4 * g, xval + 4 * g, waux + 4 * g,
+                                    scale, &on);
+    }
+    if (dead) {
+        for (int g = 0; g < 8; ++g) gi_out[g] = 0;
+        for (int g = 0; g < 4; ++g) signs[g] = 0;
+        scale = 0.0f;
+    }
+    for (int g = 0; g < 4; ++g) signs_out[g] = signs[g];
+    *scale_out = scale;
+    *dead_out = dead ? 1 : 0;
+}
+
+static void quant_iq3_xxs_block(const float* x, const float* qw, uint8_t* out) {
+    const IQLattice& la = g_lat[3];
+    float sigma2 = (2.0f * seq_sumsq(x, QK_K)) / (float)QK_K;
+    int gi[8][8];
+    uint32_t signs[8][4];
+    float scales_ib[8];
+    int dead;
+    for (int ib = 0; ib < 8; ++ib)
+        iq3_search_subblock(la, x + 32 * ib, qw ? qw + 32 * ib : nullptr,
+                            sigma2, 15, 0.2f, /*parity=*/true,
+                            /*eps_zero=*/false, 1e-8f /*IQ3_XXS eps*/,
+                            /*refresh_all=*/false, /*on_init=*/true,
+                            gi[ib], signs[ib], &scales_ib[ib], &dead);
+    float max_scale = scales_ib[0];
+    for (int ib = 1; ib < 8; ++ib)
+        if (scales_ib[ib] > max_scale) max_scale = scales_ib[ib];
+    bool sb_live = max_scale != 0.0f;
+    float d = max_scale / 31.0f;
+    float id_sb = 1.0f / (sb_live ? d : 1.0f);
+    uint16_t d16 = f32_to_f16_bits(sb_live ? d * 1.0125f : 0.0f);
+    out[0] = (uint8_t)(d16 & 0xFF); out[1] = (uint8_t)(d16 >> 8);
+    for (int ib = 0; ib < 8; ++ib) {
+        for (int k = 0; k < 8; ++k)
+            out[2 + 8 * ib + k] = sb_live ? (uint8_t)gi[ib][k] : 0;
+        uint32_t sw = 0;
+        if (sb_live) {
+            int l = clip(nearest_int(0.5f * (id_sb * scales_ib[ib] - 1.0f)),
+                         0, 15);
+            for (int k = 0; k < 4; ++k) sw |= signs[ib][k] << (7 * k);
+            sw |= (uint32_t)l << 28;
+        }
+        std::memcpy(out + 66 + 4 * ib, &sw, 4);
+    }
+}
+
+static void quant_iq3_s_block(const float* x, const float* qw, uint8_t* out) {
+    const IQLattice& la = g_lat[4];
+    float sigma2 = (2.0f * seq_sumsq(x, QK_K)) / (float)QK_K;
+    int gi[8][8];
+    uint32_t signs[8][4];
+    float scales_ib[8];
+    int dead[8];
+    for (int ib = 0; ib < 8; ++ib)
+        iq3_search_subblock(la, x + 32 * ib, qw ? qw + 32 * ib : nullptr,
+                            sigma2, 9, 0.2f, /*parity=*/false,
+                            /*eps_zero=*/true, 0.0f,
+                            /*refresh_all=*/true, /*on_init=*/false,
+                            gi[ib], signs[ib], &scales_ib[ib], &dead[ib]);
+    float max_scale = scales_ib[0];
+    for (int ib = 1; ib < 8; ++ib)
+        if (scales_ib[ib] > max_scale) max_scale = scales_ib[ib];
+    bool sb_live = max_scale != 0.0f;
+    float d = max_scale / 31.0f;
+    float id_sb = 1.0f / (sb_live ? d : 1.0f);
+    uint16_t d16 = f32_to_f16_bits(sb_live ? d * 1.033f : 0.0f);
+    std::memset(out, 0, 110);
+    out[0] = (uint8_t)(d16 & 0xFF); out[1] = (uint8_t)(d16 >> 8);
+    // the reference advances qs/signs write pointers only for LIVE
+    // sub-blocks while qh uses the absolute sub-block index (:3934-3936)
+    int nlive = 0;
+    for (int ib = 0; ib < 8; ++ib) {
+        if (!dead[ib]) {
+            for (int k = 0; k < 8; ++k) {
+                out[2 + 8 * nlive + k] = (uint8_t)(gi[ib][k] & 255);
+                out[66 + ib] |= (uint8_t)((gi[ib][k] >> 8) << k);
+            }
+            for (int k = 0; k < 4; ++k)
+                out[74 + 4 * nlive + k] = (uint8_t)signs[ib][k];
+            ++nlive;
+        }
+    }
+    int l_ib[8];
+    for (int ib = 0; ib < 8; ++ib)
+        l_ib[ib] = sb_live
+            ? clip(nearest_int(0.5f * (id_sb * scales_ib[ib] - 1.0f)), 0, 15)
+            : 0;
+    for (int j = 0; j < 4; ++j)
+        out[106 + j] = (uint8_t)(l_ib[2 * j] | (l_ib[2 * j + 1] << 4));
+}
+
+// ---- IQ1_S / IQ1_M (ternary codes over the iq1 grid) -----------------------
+// spec: quant_iq1_s / quant_iq1_m (reference quantize_row_iq1_s_impl :4116,
+// iq1_m :4294).  The exact-SSD ternary split scans every (i1, i2) cut of the
+// sorted block via sequential-f32 prefix sums.
+
+static const float IQ1_DELTA = 0.125f;
+
+// iq1_find_best_neighbour2 (spec _best_neighbours_iq1): weighted L2 against
+// the per-block ternary value table xg[3]; raw weight (not sqrt), raw
+// SIGNED xb; first minimum wins
+static int iq1_best_neighbour(const IQLattice& la, int64_t u, const float* xb,
+                              const float* w, float scale, const float* xg) {
+    int32_t lo = la.noff[u], hi = la.noff[u + 1];
+    int best = la.ndata[lo];
+    float bestd = INFINITY;
+    for (int32_t n = lo; n < hi; ++n) {
+        int g = la.ndata[n];
+        float acc = 0.0f;
+        for (int i = 0; i < 8; ++i) {
+            float q = xg[la.L[g * 8 + i]];
+            float diff = scale * q - xb[i];
+            acc = acc + (w[i] * diff) * diff;
+        }
+        if (acc < bestd) { bestd = acc; best = g; }
+    }
+    return best;
+}
+
+// stable ascending argsort + sequential prefix sums (spec _iq1_prefix_split)
+static void iq1_prefix_split(const float* xb, const float* w, int bs,
+                             int* order, int* rank, float* xs, float* ws,
+                             float* sumx, float* sumw) {
+    for (int j = 0; j < bs; ++j) order[j] = j;
+    std::stable_sort(order, order + bs,
+                     [&](int a, int b) { return xb[a] < xb[b]; });
+    for (int j = 0; j < bs; ++j) {
+        rank[order[j]] = j;
+        xs[j] = xb[order[j]];
+        ws[j] = w[order[j]];
+    }
+    sumx[0] = 0.0f; sumw[0] = 0.0f;
+    for (int j = 0; j < bs; ++j) {
+        sumx[j + 1] = sumx[j] + ws[j] * xs[j];
+        sumw[j + 1] = sumw[j] + ws[j];
+    }
+}
+
+static void quant_iq1_s_block(const float* x, const float* qw, uint8_t* out) {
+    const IQLattice& la = g_lat[5];
+    const int bs = 32;
+    float sigma2 = (2.0f * seq_sumsq(x, QK_K)) / (float)QK_K;
+    const float x_p[3] = {-1.0f + IQ1_DELTA, IQ1_DELTA, 1.0f + IQ1_DELTA};
+    const float x_m[3] = {-1.0f - IQ1_DELTA, -IQ1_DELTA, 1.0f - IQ1_DELTA};
+    const float FLT_MIN_F = 1.17549435e-38f;
+
+    float scales_ib[8];
+    int shift_sb[8];
+    int gi_all[8][4];
+    for (int ib = 0; ib < 8; ++ib) {
+        const float* xb = x + bs * ib;
+        const float* qwb = qw + bs * ib;
+        float weight[32];
+        for (int i = 0; i < bs; ++i)
+            weight[i] = qwb[i] * std::sqrt(sigma2 + xb[i] * xb[i]);
+        float maxv = std::fabs(xb[0]);
+        for (int i = 1; i < bs; ++i) {
+            float a = std::fabs(xb[i]);
+            if (a > maxv) maxv = a;
+        }
+        bool dead = maxv < 1e-12f;  // GROUP_MAX_EPS_IQ1_S
+
+        int order[32], rank[32];
+        float xs[32], ws[32], sumx[33], sumw[33];
+        iq1_prefix_split(xb, weight, bs, order, rank, xs, ws, sumx, sumw);
+
+        float best = -FLT_MIN_F;
+        float scale = maxv;
+        int bi1 = 0, bi2 = 0;
+        int shift = 0;
+        for (int i1 = 0; i1 <= bs; ++i1)
+            for (int i2 = i1; i2 <= bs; ++i2)
+                for (int v = 0; v < 2; ++v) {
+                    const float* xx = v == 0 ? x_p : x_m;
+                    int sh = v == 0 ? 1 : -1;
+                    float sumqx = (sumx[i1] - sumx[0]) * xx[0]
+                                + (sumx[i2] - sumx[i1]) * xx[1]
+                                + (sumx[bs] - sumx[i2]) * xx[2];
+                    float sumq2 = ((sumw[i1] - sumw[0]) * xx[0]) * xx[0]
+                                + ((sumw[i2] - sumw[i1]) * xx[1]) * xx[1]
+                                + ((sumw[bs] - sumw[i2]) * xx[2]) * xx[2];
+                    if (sumq2 > 0.0f && sumqx * sumqx > best * sumq2) {
+                        scale = sumqx / sumq2;
+                        best = scale * sumqx;
+                        bi1 = i1; bi2 = i2; shift = sh;
+                    }
+                }
+        int8_t L[32];
+        for (int i = 0; i < bs; ++i)
+            L[i] = (int8_t)((rank[i] >= bi1 ? 1 : 0) + (rank[i] >= bi2 ? 1 : 0));
+        if (scale < 0.0f) {
+            for (int i = 0; i < bs; ++i) L[i] = (int8_t)(2 - L[i]);
+            scale = -scale;
+            shift = -shift;
+        }
+        const float* xg = shift == 1 ? x_p : x_m;
+        int gi[4];
+        bool any_off = false;
+        for (int g = 0; g < 4; ++g) {
+            int64_t u = iq_pack(la, L + 8 * g);
+            gi[g] = la.kmap[u];
+            if (gi[g] < 0) {
+                any_off = true;
+                gi[g] = iq1_best_neighbour(la, u, xb + 8 * g, weight + 8 * g,
+                                           scale, xg);
+            }
+        }
+        if (any_off) {  // rescale over the packed codes (q = xg[L_grid])
+            float sumqx = 0.0f, sumq2 = 0.0f;
+            for (int g = 0; g < 4; ++g)
+                for (int i = 0; i < 8; ++i) {
+                    float q = xg[la.L[gi[g] * 8 + i]];
+                    float w = weight[8 * g + i];
+                    sumqx = sumqx + (w * q) * xb[8 * g + i];
+                    sumq2 = sumq2 + (w * q) * q;
+                }
+            if (sumqx > 0.0f && sumq2 > 0.0f) scale = sumqx / sumq2;
+        }
+        if (dead) {
+            for (int g = 0; g < 4; ++g) gi[g] = 0;
+            scale = 0.0f;
+            shift = 1;
+        }
+        for (int g = 0; g < 4; ++g) gi_all[ib][g] = gi[g];
+        scales_ib[ib] = scale;
+        shift_sb[ib] = shift;
+    }
+
+    float max_scale = scales_ib[0];
+    for (int ib = 1; ib < 8; ++ib)
+        if (scales_ib[ib] > max_scale) max_scale = scales_ib[ib];
+    bool sb_live = max_scale != 0.0f;
+    float d = max_scale / 15.0f;
+    float id_sb = 1.0f / (sb_live ? d : 1.0f);
+    uint16_t d16 = f32_to_f16_bits(sb_live ? d * 1.125f : 0.0f);
+    out[0] = (uint8_t)(d16 & 0xFF); out[1] = (uint8_t)(d16 >> 8);
+    for (int ib = 0; ib < 8; ++ib) {
+        int l = sb_live
+            ? clip(nearest_int(0.5f * (id_sb * scales_ib[ib] - 1.0f)), 0, 7)
+            : 0;
+        if (shift_sb[ib] == -1) l |= 8;
+        uint16_t h = 0;
+        for (int k = 0; k < 4; ++k) {
+            out[2 + 4 * ib + k] = (uint8_t)(gi_all[ib][k] & 255);
+            h |= (uint16_t)((gi_all[ib][k] >> 8) << (3 * k));
+        }
+        if (sb_live) h |= (uint16_t)l << 12;
+        std::memcpy(out + 34 + 2 * ib, &h, 2);
+    }
+}
+
+// IQ1_M: 16-element blocks, per-half ternary-table variants, final
+// superblock-d weighted refit (spec quant_iq1_m; reference :4294)
+static void quant_iq1_m_block(const float* x, const float* qw, uint8_t* out) {
+    const IQLattice& la = g_lat[5];
+    const int bs = 16, nib = 16;
+    float sigma2 = (2.0f * seq_sumsq(x, QK_K)) / (float)QK_K;
+    const float x_p[3] = {-1.0f + IQ1_DELTA, IQ1_DELTA, 1.0f + IQ1_DELTA};
+    const float x_m[3] = {-1.0f - IQ1_DELTA, -IQ1_DELTA, 1.0f - IQ1_DELTA};
+    const uint8_t masks[4] = {0x00, 0x80, 0x08, 0x88};
+    const float FLT_MIN_F = 1.17549435e-38f;
+
+    float weight_all[256];
+    float scales_ib[16];
+    int bk_sb[16];
+    int gi_all[16][2];
+    for (int ib = 0; ib < nib; ++ib) {
+        const float* xb = x + bs * ib;
+        float* weight = weight_all + bs * ib;
+        if (qw != nullptr) {
+            const float* qwb = qw + bs * ib;
+            for (int i = 0; i < bs; ++i)
+                weight[i] = qwb[i] * std::sqrt(sigma2 + xb[i] * xb[i]);
+        } else {
+            for (int i = 0; i < bs; ++i) weight[i] = xb[i] * xb[i];
+        }
+        float maxv = std::fabs(xb[0]);
+        for (int i = 1; i < bs; ++i) {
+            float a = std::fabs(xb[i]);
+            if (a > maxv) maxv = a;
+        }
+        bool dead = maxv < 1e-7f;  // GROUP_MAX_EPS_IQ1_M
+
+        int order[16], rank[16];
+        float xs[16], ws[16], sumx[17], sumw[17];
+        iq1_prefix_split(xb, weight, bs, order, rank, xs, ws, sumx, sumw);
+
+        float best = -FLT_MIN_F;
+        float scale = maxv;
+        int bi1 = 0, bi2 = 0, bk = 0;
+        for (int i1 = 0; i1 <= bs; ++i1)
+            for (int i2 = i1; i2 <= bs; ++i2) {
+                float sqx[4] = {0, 0, 0, 0}, sq2[4] = {0, 0, 0, 0};
+                for (int j = 0; j < bs; ++j) {
+                    int seg = j < i1 ? 0 : (j < i2 ? 1 : 2);
+                    float w = ws[j], xv = xs[j];
+                    bool lo = order[j] < bs / 2;
+                    for (int k = 0; k < 4; ++k) {
+                        float qk = lo ? (k < 2 ? x_p[seg] : x_m[seg])
+                                      : (k % 2 == 0 ? x_p[seg] : x_m[seg]);
+                        sqx[k] = sqx[k] + (w * qk) * xv;
+                        sq2[k] = sq2[k] + (w * qk) * qk;
+                    }
+                }
+                for (int k = 0; k < 4; ++k)
+                    if (sq2[k] > 0.0f && sqx[k] * sqx[k] > best * sq2[k]) {
+                        scale = sqx[k] / sq2[k];
+                        best = scale * sqx[k];
+                        bi1 = i1; bi2 = i2; bk = k;
+                    }
+            }
+        int8_t L[16];
+        for (int i = 0; i < bs; ++i)
+            L[i] = (int8_t)((rank[i] >= bi1 ? 1 : 0) + (rank[i] >= bi2 ? 1 : 0));
+        if (scale < 0.0f) {
+            for (int i = 0; i < bs; ++i) L[i] = (int8_t)(2 - L[i]);
+            scale = -scale;
+            bk = 3 - bk;  // np.choose(bk, [3,2,1,0])
+        }
+        // per-group ternary table: group 0 -> p if bk<2, group 1 -> p if bk%2==0
+        const float* xg[2] = {bk < 2 ? x_p : x_m, bk % 2 == 0 ? x_p : x_m};
+        int gi[2];
+        bool any_off = false;
+        for (int g = 0; g < 2; ++g) {
+            int64_t u = iq_pack(la, L + 8 * g);
+            gi[g] = la.kmap[u];
+            if (gi[g] < 0) {
+                any_off = true;
+                gi[g] = iq1_best_neighbour(la, u, xb + 8 * g, weight + 8 * g,
+                                           scale, xg[g]);
+            }
+        }
+        if (any_off) {
+            float sumqx = 0.0f, sumq2 = 0.0f;
+            for (int g = 0; g < 2; ++g)
+                for (int i = 0; i < 8; ++i) {
+                    float q = xg[g][la.L[gi[g] * 8 + i]];
+                    float w = weight[8 * g + i];
+                    sumqx = sumqx + (w * q) * xb[8 * g + i];
+                    sumq2 = sumq2 + (w * q) * q;
+                }
+            if (sumqx > 0.0f && sumq2 > 0.0f) scale = sumqx / sumq2;
+        }
+        if (dead) {
+            gi[0] = gi[1] = 0;
+            scale = 0.0f;
+            bk = 0;
+        }
+        gi_all[ib][0] = gi[0]; gi_all[ib][1] = gi[1];
+        scales_ib[ib] = scale;
+        bk_sb[ib] = bk;
+    }
+
+    float max_scale = scales_ib[0];
+    for (int ib = 1; ib < nib; ++ib)
+        if (scales_ib[ib] > max_scale) max_scale = scales_ib[ib];
+    bool sb_live = max_scale != 0.0f;
+    float d0 = max_scale / 15.0f;
+    float id_sb = 1.0f / (sb_live ? d0 : 1.0f);
+    int l_ib[16];
+    for (int ib = 0; ib < nib; ++ib)
+        l_ib[ib] = sb_live
+            ? clip(nearest_int(0.5f * (id_sb * scales_ib[ib] - 1.0f)), 0, 7)
+            : 0;
+
+    uint8_t qs[32], qh[16];
+    for (int ib = 0; ib < nib; ++ib) {
+        qs[2 * ib] = (uint8_t)(gi_all[ib][0] & 255);
+        qs[2 * ib + 1] = (uint8_t)(gi_all[ib][1] & 255);
+        qh[ib] = (uint8_t)((gi_all[ib][0] >> 8) | ((gi_all[ib][1] >> 8) << 4));
+        if (sb_live) qh[ib] |= masks[bk_sb[ib]];
+    }
+
+    // final superblock d: weighted LSQ refit over the packed codes
+    // (src/ggml-quants.c:4505-4538)
+    float sumqx_f = 0.0f, sumq2_f = 0.0f;
+    for (int ib = 0; ib < nib; ++ib) {
+        float l = (float)l_ib[ib];
+        for (int k = 0; k < 2; ++k) {
+            int idx_full = (int)qs[2 * ib + k]
+                | (((int)qh[ib] << (8 - 4 * k)) & 0x700);
+            const float* xg = (k == 0 ? (bk_sb[ib] < 2) : (bk_sb[ib] % 2 == 0))
+                ? x_p : x_m;
+            for (int j = 0; j < 8; ++j) {
+                float qv = xg[la.L[idx_full * 8 + j]] * (2.0f * l + 1.0f);
+                float w = weight_all[16 * ib + 8 * k + j];
+                float xv = x[16 * ib + 8 * k + j];
+                sumqx_f = sumqx_f + (w * qv) * xv;
+                sumq2_f = sumq2_f + (w * qv) * qv;
+            }
+        }
+    }
+    float d_fin = sumq2_f > 0.0f ? sumqx_f / sumq2_f : d0;
+    uint16_t d16 = f32_to_f16_bits(sb_live ? d_fin * 1.1125f : 0.0f);
+
+    uint16_t sc[4] = {0, 0, 0, 0};
+    for (int ib = 0; ib < nib; ++ib)
+        sc[ib / 4] |= (uint16_t)l_ib[ib] << (3 * (ib % 4));
+    if (sb_live) {
+        sc[0] |= (uint16_t)((d16 & 0x000F) << 12);
+        sc[1] |= (uint16_t)((d16 & 0x00F0) << 8);
+        sc[2] |= (uint16_t)((d16 & 0x0F00) << 4);
+        sc[3] |= (uint16_t)(d16 & 0xF000);
+    }
+    std::memcpy(out, qs, 32);
+    std::memcpy(out + 32, qh, 16);
+    std::memcpy(out + 48, sc, 8);
+}
+
 // ---- Q8_0: one 32-element block -> 34 bytes --------------------------------
 static void quant_q8_0_block(const float* x, uint8_t* out) {
     float amax = 0.0f;
@@ -1165,6 +2182,19 @@ int gt_quantize_supported(int ggml_type) {
         case 20:  // IQ4_NL
         case 23:  // IQ4_XS
             return 1;
+        case 16:  // IQ2_XXS: needs its lattice uploaded (and an imatrix)
+            return g_lat[0].ready ? 1 : 0;
+        case 17:  // IQ2_XS
+            return g_lat[1].ready ? 1 : 0;
+        case 22:  // IQ2_S
+            return g_lat[2].ready ? 1 : 0;
+        case 18:  // IQ3_XXS
+            return g_lat[3].ready ? 1 : 0;
+        case 21:  // IQ3_S
+            return g_lat[4].ready ? 1 : 0;
+        case 19:  // IQ1_S
+        case 29:  // IQ1_M
+            return g_lat[5].ready ? 1 : 0;
     }
     return 0;
 }
@@ -1175,7 +2205,31 @@ int gt_quantize_imatrix_supported(int ggml_type) {
         case 20:  // IQ4_NL
         case 23:  // IQ4_XS
             return 1;
+        case 16:  // IQ2_XXS (lattice types additionally need their lattice)
+            return g_lat[0].ready ? 1 : 0;
+        case 17:  // IQ2_XS
+            return g_lat[1].ready ? 1 : 0;
+        case 22:  // IQ2_S
+            return g_lat[2].ready ? 1 : 0;
+        case 18:  // IQ3_XXS
+            return g_lat[3].ready ? 1 : 0;
+        case 21:  // IQ3_S
+            return g_lat[4].ready ? 1 : 0;
+        case 19:  // IQ1_S
+        case 29:  // IQ1_M
+            return g_lat[5].ready ? 1 : 0;
     }
+    return 0;
+}
+
+// upload a code lattice (slot ids: 0=iq2_xxs, 1=iq2_xs, 2=iq2_s, 3=iq3_xxs,
+// 4=iq3_s, 5=iq1).  codes: (ngrid, dim) int8.  Idempotent per slot.
+int gt_iq_set_lattice(int slot, const int8_t* codes, int ngrid, int dim,
+                      int shift, int nwant, int kmap_size) {
+    if (slot < 0 || slot >= 8) return 1;
+    std::lock_guard<std::mutex> lk(g_lat_mu);
+    if (g_lat[slot].ready) return 0;
+    iq_lat_build(g_lat[slot], codes, ngrid, dim, shift, nwant, kmap_size);
     return 0;
 }
 
@@ -1193,6 +2247,34 @@ int gt_quantize2(int ggml_type, const float* src, const float* qw,
     else if (ggml_type == 8) { block = 32; bsize = 34; fn = quant_q8_0_block; }
     else if (ggml_type == 20) { block = 32; bsize = 18; fnw = quant_iq4_nl_block; }
     else if (ggml_type == 23) { block = 256; bsize = 136; fnw = quant_iq4_xs_block; }
+    else if (ggml_type == 16) {  // IQ2_XXS: imatrix + lattice mandatory
+        if (!qw || !g_lat[0].ready) return 4;
+        block = 256; bsize = 66; fnw = quant_iq2_xxs_block;
+    }
+    else if (ggml_type == 17) {  // IQ2_XS: imatrix + lattice mandatory
+        if (!qw || !g_lat[1].ready) return 4;
+        block = 256; bsize = 74; fnw = quant_iq2_xs_block;
+    }
+    else if (ggml_type == 22) {  // IQ2_S: lattice mandatory, imatrix optional
+        if (!g_lat[2].ready) return 4;
+        block = 256; bsize = 82; fnw = quant_iq2_s_block;
+    }
+    else if (ggml_type == 18) {  // IQ3_XXS: lattice mandatory, imatrix optional
+        if (!g_lat[3].ready) return 4;
+        block = 256; bsize = 98; fnw = quant_iq3_xxs_block;
+    }
+    else if (ggml_type == 21) {  // IQ3_S: lattice mandatory, imatrix optional
+        if (!g_lat[4].ready) return 4;
+        block = 256; bsize = 110; fnw = quant_iq3_s_block;
+    }
+    else if (ggml_type == 19) {  // IQ1_S: imatrix + lattice mandatory
+        if (!qw || !g_lat[5].ready) return 4;
+        block = 256; bsize = 50; fnw = quant_iq1_s_block;
+    }
+    else if (ggml_type == 29) {  // IQ1_M: lattice mandatory, imatrix optional
+        if (!g_lat[5].ready) return 4;
+        block = 256; bsize = 56; fnw = quant_iq1_m_block;
+    }
     else return 1;
     if (fn && qw) return 3;  // imatrix not supported for this type natively
     if (k % block) return 2;

@@ -203,8 +203,45 @@ def _get_qlib():
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.gt_iq_set_lattice.restype = ctypes.c_int
+        lib.gt_iq_set_lattice.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         _qlib = lib
         return _qlib
+
+
+# grid-codebook lattices for the IQ2*/IQ3*/IQ1* native encoders: uploaded
+# once per process from the Python lattice objects (grid data stays
+# single-sourced in quant/data/iq_grids.npz)
+_LAT_SLOT = {"iq2_xxs": 0, "iq2_xs": 1, "iq2_s": 2, "iq3_xxs": 3,
+             "iq3_s": 4, "iq1": 5}
+_lat_uploaded: set[str] = set()
+
+
+def _ensure_lattice(name: str) -> bool:
+    lib = _get_qlib()
+    if lib is None:
+        return False
+    if name in _lat_uploaded:
+        return True
+    from .quant import iquant_encode as IE
+
+    lat = getattr(IE, f"_lat_{name}")()
+    codes = np.ascontiguousarray(lat.L, np.int8)
+    rc = lib.gt_iq_set_lattice(
+        _LAT_SLOT[name], codes.ctypes.data_as(ctypes.c_void_p),
+        codes.shape[0], lat.dim, lat.shift, lat.nwant, len(lat.kmap),
+    )
+    if rc == 0:
+        _lat_uploaded.add(name)
+    return rc == 0
+
+
+# GGMLType value -> lattice name
+_GRID_TYPE_LATTICE = {16: "iq2_xxs", 17: "iq2_xs", 22: "iq2_s",
+                      18: "iq3_xxs", 21: "iq3_s", 19: "iq1", 29: "iq1"}
 
 
 def native_quantize(x: np.ndarray, ggml_type, qw: np.ndarray | None = None
@@ -215,7 +252,12 @@ def native_quantize(x: np.ndarray, ggml_type, qw: np.ndarray | None = None
     qw: optional (k,) f32 imatrix column weights (types reporting
     gt_quantize_imatrix_supported only — currently IQ4_NL/IQ4_XS)."""
     lib = _get_qlib()
-    if lib is None or not lib.gt_quantize_supported(int(ggml_type)):
+    if lib is None:
+        return None
+    lat_name = _GRID_TYPE_LATTICE.get(int(ggml_type))
+    if lat_name is not None and not _ensure_lattice(lat_name):
+        return None
+    if not lib.gt_quantize_supported(int(ggml_type)):
         return None
     if qw is not None and not lib.gt_quantize_imatrix_supported(int(ggml_type)):
         return None
@@ -236,6 +278,8 @@ def native_quantize(x: np.ndarray, ggml_type, qw: np.ndarray | None = None
         None if qw is None else qw.ctypes.data_as(ctypes.c_void_p), nrows, k,
         out.ctypes.data_as(ctypes.c_void_p), os.cpu_count() or 1,
     )
+    if rc == 4:  # grid type without imatrix/lattice: graceful fallback
+        return None
     if rc != 0:
         raise RuntimeError(f"native quantize failed rc={rc} for type {ggml_type}")
     return out

@@ -155,14 +155,19 @@ def finetune_lora(model_path, tokens, *, rank: int = 8, alpha: float | None = No
     lm_fn = make_lm_model_fn(fam, cfg, seq_len, batch)
 
     if keep_quantized:
-        def model_fn(lora_params, toks):
-            return lm_fn(wrap_lora(base, lora_params, scale), toks)
+        # QLoRA: the quantized base rides the jitted step as the `frozen`
+        # argument (capturing it would embed GBs of planes as constants)
+        def model_fn(lora_params, toks, frozen_base):
+            return lm_fn(wrap_lora(frozen_base, lora_params, scale), toks)
+
+        opt = Optimizer(model_fn, lora, loss_type="cross_entropy_sparse",
+                        adamw=adamw or AdamWConfig(alpha=1e-3), frozen=base)
     else:
         def model_fn(lora_params, toks):
             return lm_fn(merge_lora(base, lora_params, scale), toks)
 
-    opt = Optimizer(model_fn, lora, loss_type="cross_entropy_sparse",
-                    adamw=adamw or AdamWConfig(alpha=1e-3))
+        opt = Optimizer(model_fn, lora, loss_type="cross_entropy_sparse",
+                        adamw=adamw or AdamWConfig(alpha=1e-3))
     ds = token_windows(tokens, seq_len)
     rng = np.random.default_rng(seed)
     n_batches = max(1, ds.ndata // batch)

@@ -147,8 +147,15 @@ class Optimizer:
         mesh: Mesh | None = None,
         data_axis: str = "dp",
         param_spec: Any = None,
+        frozen: Any = None,
     ):
+        """frozen: optional pytree of NON-trained tensors (e.g. a QLoRA
+        quantized base) passed to model_fn as `model_fn(params, inputs,
+        frozen)`.  It rides the jitted step as an ARGUMENT — closing over a
+        multi-GB base instead would embed it as lowered CONSTANTS (hours of
+        compile + a doubled HLO); no optimizer state is allocated for it."""
         self.model_fn = model_fn
+        self.frozen = frozen
         self.loss_fn = LOSS_TYPES[loss_type]
         self.loss_type = loss_type
         self.cfg = adamw
@@ -202,13 +209,14 @@ class Optimizer:
         Returns {'loss': float, 'ncorrect': int, 'n': int}."""
         if self.mesh is not None:
             inputs, labels = self._shard_batch(inputs, labels)
-        self.state, metrics = self._train_step(self.state, inputs, labels)
+        self.state, metrics = self._train_step(self.state, self.frozen,
+                                               inputs, labels)
         return metrics
 
     def eval(self, inputs, labels):
         if self.mesh is not None:
             inputs, labels = self._shard_batch(inputs, labels)
-        return self._eval_step(self.state["params"], inputs, labels)
+        return self._eval_step(self.state["params"], self.frozen, inputs, labels)
 
     @property
     def params(self):
@@ -229,8 +237,9 @@ class Optimizer:
         self.state = state
 
 
-def _loss_and_metrics(opt: Optimizer, params, inputs, labels):
-    outputs = opt.model_fn(params, inputs)
+def _loss_and_metrics(opt: Optimizer, params, frozen, inputs, labels):
+    outputs = (opt.model_fn(params, inputs) if frozen is None
+               else opt.model_fn(params, inputs, frozen))
     loss = opt.loss_fn(outputs, labels)
     if opt.classify and labels is not None and outputs.ndim >= 2:
         pred = jnp.argmax(outputs, axis=-1)
@@ -261,10 +270,10 @@ def _adamw_apply(cfg: AdamWConfig, params, m, v, g_acc, t):
     return params, m, v, t
 
 
-def _train_step(opt: Optimizer, state, inputs, labels):
+def _train_step(opt: Optimizer, state, frozen, inputs, labels):
     cfg = opt.cfg
     (loss, (ncorrect, n)), grads = jax.value_and_grad(
-        lambda p: _loss_and_metrics(opt, p, inputs, labels), has_aux=True
+        lambda p: _loss_and_metrics(opt, p, frozen, inputs, labels), has_aux=True
     )(state["params"])
 
     period = opt.opt_period
@@ -315,6 +324,6 @@ def _train_step(opt: Optimizer, state, inputs, labels):
     return new_state, {"loss": loss, "ncorrect": ncorrect, "n": n}
 
 
-def _eval_step(opt: Optimizer, params, inputs, labels):
-    loss, (ncorrect, n) = _loss_and_metrics(opt, params, inputs, labels)
+def _eval_step(opt: Optimizer, params, frozen, inputs, labels):
+    loss, (ncorrect, n) = _loss_and_metrics(opt, params, frozen, inputs, labels)
     return {"loss": loss, "ncorrect": ncorrect, "n": n}

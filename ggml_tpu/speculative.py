@@ -55,11 +55,11 @@ def make_speculative_decoder(target, draft, k: int = 4, max_new: int = 64):
     dfwd = _forward_for(draft)
     tcfg, dcfg = target.cfg, draft.cfg
 
-    def one_round(tok, pos, tcache, dcache):
+    def one_round(tparams, dparams, tok, pos, tcache, dcache):
         # --- draft k tokens autoregressively (t=1 steps) ---
         def dstep(carry, _):
             dtok, dpos, dc = carry
-            logits, dc = dfwd(draft.params, dcfg, dtok[None, None], dpos[None], dc, dpos)
+            logits, dc = dfwd(dparams, dcfg, dtok[None, None], dpos[None], dc, dpos)
             nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
             return (nxt, dpos + 1, dc), nxt
 
@@ -77,7 +77,7 @@ def make_speculative_decoder(target, draft, k: int = 4, max_new: int = 64):
         # --- one target forward over [tok, d_1..d_k] ---
         seq = jnp.concatenate([tok[None], drafts])  # (k+1,)
         tlogits, tcache = tfwd(
-            target.params, tcfg, seq[None, :], pos[None], tcache, pos
+            tparams, tcfg, seq[None, :], pos[None], tcache, pos
         )
         greedy = jnp.argmax(tlogits[0], axis=-1).astype(jnp.int32)  # (k+1,)
 
@@ -88,7 +88,9 @@ def make_speculative_decoder(target, draft, k: int = 4, max_new: int = 64):
         correction = greedy[n_acc]
         return drafts, n_acc, correction, tcache, dcache
 
-    def decode(tcache, dcache, first_token, n_past):
+    # params ride the jitted loop as ARGUMENTS — closing over them embeds
+    # multi-GB weights as lowered constants (compile never finishes at 6B)
+    def decode_impl(tparams, dparams, tcache, dcache, first_token, n_past):
         out = jnp.zeros((max_new + k + 1,), jnp.int32)  # slack for the last round
 
         def cond(st):
@@ -96,7 +98,8 @@ def make_speculative_decoder(target, draft, k: int = 4, max_new: int = 64):
 
         def body(st):
             count, tok, pos, out, rounds, tc, dc = st
-            drafts, n_acc, correction, tc, dc = one_round(tok, pos, tc, dc)
+            drafts, n_acc, correction, tc, dc = one_round(
+                tparams, dparams, tok, pos, tc, dc)
             # block = [d_1..d_k, _] with the correction at index n_acc; entries
             # past n_acc are junk that the next round overwrites (count only
             # advances n_acc+1) or the final slice drops
@@ -118,7 +121,13 @@ def make_speculative_decoder(target, draft, k: int = 4, max_new: int = 64):
         )
         return out[:max_new], rounds, tcache, dcache
 
-    return jax.jit(decode, donate_argnums=(0, 1))
+    jitted = jax.jit(decode_impl, donate_argnums=(2, 3))
+
+    def decode(tcache, dcache, first_token, n_past):
+        return jitted(target.params, draft.params, tcache, dcache,
+                      first_token, n_past)
+
+    return decode
 
 
 def make_speculative_decoder_sampled(target, draft, k: int = 4, max_new: int = 64,
@@ -150,13 +159,13 @@ def make_speculative_decoder_sampled(target, draft, k: int = 4, max_new: int = 6
     skw = dict(sampler or {})
     dkw = dict(draft_sampler if draft_sampler is not None else skw)
 
-    def one_round(tok, pos, tcache, dcache, key):
+    def one_round(tparams, dparams, tok, pos, tcache, dcache, key):
         key, k_draft, k_acc, k_corr = jax.random.split(key, 4)
 
         # --- draft k tokens sampled from the draft's warped distribution ---
         def dstep(carry, subkey):
             dtok, dpos, dc = carry
-            logits, dc = dfwd(draft.params, dcfg, dtok[None, None], dpos[None], dc, dpos)
+            logits, dc = dfwd(dparams, dcfg, dtok[None, None], dpos[None], dc, dpos)
             wl = warp_logits(logits[0, -1:][..., :], **dkw)  # (1, V)
             q_logp = jax.nn.log_softmax(wl, axis=-1)[0]
             nxt = jax.random.categorical(subkey, wl, axis=-1)[0].astype(jnp.int32)
@@ -173,7 +182,7 @@ def make_speculative_decoder_sampled(target, draft, k: int = 4, max_new: int = 6
         # --- one target forward over [tok, d_1..d_k] ---
         seq = jnp.concatenate([tok[None], drafts])
         tlogits, tcache = tfwd(
-            target.params, tcfg, seq[None, :], pos[None], tcache, pos
+            tparams, tcfg, seq[None, :], pos[None], tcache, pos
         )
         p_logp = jax.nn.log_softmax(warp_logits(tlogits[0], **skw), axis=-1)  # (k+1, V)
 
@@ -197,7 +206,8 @@ def make_speculative_decoder_sampled(target, draft, k: int = 4, max_new: int = 6
         correction = jax.random.categorical(k_corr, jnp.log(probs + 1e-30)).astype(jnp.int32)
         return drafts, n_acc, correction, tcache, dcache, key
 
-    def decode(tcache, dcache, first_token, n_past, key):
+    # params as jit ARGUMENTS (capturing them lowers multi-GB constants)
+    def decode_impl(tparams, dparams, tcache, dcache, first_token, n_past, key):
         out = jnp.zeros((max_new + k + 1,), jnp.int32)
 
         def cond(st):
@@ -205,7 +215,8 @@ def make_speculative_decoder_sampled(target, draft, k: int = 4, max_new: int = 6
 
         def body(st):
             count, tok, pos, out, rounds, tc, dc, key = st
-            drafts, n_acc, correction, tc, dc, key = one_round(tok, pos, tc, dc, key)
+            drafts, n_acc, correction, tc, dc, key = one_round(
+                tparams, dparams, tok, pos, tc, dc, key)
             block = jnp.concatenate([drafts, jnp.zeros((1,), jnp.int32)])
             block = jnp.where(jnp.arange(k + 1) == n_acc, correction, block)
             out = jax.lax.dynamic_update_slice(out, block, (count,))
@@ -218,7 +229,13 @@ def make_speculative_decoder_sampled(target, draft, k: int = 4, max_new: int = 6
         )
         return out[:max_new], rounds, tcache, dcache, key
 
-    return jax.jit(decode, donate_argnums=(0, 1))
+    jitted = jax.jit(decode_impl, donate_argnums=(2, 3))
+
+    def decode(tcache, dcache, first_token, n_past, key):
+        return jitted(target.params, draft.params, tcache, dcache,
+                      first_token, n_past, key)
+
+    return decode
 
 
 def speculative_generate(target, draft, prompt_tokens, n_tokens: int, k: int = 4):

@@ -225,6 +225,18 @@ def quant_cases():
     n, k = 1024, 4096  # 16 MB f32 per pass
     w = (RNG.standard_normal((n, k)) * 0.5).astype(np.float32)
     nbytes = w.nbytes
+    # grid i-quant encoders (neighbour-search types): native only — the
+    # NumPy spec runs at ~0.1 MB/s and exists for bit-exactness, not speed
+    qwm = np.abs(RNG.standard_normal(k)).astype(np.float32) + 0.01
+    from ggml_tpu.native import native_quantize as _nq
+
+    for t in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+              GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+              GGMLType.IQ1_M):
+        if _nq(w[:1], t, qw=qwm) is not None:
+            yield (f"quantize-native {t.name} imatrix 1024x4096",
+                   lambda t=t: _nq(w, t, qw=qwm), nbytes)
+
     for t in (GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K,
               GGMLType.IQ4_NL, GGMLType.IQ4_XS):
         raw = R.quantize(w, t).reshape(n, -1)
