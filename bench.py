@@ -605,6 +605,13 @@ def bench_train():
     if scale == "tiny":
         cfg = GPT2Config(n_vocab=512, n_ctx=64, n_embd=64, n_head=4, n_layer=2)
         seq, batch, steps = 32, 2, 4
+    elif scale == "774m":  # GPT-2-large class — >700M on one 16 GB chip via
+        # bf16 AdamW moments (default for this scale) + remat
+        cfg = GPT2Config(n_vocab=50257, n_ctx=512, n_embd=1280, n_head=20,
+                         n_layer=36)
+        seq = int(os.environ.get("BENCH_SEQ", "512"))
+        batch = int(os.environ.get("BENCH_BATCH", "4"))
+        steps = int(os.environ.get("BENCH_TOKENS", "12"))
     else:
         cfg = GPT2Config(n_vocab=50257, n_ctx=512, n_embd=1024, n_head=16,
                          n_layer=24)
@@ -614,14 +621,22 @@ def bench_train():
     params = init_random_params(cfg, seed=0, dtype=jnp.float32)
     n_params = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
     # mixed precision by default: f32 master params + AdamW state, bf16
-    # forward/backward (BENCH_TRAIN_F32=1 restores the all-f32 pass)
+    # forward/backward (BENCH_TRAIN_F32=1 restores the all-f32 pass).
+    # BENCH_TRAIN_STATE=bf16 stores AdamW moments in bf16 (halves the
+    # optimizer-state stream; default at 774m where it buys the memory fit).
     cdt = None if os.environ.get("BENCH_TRAIN_F32") == "1" else jnp.bfloat16
+    state_dt = os.environ.get("BENCH_TRAIN_STATE",
+                              "bf16" if scale == "774m" else "f32")
+    remat_default = "dots_with_no_batch_dims_saveable" if scale == "774m" else ""
     model_fn = make_lm_model_fn(gpt2_mod, cfg, seq, batch, compute_dtype=cdt,
                                 cast_logits_f32=False,
-                                remat_policy=os.environ.get("BENCH_TRAIN_REMAT") or None,
+                                remat_policy=os.environ.get("BENCH_TRAIN_REMAT",
+                                                            remat_default) or None,
                                 train_flash=os.environ.get("BENCH_TRAIN_FLASH", "1") == "1")
+    adamw = AdamWConfig(
+        state_dtype="bfloat16" if state_dt in ("bf16", "bfloat16") else "float32")
     opt = Optimizer(model_fn, params, loss_type="cross_entropy_sparse_fused",
-                    adamw=AdamWConfig(), classify=False)
+                    adamw=adamw, classify=False)
     del params
 
     rng = np.random.default_rng(0)

@@ -119,6 +119,11 @@ class AdamWConfig:
     beta2: float = 0.999
     eps: float = 1e-8
     wd: float = 0.0
+    # "bfloat16" stores the m/v moments in bf16 (HALVES the optimizer-state
+    # HBM traffic — the dominant per-step stream once forward/backward run
+    # bf16); the moment UPDATE still computes in f32 and rounds once on
+    # store.  Quality-gated vs f32 moments in tests/test_finetune.py.
+    state_dtype: str = "float32"
 
 
 class Optimizer:
@@ -163,7 +168,8 @@ class Optimizer:
         self.classify = classify
         self.mesh = mesh
         self.data_axis = data_axis
-        f32 = lambda p: jnp.zeros_like(p, dtype=jnp.float32)
+        sdt = jnp.bfloat16 if adamw.state_dtype == "bfloat16" else jnp.float32
+        f32 = lambda p: jnp.zeros_like(p, dtype=sdt)
         # own a private copy: step() donates state buffers to XLA, which would
         # otherwise invalidate arrays the caller still holds
         params = jax.tree.map(lambda p: jnp.array(p, copy=True), params)
@@ -178,7 +184,10 @@ class Optimizer:
             "params": params,
             "m": jax.tree.map(f32, params),
             "v": jax.tree.map(f32, params),
-            "g_acc": jax.tree.map(f32, params),
+            # grad accumulation stays f32 regardless of the moment dtype
+            # (bf16 += across opt_period micro-steps loses small gradients)
+            "g_acc": jax.tree.map(
+                lambda p: jnp.zeros_like(p, dtype=jnp.float32), params),
             "t": jnp.zeros((), jnp.int32),  # optimizer step (post-accumulation)
             "i_acc": jnp.zeros((), jnp.int32),  # position within opt_period
         }
@@ -257,12 +266,17 @@ def _adamw_apply(cfg: AdamWConfig, params, m, v, g_acc, t):
     tf = t.astype(jnp.float32)
     b1c = 1.0 - jnp.power(cfg.beta1, tf)  # 1 - beta1^t (reference: src/ggml-opt.cpp:598-609)
     b2c = 1.0 - jnp.power(cfg.beta2, tf)
-    m = jax.tree.map(lambda mm, g: cfg.beta1 * mm + (1 - cfg.beta1) * g, m, g_acc)
-    v = jax.tree.map(lambda vv, g: cfg.beta2 * vv + (1 - cfg.beta2) * g * g, v, g_acc)
+    # moments may live in bf16 (state_dtype): update in f32, round on store
+    m = jax.tree.map(
+        lambda mm, g: (cfg.beta1 * mm.astype(jnp.float32)
+                       + (1 - cfg.beta1) * g).astype(mm.dtype), m, g_acc)
+    v = jax.tree.map(
+        lambda vv, g: (cfg.beta2 * vv.astype(jnp.float32)
+                       + (1 - cfg.beta2) * g * g).astype(vv.dtype), v, g_acc)
 
     def upd(p, mm, vv):
-        mhat = mm / b1c
-        vhat = vv / b2c
+        mhat = mm.astype(jnp.float32) / b1c
+        vhat = vv.astype(jnp.float32) / b2c
         step = mhat / (jnp.sqrt(vhat) + cfg.eps) + cfg.wd * p.astype(jnp.float32)
         return (p.astype(jnp.float32) - cfg.alpha * step).astype(p.dtype)
 

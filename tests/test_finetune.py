@@ -167,6 +167,43 @@ def test_mixed_precision_training_matches_f32_quality(tiny_gpt2):
     assert finals["bf16"] < 0.15, finals
 
 
+def test_bf16_adamw_moments_match_f32_quality(tiny_gpt2):
+    """AdamWConfig(state_dtype='bfloat16') — bf16 m/v moments (the remaining
+    optimizer-state HBM stream halved; updates still compute in f32 and round
+    once on store) — reaches the same training quality as f32 moments."""
+    import jax.numpy as jnp
+
+    from ggml_tpu.gguf import GGUFFile
+    from ggml_tpu.models import gpt2 as gpt2_mod
+    from ggml_tpu.models.gpt2 import load_params
+    from ggml_tpu.opt.finetune import make_lm_model_fn
+    from ggml_tpu.opt.optimizer import AdamWConfig, Optimizer
+
+    g = GGUFFile(tiny_gpt2)
+    cfg = gpt2_mod.config_from_gguf(g)
+    base = load_params(g, jnp.float32)
+    base = {k: v for k, v in base.items() if "@" not in k}
+    toks = _pattern_tokens(129)
+    ds = token_windows(toks, 16)
+
+    finals = {}
+    n_batches = max(1, ds.ndata // 4)
+    for name in ("float32", "bfloat16"):
+        model_fn = make_lm_model_fn(gpt2_mod, cfg, 16, 4,
+                                    compute_dtype=jnp.bfloat16)
+        opt = Optimizer(model_fn, base, loss_type="cross_entropy_sparse",
+                        adamw=AdamWConfig(alpha=3e-3, state_dtype=name),
+                        classify=False)
+        assert opt.state["m"]["blk.0.attn_qkv.weight"].dtype == jnp.dtype(name)
+        loss = None
+        for step in range(80):
+            x, y = ds.get_batch(step % n_batches, 4)
+            loss = float(opt.step(jnp.asarray(x), jnp.asarray(y))["loss"])
+        finals[name] = loss
+    assert finals["float32"] < 0.15, finals
+    assert finals["bfloat16"] < 0.15, finals
+
+
 def test_train_flash_matches_einsum_attention():
     """make_lm_model_fn(train_flash=True) routes attention through the
     differentiable fused flash kernel (O(seq) residuals); loss and gradients
