@@ -815,7 +815,9 @@ def _spec_bias_params(cfg, params):
 
     V = cfg.n_vocab
     b = np.zeros((V,), np.float32)
-    b[[7, 11, 23]] = [50.0, 49.0, 48.0]
+    # margins far above the weight-logit scale at ANY model size (6B synth
+    # logits reach O(1e3)), and far apart vs bf16 spacing at this magnitude
+    b[[7, 11, 23]] = [3.0e5, 2.0e5, 1.0e5]
     out = dict(params)
     out["output.bias"] = jnp.asarray(b)
     return out
@@ -923,11 +925,15 @@ def bench_spec_serve():
     rng = np.random.default_rng(0)
     eng = Engine(m, max_batch=slots, max_seq=256, cache_dtype=jnp.bfloat16,
                  draft=draft, draft_k=k)
-    eng.submit(rng.integers(0, cfg.n_vocab, 16).tolist(), 2)
-    eng.run(bucket=32)
+    prompts = [rng.integers(0, cfg.n_vocab, int(rng.integers(4, 30))).tolist()
+               for _ in range(n_req)]
+    for _ in range(2):  # warm passes: full workload (relay compiles are minutes)
+        for p in prompts:
+            eng.submit(p, max_new)
+        eng.run(bucket=32)
 
-    for _ in range(n_req):
-        eng.submit(rng.integers(0, cfg.n_vocab, int(rng.integers(4, 30))).tolist(), max_new)
+    for p in prompts:
+        eng.submit(p, max_new)
     t0 = time.perf_counter()
     res = eng.run(bucket=32)
     dt = time.perf_counter() - t0
@@ -962,21 +968,29 @@ def bench_serve_long():
     n_req = int(os.environ.get("BENCH_REQUESTS", str(slots * 2)))
     max_new = int(os.environ.get("BENCH_TOKENS", "64"))
     chunk = int(os.environ.get("BENCH_PREFILL_CHUNK", "256"))
-    max_seq = 2048 if scale == "6b" else 512
+    # 8 slots x 28 layers of (16h, S, 256d) bf16 KV: S=1152 is ~8.4 GB — the
+    # largest window that leaves room for the 3.5 GB weight stream (S=2048
+    # OOMs a 16 GB chip); prompts reach 1024 + 64 new + margin
+    max_seq = 1152 if scale == "6b" else 512
 
     params = synth_quantized_params(cfg, GGMLType.Q4_K, seed=0)
     m = GPTJ(params, cfg, max_seq=max_seq, batch=slots)
     rng = np.random.default_rng(0)
     eng = Engine(m, max_batch=slots, max_seq=max_seq, cache_dtype=jnp.bfloat16,
                  prefill_chunk=chunk)
-    # warm compile: one long + one short admission
-    eng.submit(rng.integers(0, cfg.n_vocab, 300 if scale == "6b" else 40).tolist(), 2)
-    eng.run(bucket=32)
-
     lens = rng.integers(256, 1025, n_req) if scale == "6b" else rng.integers(16, 64, n_req)
     prompt_toks = int(lens.sum())
-    for L in lens:
-        eng.submit(rng.integers(0, cfg.n_vocab, int(L)).tolist(), max_new)
+    prompts = [rng.integers(0, cfg.n_vocab, int(L)).tolist() for L in lens]
+    # warm passes: the FULL workload, so every lazily-compiled program
+    # (chunk prefills, stretch scans, admission scatters) exists before the
+    # timed pass — relay compiles are minutes and must not pollute the metric
+    for _ in range(2):
+        for p in prompts:
+            eng.submit(p, max_new)
+        eng.run(bucket=32)
+
+    for p in prompts:
+        eng.submit(p, max_new)
     t0 = time.perf_counter()
     res = eng.run(bucket=32)
     dt = time.perf_counter() - t0
@@ -1023,15 +1037,25 @@ def bench_serve_paged():
     rng = np.random.default_rng(0)
     eng = Engine(m, max_batch=slots, max_seq=max_seq, cache_dtype=jnp.bfloat16,
                  paged=pcfg)
-    eng.submit(rng.integers(0, cfg.n_vocab, 16).tolist(), 2)
-    eng.run(bucket=32)
-
     shared = rng.integers(0, cfg.n_vocab, 256 if scale == "6b" else 32).tolist()
+    prompts = []
     for i in range(n_req):
         if i % 2 == 0:  # half the load shares a page-aligned prefix
-            p = shared + rng.integers(0, cfg.n_vocab, int(rng.integers(8, 64))).tolist()
+            prompts.append(shared + rng.integers(
+                0, cfg.n_vocab, int(rng.integers(8, 64))).tolist())
         else:
-            p = rng.integers(0, cfg.n_vocab, int(rng.integers(64, 256))).tolist()
+            prompts.append(rng.integers(
+                0, cfg.n_vocab, int(rng.integers(64, 256))).tolist())
+    # TWO warm passes: pass 1 publishes prefixes and compiles the miss
+    # path; pass 2 compiles the prefix-HIT suffix path (first exercised
+    # once published pages exist) — relay compiles must not be timed
+    for _ in range(2):
+        for p in prompts:
+            eng.submit(p, max_new)
+        eng.run(bucket=32)
+    eng.cached_prefix_tokens = 0
+
+    for p in prompts:
         eng.submit(p, max_new)
     t0 = time.perf_counter()
     res = eng.run(bucket=32)

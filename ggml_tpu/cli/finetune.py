@@ -49,6 +49,11 @@ def main():
                     help="comma list of weight-name suffixes to adapt "
                          "(default: attention+ffn projections; add "
                          "output.weight for untied-head models)")
+    ap.add_argument("--lora-quantized", action="store_true",
+                    help="QLoRA: keep the base planar-QUANTIZED in HBM "
+                         "(the inference kernels serve the forward; only "
+                         "the adapters train) — a 6B Q4_K base finetunes "
+                         "on one 16 GB chip")
     args = ap.parse_args()
 
     from ggml_tpu.opt import AdamWConfig, finetune
@@ -65,6 +70,7 @@ def main():
             batch=args.batch, steps=args.steps, targets=targets,
             adamw=AdamWConfig(alpha=args.lr), seed=args.seed,
             adapter_out=args.lora_out, merged_out=args.out, log=print,
+            keep_quantized=args.lora_quantized,
         )
         print(f"final loss {losses[-1]:.4f}  (first {losses[0]:.4f}) -> {args.out}"
               + (f" + adapter {args.lora_out}" if args.lora_out else ""))
