@@ -172,9 +172,12 @@ def _get_qlib():
             _BUILD.mkdir(parents=True, exist_ok=True)
             # -march=native unlocks the 8-lane AVX2 group-search kernels;
             # -ffp-contract=off forbids fma contraction (would change fp32
-            # rounding vs the spec).  Falls back to the portable build when
+            # rounding vs the spec); -fno-math-errno lets sqrtf/nearbyintf
+            # inline to sqrtss/vroundss (identical correctly-rounded results,
+            # no errno bookkeeping).  Falls back to the portable build when
             # the host compiler rejects -march=native.
-            base = ["g++", "-O3", "-std=c++17", "-ffp-contract=off", "-shared",
+            base = ["g++", "-O3", "-std=c++17", "-ffp-contract=off",
+                    "-fno-math-errno", "-shared",
                     "-fPIC", "-pthread", str(_QSRC), "-o", str(_QLIB)]
             try:
                 subprocess.run(base[:2] + ["-march=native"] + base[2:],

@@ -24,6 +24,7 @@ the dense-cache decode for the same tokens.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -79,6 +80,7 @@ class PagedKVManager:
         self._page_hash: dict[int, object] = {}
         self._shared_ref: dict[int, int] = {}
         self._lru: list[int] = []  # ref==0 published pages, oldest first
+        self._install_cache: dict = {}  # (n_pages, from_page) -> jitted install
 
     # -- prefix cache -------------------------------------------------------------
 
@@ -210,18 +212,40 @@ class PagedKVManager:
         """Copy a dense single-slot prefill cache (tuple of (k, v) with
         (1, H, S, D) leaves) into this slot's pages — prefill runs through
         the ordinary dense forward, then pages take over for decode.
-        from_page skips attached (shared) prefix pages."""
+        from_page skips attached (shared) prefix pages.
+
+        One jitted scatter installs EVERY layer's pages (cached per page
+        count): the per-page eager .at[].set loop was ~2 dispatches x layers
+        x pages per request — thousands of relay round trips per admission
+        wave at 6B scale."""
         ps = self.pcfg.page_size
         npg = -(-t // ps)
-        new_pools = list(self.pools)
-        for li, (kc, vc) in enumerate(slot_cache):
-            kp, vp = new_pools[li]
-            for j in range(from_page, npg):
-                pg = int(self.tables[slot, j])
-                kp = kp.at[pg].set(kc[0, :, j * ps : (j + 1) * ps, :])
-                vp = vp.at[pg].set(vc[0, :, j * ps : (j + 1) * ps, :])
-            new_pools[li] = (kp, vp)
-        self.pools = tuple(new_pools)
+        n_eff = npg - from_page
+        if n_eff <= 0:
+            self.lengths[slot] = t
+            return
+        key = (n_eff, from_page)
+        fn = self._install_cache.get(key)
+        if fn is None:
+            def install(pools, slot_cache, pages):
+                def upd(pool, buf):
+                    # buf (1, H, S, D): rows [from_page*ps, npg*ps) as
+                    # (n_eff, H, ps, D) page blocks scattered into the pool
+                    rows = buf[0, :, from_page * ps: npg * ps, :]
+                    h, _, d = rows.shape
+                    blocks = jnp.swapaxes(
+                        rows.reshape(h, n_eff, ps, d), 0, 1)
+                    return pool.at[pages].set(blocks.astype(pool.dtype))
+
+                return tuple(
+                    (upd(kp, kc), upd(vp, vc))
+                    for (kp, vp), (kc, vc) in zip(pools, slot_cache))
+
+            fn = jax.jit(install, donate_argnums=(0,))
+            self._install_cache[key] = fn
+        pages = jnp.asarray(
+            np.asarray(self.tables[slot, from_page:npg], np.int32))
+        self.pools = fn(self.pools, slot_cache, pages)
         self.lengths[slot] = t
 
     def gather_prefix(self, slot: int, n_pages: int):
@@ -343,6 +367,40 @@ def _make_paged_step_generic(model, pcfg: PagedConfig, forward_fn):
         return logits, tuple(new_pools)
 
     return jax.jit(step, donate_argnums=(1,))
+
+
+def make_paged_decode_scan(step_fn):
+    """Multi-step paged decode: h greedy ticks inside ONE jitted lax.scan —
+    one dispatch + one (h, B) token fetch per stretch instead of a host
+    round trip per token (over a remote-TPU relay each trip is ~150 ms,
+    which made per-tick paged decode ~30x slower than the compute).
+
+    step_fn: a single-token paged step (the jitted per-family or generic
+    step — tracing through it inside the scan inlines it).  Page-table
+    rows and write coordinates for all h future positions are precomputed
+    host-side (PagedKVManager.step_coords_multi after ensure_capacity);
+    slots that stop mid-stretch keep writing junk rows past their final
+    length — never attended (position-masked) and rewritten on reuse, the
+    same rollback-free invariant the speculative verify relies on."""
+
+    @functools.partial(jax.jit, static_argnums=(8,), donate_argnums=(1,))
+    def scan_fn(params, pools, tok, lengths, tables, wpages, woffs, active, h):
+        def body(carry, xs):
+            pools, tok, lengths = carry
+            wp, wo = xs
+            logits, pools = step_fn(params, pools, tok, lengths, tables,
+                                    wp, wo, active)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(active, nxt, 0)
+            lengths = lengths + active.astype(jnp.int32)
+            return (pools, nxt[:, None], lengths), nxt
+
+        (pools, _, _), toks = jax.lax.scan(
+            body, (pools, tok, lengths),
+            (jnp.swapaxes(wpages, 0, 1), jnp.swapaxes(woffs, 0, 1)), length=h)
+        return toks, pools
+
+    return scan_fn
 
 
 def make_paged_verify_step(model, pcfg: PagedConfig):

@@ -317,6 +317,9 @@ class Engine:
                 )
             self._paged_step = make_paged_decode_step(model, paged,
                                                       forward_fn=self._fwd)
+            from .paged_kv import make_paged_decode_scan
+
+            self._paged_scan = make_paged_decode_scan(self._paged_step)
             self.cache = None
         else:
             self.cache = self._make_cache(max_batch)
@@ -451,6 +454,7 @@ class Engine:
 
         self._prefill_cache = {}  # per prompt-length compiled prefill
         self._suffix_cache = {}  # per suffix-length compiled prefix-hit prefill
+        self._suffix_seed_cache = {}  # per prefix-page-count cache seeding
         self.cached_prefix_tokens = 0  # prefix-cache observability
 
         self.draft = draft
@@ -1123,11 +1127,28 @@ class Engine:
         slot_cache = self._make_cache(1)
         if self._cache_put_slot is not None:
             slot_cache = self._cache_put_slot(slot_cache)
-        prefix = self.mgr.gather_prefix(slot, pre_len // self.paged.page_size)
-        slot_cache = tuple(
-            (k.at[:, :, :pre_len, :].set(pk.astype(k.dtype)),
-             v.at[:, :, :pre_len, :].set(pv.astype(v.dtype)))
-            for (k, v), (pk, pv) in zip(slot_cache, prefix))
+        # gather the shared pages AND seed the dense slot cache in ONE jitted
+        # program (the eager per-layer gather + .at[].set pair was ~5 ops x
+        # layers of relay dispatches per prefix hit)
+        n_pg = pre_len // self.paged.page_size
+        ps = self.paged.page_size
+        seed_fn = self._suffix_seed_cache.get(n_pg)
+        if seed_fn is None:
+            def seed(pools, pages, slot_cache):
+                def one(pool, buf):
+                    blocks = pool[pages]  # (n_pg, H, ps, D)
+                    dense = blocks.transpose(1, 0, 2, 3).reshape(
+                        1, blocks.shape[1], n_pg * ps, blocks.shape[3])
+                    return buf.at[:, :, : n_pg * ps, :].set(
+                        dense.astype(buf.dtype))
+
+                return tuple((one(kp, kc), one(vp, vc))
+                             for (kp, vp), (kc, vc) in zip(pools, slot_cache))
+
+            seed_fn = jax.jit(seed, donate_argnums=(2,))
+            self._suffix_seed_cache[n_pg] = seed_fn
+        pages = jnp.asarray(np.asarray(self.mgr.tables[slot, :n_pg], np.int32))
+        slot_cache = seed_fn(self.mgr.pools, pages, slot_cache)
         if sb not in self._suffix_cache:
             cfgv = self.cfg
 
@@ -1523,6 +1544,34 @@ class Engine:
             self._consume_scan_outs(np.asarray(outs))
             return
         if self.paged is not None:
+            # multi-step greedy stretch: h ticks in one jitted scan (one
+            # dispatch + one fetch) when every live slot has budget/window
+            # for h tokens and pages can be preallocated — the paged analog
+            # of the dense engine's pipelined horizon scan
+            if not self._any_slot_sampling and self._hb > 1:
+                budgets = self._slot_budget()
+                live = [i for i in range(self.max_batch) if active[i]]
+                win = self.paged.max_pages_per_seq * self.paged.page_size
+                room = min((min(budgets[i],
+                                win - 1 - int(self.mgr.lengths[i]))
+                            for i in live), default=0)
+                h = self._hb
+                while h > 1 and h > room:
+                    h //= 2
+                if h > 1 and all(self.mgr.ensure_capacity(
+                        i, int(self.mgr.lengths[i]) + h) for i in live):
+                    wpages, woffs = self.mgr.step_coords_multi(active, h)
+                    outs, self.mgr.pools = self._paged_scan(
+                        self.model.params, self.mgr.pools, toks,
+                        jnp.asarray(self.mgr.lengths),
+                        jnp.asarray(self.mgr.tables),
+                        jnp.asarray(wpages), jnp.asarray(woffs),
+                        jnp.asarray(active), h,
+                    )
+                    self._consume_scan_outs(np.asarray(outs))
+                    for i in live:  # rewind junk-advanced page views
+                        self.mgr.lengths[i] = self.n_past[i]
+                    return
             wpage, woff = self.mgr.step_coords(active)
             logits, self.mgr.pools = self._paged_step(
                 self.model.params, self.mgr.pools, toks,

@@ -133,27 +133,58 @@ def compare_graph(
     # minutes-long); deferred comparison keeps the device pipeline full and
     # fetches everything in one batched device_get at the end.
     staged: list[tuple[int, Any, list, list]] = []  # (idx, eqn, out_dev, out_spec)
-    for i, eqn in enumerate(jaxpr.eqns):
-        in_dev = [read(v, env_dev) for v in eqn.invars]
-        in_spec = [read(v, env_spec) for v in eqn.invars]
-        subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
+    counter = [0]
 
-        with jax.default_device(device):
-            out_dev = eqn.primitive.bind(*subfuns, *in_dev, **bind_params)
+    def run_eqns(eqns, env_dev, env_spec):
+        for eqn in eqns:
+            in_dev = [read(v, env_dev) for v in eqn.invars]
+            in_spec = [read(v, env_spec) for v in eqn.invars]
 
-        spec_params = dict(bind_params)
-        if eqn.primitive.name == "pallas_call" and "interpret" in spec_params:
-            spec_params["interpret"] = True
-        with jax.default_device(spec_device):
-            out_spec = eqn.primitive.bind(*subfuns, *in_spec, **spec_params)
+            # custom-differentiation wrappers (planar_matmul's activation
+            # VJP et al.) are TRANSPARENT: descend into the primal jaxpr so
+            # the pallas_call inside still compares per node
+            if eqn.primitive.name in ("custom_vjp_call", "custom_jvp_call",
+                                      "custom_vjp_call_jaxpr"):
+                inner = eqn.params["call_jaxpr"]
+                sub_dev: dict = {}
+                sub_spec: dict = {}
+                for var, const in zip(inner.jaxpr.constvars, inner.consts):
+                    sub_dev[var] = jax.device_put(const, device)
+                    sub_spec[var] = jax.device_put(const, spec_device)
+                for var, dv, sv in zip(inner.jaxpr.invars, in_dev, in_spec):
+                    sub_dev[var] = dv
+                    sub_spec[var] = sv
+                run_eqns(inner.jaxpr.eqns, sub_dev, sub_spec)
+                outs_dev = [read(v, sub_dev) for v in inner.jaxpr.outvars]
+                outs_spec = [read(v, sub_spec) for v in inner.jaxpr.outvars]
+                for var, od, os_ in zip(eqn.outvars, outs_dev, outs_spec):
+                    if type(var).__name__ != "DropVar":
+                        env_dev[var] = od
+                        env_spec[var] = os_
+                continue
 
-        if not eqn.primitive.multiple_results:
-            out_dev, out_spec = [out_dev], [out_spec]
+            subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
 
-        staged.append((i, eqn, out_dev, out_spec))
-        for var, od, os_ in zip(eqn.outvars, out_dev, out_spec):
-            if type(var).__name__ != "DropVar":
-                write(var, od, os_)
+            with jax.default_device(device):
+                out_dev = eqn.primitive.bind(*subfuns, *in_dev, **bind_params)
+
+            spec_params = dict(bind_params)
+            if eqn.primitive.name == "pallas_call" and "interpret" in spec_params:
+                spec_params["interpret"] = True
+            with jax.default_device(spec_device):
+                out_spec = eqn.primitive.bind(*subfuns, *in_spec, **spec_params)
+
+            if not eqn.primitive.multiple_results:
+                out_dev, out_spec = [out_dev], [out_spec]
+
+            staged.append((counter[0], eqn, out_dev, out_spec))
+            counter[0] += 1
+            for var, od, os_ in zip(eqn.outvars, out_dev, out_spec):
+                if type(var).__name__ != "DropVar":
+                    env_dev[var] = od
+                    env_spec[var] = os_
+
+    run_eqns(jaxpr.eqns, env_dev, env_spec)
 
     # phase 2: one batched fetch, then per-node comparison
     host_dev = jax.device_get([od for _, _, out_dev, _ in staged for od in out_dev])
