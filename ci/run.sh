@@ -53,9 +53,14 @@ if [ "${CI_TPU:-0}" = "1" ]; then
   CI_BENCH_GATE=1 BENCH=batch python bench.py
   CI_BENCH_GATE=1 BENCH=batch BENCH_BATCH=8 python bench.py
   CI_BENCH_GATE=1 BENCH=serve python bench.py
+  CI_BENCH_GATE=1 BENCH=serve_long python bench.py
+  CI_BENCH_GATE=1 BENCH=serve_paged python bench.py
+  CI_BENCH_GATE=1 BENCH=spec python bench.py
+  CI_BENCH_GATE=1 BENCH=spec_serve python bench.py
   CI_BENCH_GATE=1 BENCH=moe python bench.py
   CI_BENCH_GATE=1 BENCH=mla python bench.py
   CI_BENCH_GATE=1 BENCH=train python bench.py
+  CI_BENCH_GATE=1 BENCH=qlora python bench.py
 
   echo "== stage 4c: per-op perf snapshot + floors (OP_PERF.json vs OP_PERF_FLOOR.json) =="
   python tools/op_perf.py --json --gate
