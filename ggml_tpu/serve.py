@@ -76,6 +76,11 @@ def _recurrent_engine_forward(fwd):
     return adapted
 
 
+# rounds per pipelined greedy speculative stretch: one dispatch + one fetch
+# covers R draft+verify rounds (window margin reserves R*(draft_k+1) rows)
+SPEC_STRETCH = 4
+
+
 class Engine:
     """model: object exposing params, cfg, and a forward(params, cfg, tokens,
     pos_start, cache, cache_len) supporting per-row cache_len vectors
@@ -344,6 +349,7 @@ class Engine:
         while self._hb * 2 <= self.tick_horizon:
             self._hb *= 2
         self._prefill_batch_cache = {}  # per-tb compiled multi-slot prefill
+        self._draft_prefill_batch_cache = {}  # per-tb batched draft prefill
 
         self.sampler = dict(sampler) if sampler else None
         self._key = jax.random.PRNGKey(seed)
@@ -469,6 +475,7 @@ class Engine:
                     else phi3.forward if isinstance(draft, phi3.Phi3)
                     else gemma2.forward if isinstance(draft, gemma2.Gemma2)
                     else gpt2.forward)
+            self._draft_fwd = dfwd
             dcfg = draft.cfg
             d_kv = getattr(dcfg, "n_head_kv", dcfg.n_head)
             self.draft_cache = init_layer_cache(
@@ -507,6 +514,44 @@ class Engine:
                 return drafts, greedy, cache, dc
 
             self._spec_tick = jax.jit(spec_tick, donate_argnums=(2, 3))
+
+            # pipelined GREEDY spec stretch: R draft+verify rounds with the
+            # accept rule computed IN-scan — one dispatch + one fetch per R
+            # rounds instead of a host round trip per round (the relay trip
+            # costs more than the verify itself; measured 42-128 tok/s of
+            # pure drift on the per-tick path).  Device state advances
+            # optimistically (EOS unknowable on device); the host consumes
+            # blocks with the real stop rules and re-passes corrected
+            # n_past next stretch — junk rows past it are position-masked.
+            def spec_stretch(params, dparams, cache, dcache, tokens, n_past,
+                             active):
+                kk1 = kk + 1
+
+                def body(carry, _):
+                    cache, dcache, tok, np_ = carry
+                    drafts, greedy, cache, dcache = spec_tick(
+                        params, dparams, cache, dcache, tok, np_, active)
+                    match = drafts == greedy[:, :kk]
+                    ext = jnp.concatenate(
+                        [match, jnp.zeros((match.shape[0], 1), bool)], 1)
+                    n_acc = jnp.argmin(ext, axis=1).astype(jnp.int32)
+                    correction = jnp.take_along_axis(
+                        greedy, n_acc[:, None], 1)[:, 0]
+                    block = jnp.concatenate(
+                        [drafts, jnp.zeros((drafts.shape[0], 1), jnp.int32)], 1)
+                    block = jnp.where(
+                        jnp.arange(kk1)[None, :] == n_acc[:, None],
+                        correction[:, None], block)
+                    np_ = np_ + jnp.where(active, n_acc + 1, 0)
+                    tok = jnp.where(active, correction, tok[:, 0])[:, None]
+                    return (cache, dcache, tok, np_), (block, n_acc)
+
+                (cache, dcache, _, _), (blocks, n_accs) = jax.lax.scan(
+                    body, (cache, dcache, tokens, n_past), None,
+                    length=SPEC_STRETCH)
+                return blocks, n_accs, cache, dcache
+
+            self._spec_stretch = jax.jit(spec_stretch, donate_argnums=(2, 3))
 
             def spec_tick_sampled(params, dparams, cache, dcache, tokens, n_past,
                                   active, key):
@@ -1240,8 +1285,11 @@ class Engine:
         # rates); everything with per-slot state (snapshots, forks, paged
         # pools, draft mirrors, sharded caches, exact-length recurrent
         # prefills) keeps the per-request path.
+        # draft engines batch too: _prefill_into_slots mirrors the wave with
+        # one batched DRAFT prefill (per-request target+draft prefills were
+        # ~2 relay dispatches each and dominated spec-serve admission)
         batchable_mode = (
-            self.paged is None and self.draft is None
+            self.paged is None
             and self._cache_put_slot is None
             and not (self._recurrent or getattr(self, "_exact_prefill", False)))
         deferred: list[tuple[int, Request, int]] = []
@@ -1368,6 +1416,30 @@ class Engine:
         self.prefill_count += len(group)
         self.cache = self._prefill_batch_cache[tb](
             self.model.params, self.cache, jnp.asarray(toks), jnp.asarray(idx))
+        if self.draft is not None:
+            if tb not in self._draft_prefill_batch_cache:
+                dcfgv = self.draft.cfg
+                from .models.common import init_layer_cache as _ilc
+
+                d_kv = getattr(dcfgv, "n_head_kv", dcfgv.n_head)
+                dfwd = self._draft_fwd
+                mseq, cdt = self.max_seq, self._cache_dtype
+
+                def prefill_draft_slots(dparams, dcache, toks, idx):
+                    slot = _ilc(dcfgv.n_layer, B, d_kv, mseq, dcfgv.head_dim, cdt)
+                    _, slot = dfwd(dparams, dcfgv, toks,
+                                   jnp.zeros((B,), jnp.int32), slot,
+                                   jnp.int32(0), prefill=True)
+                    return jax.tree.map(
+                        lambda big, s: big.at[idx].set(
+                            s.astype(big.dtype), mode="drop"),
+                        dcache, slot)
+
+                self._draft_prefill_batch_cache[tb] = jax.jit(
+                    prefill_draft_slots, donate_argnums=(1,))
+            self.draft_cache = self._draft_prefill_batch_cache[tb](
+                self.draft.params, self.draft_cache, jnp.asarray(toks),
+                jnp.asarray(idx))
         for r, (i, req, t) in enumerate(group):
             # re-decode the true last sequence token for position-exact
             # logits (its cache row gets rewritten identically: k/v depend
@@ -1500,6 +1572,37 @@ class Engine:
                 drafts = np.asarray(drafts)
                 n_accs, corrections = np.asarray(n_accs), np.asarray(corrections)
             else:
+                # pipelined stretch when every live slot has window margin
+                # for SPEC_STRETCH worst-case rounds (R*(k+1) new positions)
+                live = [i for i in range(self.max_batch) if active[i]]
+                worst = SPEC_STRETCH * (kk + 1)
+                if live and all(self.n_past[i] + worst < self._spec_margin
+                                for i in live):
+                    blocks, n_accs, self.cache, self.draft_cache = (
+                        self._spec_stretch(
+                            self.model.params, self.draft.params, self.cache,
+                            self.draft_cache, toks, jnp.asarray(self.n_past),
+                            jnp.asarray(active)))
+                    blocks = np.asarray(blocks)   # (R, B, kk+1)
+                    n_accs = np.asarray(n_accs)   # (R, B)
+                    for r in range(SPEC_STRETCH):
+                        for i, sl in enumerate(self.slots):
+                            if sl is None or sl.done or not active[i]:
+                                continue
+                            for tok in blocks[r, i, : n_accs[r, i] + 1]:
+                                if sl.done:
+                                    break
+                                tok = int(tok)
+                                self.n_past[i] += 1
+                                sl.out.append(tok)
+                                self.cur_tok[i] = tok
+                                if (tok == self.eos_id
+                                        or len(sl.out) >= sl.max_new_tokens
+                                        or self.n_past[i] >= self._spec_margin):
+                                    sl.done = True
+                                if sl.on_token is not None:
+                                    sl.on_token(sl.rid, tok, sl.done)
+                    return
                 drafts, greedy, self.cache, self.draft_cache = self._spec_tick(
                     self.model.params, self.draft.params, self.cache,
                     self.draft_cache, toks, jnp.asarray(self.n_past),
