@@ -403,7 +403,7 @@ def make_paged_decode_scan(step_fn):
     return scan_fn
 
 
-def make_paged_verify_step(model, pcfg: PagedConfig):
+def make_paged_verify_step(model, pcfg: PagedConfig, forward_fn=None):
     """Jitted MULTI-TOKEN paged step — the speculative-verify shape: write
     T = draft_k+1 new KV rows per slot into their pages and evaluate all T
     positions causally in one forward.  Returns step(params, pools,
@@ -412,14 +412,49 @@ def make_paged_verify_step(model, pcfg: PagedConfig):
     rollback: their page rows sit past the slot's accepted length, masked by
     position, and the next tick overwrites the same (page, offset) rows —
     the paged restatement of the dense engine's rollback-free invariant.
-    Llama family only (the speculative target families of serve.py)."""
+    Specialized for llama; EVERY other dense-KV family composes via the
+    generic family-forward adapter (pass forward_fn)."""
     from .models import llama as _llama
 
-    if not isinstance(model, _llama.Llama):
+    if isinstance(model, _llama.Llama):
+        return jax.jit(_make_paged_llama_general(model, pcfg), donate_argnums=(1,))
+    if forward_fn is None:
         raise TypeError(
-            "paged speculative verify currently drives the llama family only"
-        )
-    return jax.jit(_make_paged_llama_general(model, pcfg), donate_argnums=(1,))
+            "paged speculative verify needs forward_fn for non-llama families")
+    return jax.jit(_make_paged_multi_generic(model, pcfg, forward_fn),
+                   donate_argnums=(1,))
+
+
+def _make_paged_multi_generic(model, pcfg: PagedConfig, forward_fn):
+    """Generic MULTI-TOKEN paged step (verify shape), by the same
+    composition as _make_paged_step_generic: gather each layer's window
+    into a dense view, run the family's own forward over the T tokens, then
+    scatter the T freshly written rows back to their pages."""
+    cfg = model.cfg
+
+    def step(params, pools, tokens, lengths, tables, wpages, woffs, active):
+        t = tokens.shape[1]
+        views = tuple(
+            (jax.vmap(lambda tr, p=kp: paged_gather(p, tr))(tables),
+             jax.vmap(lambda tr, p=vp: paged_gather(p, tr))(tables))
+            for kp, vp in pools)
+        logits, new_views = forward_fn(params, cfg, tokens, lengths, views,
+                                       lengths)
+        pick = jax.vmap(
+            lambda c, p: jax.lax.dynamic_slice_in_dim(c, p, t, axis=1))
+        new_pools = []
+        for (kp, vp), (kv, vv) in zip(pools, new_views):
+            krows, vrows = pick(kv, lengths), pick(vv, lengths)  # (B,H,t,D)
+            for j in range(t):  # t is small and static (draft_k+1)
+                kp = paged_write(kp, krows[:, :, j].astype(kp.dtype),
+                                 wpages[:, j], woffs[:, j])
+                vp = paged_write(vp, vrows[:, :, j].astype(vp.dtype),
+                                 wpages[:, j], woffs[:, j])
+            new_pools.append((kp, vp))
+        logits = jnp.where(active[:, None, None], logits, 0.0)
+        return logits, tuple(new_pools)
+
+    return step
 
 
 def _make_paged_llama_general(model, pcfg: PagedConfig):

@@ -466,15 +466,16 @@ class Engine:
         self.draft = draft
         self.draft_k = draft_k
         if draft is not None:
-            if paged is not None and not isinstance(model, llama.Llama):
+            if paged is not None and isinstance(model, deepseek.Deepseek):
                 raise ValueError(
-                    "speculative + paged KV compose for llama-family targets "
-                    "only (the draft side stays dense)")
-            dfwd = (llama.forward if isinstance(draft, llama.Llama)
-                    else gptj.forward if isinstance(draft, gptj.GPTJ)
-                    else phi3.forward if isinstance(draft, phi3.Phi3)
-                    else gemma2.forward if isinstance(draft, gemma2.Gemma2)
-                    else gpt2.forward)
+                    "speculative + paged KV does not compose for MLA targets "
+                    "(asymmetric latent pools need their own verify step)")
+            # the draft's forward is its family module's `forward` (every
+            # model wrapper lives beside one — the same contract the engine
+            # relies on for targets), so ANY dense-KV family drafts
+            import importlib
+
+            dfwd = importlib.import_module(type(draft).__module__).forward
             self._draft_fwd = dfwd
             dcfg = draft.cfg
             d_kv = getattr(dcfg, "n_head_kv", dcfg.n_head)
@@ -615,9 +616,16 @@ class Engine:
             # rows are junk past the accepted length — masked by position
             # and overwritten by the next tick at the same (page, offset).
             if paged is not None:
-                from .paged_kv import _make_paged_llama_general
+                from .paged_kv import (_make_paged_llama_general,
+                                       _make_paged_multi_generic)
 
-                pverify = _make_paged_llama_general(model, paged)
+                # llama keeps its specialized multi-token body; every other
+                # dense-KV family verifies through the generic family-forward
+                # adapter (same composition as the paged decode step)
+                pverify = (_make_paged_llama_general(model, paged)
+                           if isinstance(model, llama.Llama)
+                           else _make_paged_multi_generic(model, paged,
+                                                          self._fwd))
 
                 def spec_tick_paged(params, dparams, pools, dcache, tokens,
                                     n_past, tables, wpages, woffs, active):

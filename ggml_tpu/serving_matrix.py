@@ -38,10 +38,12 @@ def _classes():
     # generic family-forward adapter for every other dense-KV attention
     # family (paged_kv._make_paged_step_generic) — so paged = "not stateful"
     paged_ok = None  # computed as `not stateful` in features_for
-    # speculative draft/verify needs a forward in the engine's draft table
-    # (serve.py dfwd); the q8 KV cache needs dequant-on-read in the family
-    # forward (llama/gptj/gemma2/phi3 KV; deepseek quantizes the MLA LATENT)
-    spec_ok = (llama.Llama, gptj.GPTJ, phi3.Phi3, gemma2.Gemma2)
+    # speculative: the draft forward resolves from the draft's own family
+    # module and the paged verify composes via the generic adapter, so any
+    # non-stateful family speculates; the q8 KV cache needs dequant-on-read
+    # in the family forward (llama/gptj/gemma2/phi3 KV; deepseek quantizes
+    # the MLA LATENT)
+    spec_ok = None  # computed as `not stateful` in features_for
     q8_ok = (llama.Llama, gptj.GPTJ, gemma2.Gemma2, phi3.Phi3,
              deepseek.Deepseek)
     return recurrent, exactish, paged_ok, spec_ok, q8_ok
@@ -50,7 +52,7 @@ def _classes():
 def features_for(model) -> dict[str, bool]:
     """Feature support for a constructed model instance (same predicates the
     Engine constructor enforces)."""
-    recurrent, exactish, _paged_ok, spec_ok, q8_ok = _classes()
+    recurrent, exactish, _paged_ok, _spec_ok, q8_ok = _classes()
     is_rec = isinstance(model, recurrent)
     is_exact = isinstance(model, exactish)
     stateful = is_rec or is_exact
@@ -59,7 +61,7 @@ def features_for(model) -> dict[str, bool]:
         "chunked_prefill": not stateful,
         "paged_kv": not stateful,
         "prefix_cache": not stateful,
-        "speculative": isinstance(model, spec_ok) and not stateful,
+        "speculative": not stateful,
         "q8_kv": isinstance(model, q8_ok),
         "forks": not stateful,
     }
@@ -92,10 +94,10 @@ _KIND_FEATURES = {
              "prefix_cache": True, "speculative": True, "q8_kv": True,
              "forks": True},
     "mla": {"dense": True, "chunked_prefill": True, "paged_kv": True,
-            "prefix_cache": True, "speculative": False, "q8_kv": True,
+            "prefix_cache": True, "speculative": True, "q8_kv": True,
             "forks": True},
     "dense": {"dense": True, "chunked_prefill": True, "paged_kv": True,
-              "prefix_cache": True, "speculative": False, "q8_kv": False,
+              "prefix_cache": True, "speculative": True, "q8_kv": False,
               "forks": True},
     "hybrid": {"dense": True, "chunked_prefill": False, "paged_kv": False,
                "prefix_cache": False, "speculative": False, "q8_kv": False,

@@ -616,8 +616,10 @@ def test_speculative_paged_sampled_deterministic(tiny_model, tmp_path_factory):
     assert all(len(out) == 6 for out in a)
 
 
-def test_speculative_paged_rejects_non_llama_target(tmp_path_factory):
-    """The compose gate: non-llama targets keep the dense-only error."""
+def test_speculative_paged_generic_family_lossless(tmp_path_factory):
+    """Speculative + paged now composes for EVERY dense-KV family through
+    the generic multi-token verify adapter: a gpt2 target with a gpt2 draft
+    over the page pool emits exactly what the plain dense engine does."""
     import transformers as _tr
 
     from ggml_tpu.models.gpt2 import GPT2
@@ -628,11 +630,33 @@ def test_speculative_paged_rejects_non_llama_target(tmp_path_factory):
                          n_layer=1, n_head=2)
     torch.manual_seed(1)
     hf = _tr.GPT2LMHeadModel(cfg).eval()
-    path = tmp_path_factory.mktemp("nospec") / "g.gguf"
+    path = tmp_path_factory.mktemp("specpg") / "g.gguf"
     conv_gpt2(hf.state_dict(), cfg).write(path)
-    m = GPT2.from_gguf(path, max_seq=64, batch=1)
-    draft = GPT2.from_gguf(path, max_seq=64, batch=1)
+    m = GPT2.from_gguf(path, max_seq=64, batch=2)
+    draft = GPT2.from_gguf(path, max_seq=64, batch=2)
+
+    prompts = [[1, 2, 3, 4], [7, 8], [5, 6, 9]]
+    plain = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32)
+    rids = [plain.submit(p, 8) for p in prompts]
+    want = plain.run()
+    spec = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                  draft=draft, draft_k=2,
+                  paged=PagedConfig(n_pages=20, page_size=8, max_pages_per_seq=8))
+    sids = [spec.submit(p, 8) for p in prompts]
+    got = spec.run()
+    for r, s in zip(rids, sids):
+        assert got[s] == want[r], (got[s], want[r])
+
+
+def test_speculative_paged_rejects_mla_target():
+    """MLA targets keep the error (asymmetric latent pools need their own
+    verify step)."""
+    from tests.test_quant_kv_families import _deepseek
+
+    from ggml_tpu.paged_kv import PagedConfig
+
+    m = _deepseek()
     with pytest.raises((ValueError, TypeError)):
-        Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
-               draft=draft, draft_k=2,
-               paged=PagedConfig(n_pages=10, page_size=8, max_pages_per_seq=8))
+        Engine(m, max_batch=2, max_seq=32, cache_dtype=jnp.float32,
+               draft=m, draft_k=2,
+               paged=PagedConfig(n_pages=10, page_size=8, max_pages_per_seq=4))
