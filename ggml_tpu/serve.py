@@ -607,6 +607,35 @@ class Engine:
                 return drafts, n_acc, correction, cache, dc, key
 
             self._spec_tick_sampled = jax.jit(spec_tick_sampled, donate_argnums=(2, 3))
+
+            # pipelined SAMPLED spec stretch (the greedy stretch's sibling):
+            # R rejection-sampling rounds per dispatch; the emitted block is
+            # assembled in-scan exactly as the host loop would
+            def spec_stretch_sampled(params, dparams, cache, dcache, tokens,
+                                     n_past, active, key):
+                kk1 = kk + 1
+
+                def body(carry, _):
+                    cache, dcache, tok, np_, key = carry
+                    (drafts, n_acc, correction, cache, dcache, key) = (
+                        spec_tick_sampled(params, dparams, cache, dcache,
+                                          tok, np_, active, key))
+                    block = jnp.concatenate(
+                        [drafts, jnp.zeros((drafts.shape[0], 1), jnp.int32)], 1)
+                    block = jnp.where(
+                        jnp.arange(kk1)[None, :] == n_acc[:, None],
+                        correction[:, None], block)
+                    np_ = np_ + jnp.where(active, n_acc + 1, 0)
+                    tok = jnp.where(active, correction, tok[:, 0])[:, None]
+                    return (cache, dcache, tok, np_, key), (block, n_acc)
+
+                (cache, dcache, _, _, key), (blocks, n_accs) = jax.lax.scan(
+                    body, (cache, dcache, tokens, n_past, key), None,
+                    length=SPEC_STRETCH)
+                return blocks, n_accs, cache, dcache, key
+
+            self._spec_stretch_sampled = jax.jit(
+                spec_stretch_sampled, donate_argnums=(2, 3))
             self._draft_prefill = jax.jit(
                 lambda dp, dc, toks: dfwd(dp, dcfg, toks, jnp.zeros((toks.shape[0],), jnp.int32), dc, jnp.int32(0), prefill=True)[1]
             )
@@ -806,6 +835,29 @@ class Engine:
         return results
 
     # -- internals ----------------------------------------------------------------
+
+    def _consume_spec_blocks(self, blocks: np.ndarray, n_accs: np.ndarray,
+                             active) -> None:
+        """Apply a fetched speculative stretch — blocks (R, B, kk+1) with
+        each round's accepted drafts + correction, n_accs (R, B) — with the
+        real EOS/budget/window stops (the device ran optimistically)."""
+        for r in range(blocks.shape[0]):
+            for i, sl in enumerate(self.slots):
+                if sl is None or sl.done or not active[i]:
+                    continue
+                for tok in blocks[r, i, : n_accs[r, i] + 1]:
+                    if sl.done:
+                        break
+                    tok = int(tok)
+                    self.n_past[i] += 1
+                    sl.out.append(tok)
+                    self.cur_tok[i] = tok
+                    if (tok == self.eos_id
+                            or len(sl.out) >= sl.max_new_tokens
+                            or self.n_past[i] >= self._spec_margin):
+                        sl.done = True
+                    if sl.on_token is not None:
+                        sl.on_token(sl.rid, tok, sl.done)
 
     def _slot_budget(self) -> np.ndarray:
         """(B,) remaining token budget per slot (0 for empty/done slots) —
@@ -1570,6 +1622,20 @@ class Engine:
                             jnp.asarray(self.n_past), *pargs))
                     drafts, greedy = np.asarray(drafts), np.asarray(greedy)
             elif self.sampler is not None:
+                # pipelined sampled stretch under the same margin rule as
+                # the greedy one (R rejection-sampling rounds per dispatch)
+                live = [i for i in range(self.max_batch) if active[i]]
+                worst = SPEC_STRETCH * (kk + 1)
+                if live and all(self.n_past[i] + worst < self._spec_margin
+                                for i in live):
+                    (blocks, n_accs, self.cache, self.draft_cache,
+                     self._key) = self._spec_stretch_sampled(
+                        self.model.params, self.draft.params, self.cache,
+                        self.draft_cache, toks, jnp.asarray(self.n_past),
+                        jnp.asarray(active), self._key)
+                    self._consume_spec_blocks(np.asarray(blocks),
+                                              np.asarray(n_accs), active)
+                    return
                 drafts, n_accs, corrections, self.cache, self.draft_cache, self._key = (
                     self._spec_tick_sampled(
                         self.model.params, self.draft.params, self.cache,
@@ -1591,25 +1657,8 @@ class Engine:
                             self.model.params, self.draft.params, self.cache,
                             self.draft_cache, toks, jnp.asarray(self.n_past),
                             jnp.asarray(active)))
-                    blocks = np.asarray(blocks)   # (R, B, kk+1)
-                    n_accs = np.asarray(n_accs)   # (R, B)
-                    for r in range(SPEC_STRETCH):
-                        for i, sl in enumerate(self.slots):
-                            if sl is None or sl.done or not active[i]:
-                                continue
-                            for tok in blocks[r, i, : n_accs[r, i] + 1]:
-                                if sl.done:
-                                    break
-                                tok = int(tok)
-                                self.n_past[i] += 1
-                                sl.out.append(tok)
-                                self.cur_tok[i] = tok
-                                if (tok == self.eos_id
-                                        or len(sl.out) >= sl.max_new_tokens
-                                        or self.n_past[i] >= self._spec_margin):
-                                    sl.done = True
-                                if sl.on_token is not None:
-                                    sl.on_token(sl.rid, tok, sl.done)
+                    self._consume_spec_blocks(np.asarray(blocks),
+                                              np.asarray(n_accs), active)
                     return
                 drafts, greedy, self.cache, self.draft_cache = self._spec_tick(
                     self.model.params, self.draft.params, self.cache,
