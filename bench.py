@@ -933,8 +933,13 @@ def bench_spec_serve():
                  max_seq=256, batch=slots)
 
     rng = np.random.default_rng(0)
+    # BENCH_SPEC_SAMPLED=1: rejection-sampling ticks (the sampled stretch)
+    # instead of greedy — same machinery ceiling question, warped-target math
+    sampled = os.environ.get("BENCH_SPEC_SAMPLED", "0") == "1"
     eng = Engine(m, max_batch=slots, max_seq=256, cache_dtype=jnp.bfloat16,
-                 draft=draft, draft_k=k)
+                 draft=draft, draft_k=k,
+                 sampler=({"temperature": 0.7, "top_k": 40, "top_p": 0.95}
+                          if sampled else None))
     prompts = [rng.integers(0, cfg.n_vocab, int(rng.integers(4, 30))).tolist()
                for _ in range(n_req)]
     for _ in range(2):  # warm passes: full workload (relay compiles are minutes)
@@ -950,13 +955,16 @@ def bench_spec_serve():
     tot = sum(len(v) for v in res.values())
     agg = tot / dt
     print(json.dumps({
-        "metric": f"spec_serve_gptj_{scale}_q4k_agg_tokens_per_sec_slots{slots}",
+        "metric": (f"spec_serve_sampled_gptj_{scale}_q4k_agg_tokens_per_sec_slots{slots}"
+                   if sampled else
+                   f"spec_serve_gptj_{scale}_q4k_agg_tokens_per_sec_slots{slots}"),
         "value": round(agg, 2), "unit": "tokens/s",
         "vs_baseline": round(agg / (1000.0 / 124.62), 3),
     }))
     print(f"# k={k}, draft={n_draft} layers, {n_req} req x {max_new} toks, "
           f"{slots} slots: {tot} tokens in {dt:.2f}s", file=sys.stderr)
-    _check_floor(f"spec_serve_gptj_{scale}_q4k_agg_tokens_per_sec_slots{slots}", agg)
+    _check_floor(("spec_serve_sampled_" if sampled else "spec_serve_")
+                 + f"gptj_{scale}_q4k_agg_tokens_per_sec_slots{slots}", agg)
 
 
 def bench_serve_long():
