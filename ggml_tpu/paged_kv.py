@@ -344,7 +344,14 @@ def _make_paged_step_generic(model, pcfg: PagedConfig, forward_fn):
     the same traffic the hand-specialized steps pay; the extra dense-row
     write+read per layer is noise.  llama.cpp hand-builds paged attention
     into every per-arch graph (src/llama-kv-cache); here the family forward
-    is reused verbatim."""
+    is reused verbatim.
+
+    Memory caveat: the views for ALL layers are materialized before the
+    forward runs, so peak HBM on this path can approach pools + one dense
+    cache copy (the hand-specialized steps effectively gather per layer).
+    Fine for the generic families this serves; a 6B-class model at large
+    windows should use a specialized step (llama/gptj/gemma2/phi3/deepseek
+    have them)."""
     cfg = model.cfg
 
     def step(params, pools, tokens, lengths, tables, wpage, woff, active):

@@ -1477,29 +1477,7 @@ class Engine:
         self.cache = self._prefill_batch_cache[tb](
             self.model.params, self.cache, jnp.asarray(toks), jnp.asarray(idx))
         if self.draft is not None:
-            if tb not in self._draft_prefill_batch_cache:
-                dcfgv = self.draft.cfg
-                from .models.common import init_layer_cache as _ilc
-
-                d_kv = getattr(dcfgv, "n_head_kv", dcfgv.n_head)
-                dfwd = self._draft_fwd
-                mseq, cdt = self.max_seq, self._cache_dtype
-
-                def prefill_draft_slots(dparams, dcache, toks, idx):
-                    slot = _ilc(dcfgv.n_layer, B, d_kv, mseq, dcfgv.head_dim, cdt)
-                    _, slot = dfwd(dparams, dcfgv, toks,
-                                   jnp.zeros((B,), jnp.int32), slot,
-                                   jnp.int32(0), prefill=True)
-                    return jax.tree.map(
-                        lambda big, s: big.at[idx].set(
-                            s.astype(big.dtype), mode="drop"),
-                        dcache, slot)
-
-                self._draft_prefill_batch_cache[tb] = jax.jit(
-                    prefill_draft_slots, donate_argnums=(1,))
-            self.draft_cache = self._draft_prefill_batch_cache[tb](
-                self.draft.params, self.draft_cache, jnp.asarray(toks),
-                jnp.asarray(idx))
+            self._batched_draft_prefill(toks, idx, tb)
         for r, (i, req, t) in enumerate(group):
             # re-decode the true last sequence token for position-exact
             # logits (its cache row gets rewritten identically: k/v depend
@@ -1558,10 +1536,50 @@ class Engine:
         self.cache = self._chunk_scatter(self.cache, slot_cache,
                                          jnp.asarray(idx))
         self.prefill_count += len(group)
+        if self.draft is not None:
+            # mirror the wave into the DRAFT cache (one batched prefill over
+            # the C-rounded width) — without this the draft would decode
+            # against stale/zero KV and speculative acceptance silently
+            # degrades to ~chance
+            tb = -(-maxt // C) * C
+            dtoks = np.zeros((B, tb), np.int32)
+            for r, (i, req, t) in enumerate(group):
+                dtoks[r, :t] = req.seq
+            self._batched_draft_prefill(dtoks, idx, tb)
         for r, (i, req, t) in enumerate(group):
             # same position-exact re-decode contract as _prefill_into_slots
             self.n_past[i] = t - 1
             self.cur_tok[i] = int(req.seq[-1])
+
+    def _batched_draft_prefill(self, toks: np.ndarray, idx: np.ndarray,
+                               tb: int) -> None:
+        """One batched draft-cache prefill for an admission wave: (B, tb)
+        prompts over a fresh multi-slot draft cache, scattered into
+        self.draft_cache at the wave's slot indices (compiled per tb)."""
+        B = self.max_batch
+        if tb not in self._draft_prefill_batch_cache:
+            dcfgv = self.draft.cfg
+            from .models.common import init_layer_cache as _ilc
+
+            d_kv = getattr(dcfgv, "n_head_kv", dcfgv.n_head)
+            dfwd = self._draft_fwd
+            mseq, cdt = self.max_seq, self._cache_dtype
+
+            def prefill_draft_slots(dparams, dcache, toks, idx):
+                slot = _ilc(dcfgv.n_layer, B, d_kv, mseq, dcfgv.head_dim, cdt)
+                _, slot = dfwd(dparams, dcfgv, toks,
+                               jnp.zeros((B,), jnp.int32), slot,
+                               jnp.int32(0), prefill=True)
+                return jax.tree.map(
+                    lambda big, s: big.at[idx].set(
+                        s.astype(big.dtype), mode="drop"),
+                    dcache, slot)
+
+            self._draft_prefill_batch_cache[tb] = jax.jit(
+                prefill_draft_slots, donate_argnums=(1,))
+        self.draft_cache = self._draft_prefill_batch_cache[tb](
+            self.draft.params, self.draft_cache, jnp.asarray(toks),
+            jnp.asarray(idx))
 
     def _evict_for_pages(self, need_slot: int) -> bool:
         """Free pages by preempting the lowest-priority OTHER running slot

@@ -648,6 +648,40 @@ def test_speculative_paged_generic_family_lossless(tmp_path_factory):
         assert got[s] == want[r], (got[s], want[r])
 
 
+def test_chunked_admission_mirrors_draft_cache(tiny_model, tmp_path_factory):
+    """Batched CHUNKED admission must prefill the DRAFT cache too: the
+    draft mirror going stale would not corrupt output (verify is exact) but
+    silently collapses acceptance to ~chance — so this gates the cache
+    CONTENTS, not the tokens.  Regression test for the batchable_mode
+    widening that routed draft engines through _prefill_into_slots_chunked."""
+    m = tiny_model
+    draft = Llama(m.params, m.cfg, max_seq=64, batch=2)
+    eng = Engine(m, max_batch=2, max_seq=64, cache_dtype=jnp.float32,
+                 draft=draft, draft_k=2, prefill_chunk=8)
+    prompt = [1, 2, 3, 4, 5, 6]
+    eng.submit(prompt, 4)
+    eng._admit(bucket=32)
+    slot = next(i for i, s in enumerate(eng.slots) if s is not None)
+
+    # reference: a direct dense prefill of the draft over the same prompt
+    from ggml_tpu.models import llama as fam
+    from ggml_tpu.models.common import init_layer_cache
+
+    ref_cache = init_layer_cache(m.cfg.n_layer, 1,
+                                 getattr(m.cfg, "n_head_kv", m.cfg.n_head),
+                                 64, m.cfg.head_dim, jnp.float32)
+    t = len(prompt)
+    _, ref_cache = fam.forward(
+        draft.params, draft.cfg,
+        jnp.asarray(np.asarray(prompt, np.int32)[None, :]),
+        jnp.zeros((1,), jnp.int32), ref_cache, jnp.int32(0), prefill=True)
+    for li in range(m.cfg.n_layer):
+        for side in (0, 1):
+            got = np.asarray(eng.draft_cache[li][side][slot, :, :t, :])
+            want = np.asarray(ref_cache[li][side][0, :, :t, :])
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_speculative_paged_rejects_mla_target():
     """MLA targets keep the error (asymmetric latent pools need their own
     verify step)."""

@@ -275,7 +275,12 @@ def quant_cases():
 
     for t in (GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K,
               GGMLType.IQ4_NL, GGMLType.IQ4_XS):
-        raw = R.quantize(w, t).reshape(n, -1)
+        from ggml_tpu.native import fast_quantize
+
+        # fast_quantize: byte-identical native path when built — the NumPy
+        # IQ4 spec alone would cost ~2x16MB of slow-spec time just to seed
+        # the dequant/repack cases below
+        raw = np.asarray(fast_quantize(w, t)).reshape(n, -1)
         if t not in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):  # numpy iq4 is the
             yield (f"quantize {t.name} 1024x4096",       # slow spec; skip
                    lambda t=t: R.quantize(w, t), nbytes)
