@@ -1225,7 +1225,31 @@ static int iq_best_neighbour(const IQLattice& la, int64_t u, const float* xval,
         const __m256 xv = _mm256_loadu_ps(xval);
         const __m256 wv = _mm256_loadu_ps(waux);
         const __m256 sc = _mm256_set1_ps(scale);
-        for (int32_t n = lo; n < hi; ++n) {
+        // two candidates in flight: each acc is a strictly sequential
+        // 8-add chain (exactness), but the two chains are independent, so
+        // interleaving hides most of the ~24-cycle latency; the compares
+        // stay in candidate order (first-minimum semantics)
+        int32_t n = lo;
+        for (; n + 2 <= hi; n += 2) {
+            int g0 = la.ndata[n], g1 = la.ndata[n + 1];
+            __m256 q0 = _mm256_loadu_ps(&la.posf[(size_t)g0 * 8]);
+            __m256 q1 = _mm256_loadu_ps(&la.posf[(size_t)g1 * 8]);
+            __m256 d0 = _mm256_sub_ps(_mm256_mul_ps(sc, q0), xv);
+            __m256 d1 = _mm256_sub_ps(_mm256_mul_ps(sc, q1), xv);
+            __m256 p0 = _mm256_mul_ps(_mm256_mul_ps(wv, d0), d0);
+            __m256 p1 = _mm256_mul_ps(_mm256_mul_ps(wv, d1), d1);
+            float prod0[8], prod1[8];
+            _mm256_storeu_ps(prod0, p0);
+            _mm256_storeu_ps(prod1, p1);
+            float a0 = 0.0f, a1 = 0.0f;
+            for (int i = 0; i < 8; ++i) {
+                a0 = a0 + prod0[i];
+                a1 = a1 + prod1[i];
+            }
+            if (a0 < bestd) { bestd = a0; best = g0; }
+            if (a1 < bestd) { bestd = a1; best = g1; }
+        }
+        for (; n < hi; ++n) {
             int g = la.ndata[n];
             __m256 q = _mm256_loadu_ps(&la.posf[(size_t)g * 8]);
             __m256 d = _mm256_sub_ps(_mm256_mul_ps(sc, q), xv);
@@ -1242,7 +1266,27 @@ static int iq_best_neighbour(const IQLattice& la, int64_t u, const float* xval,
         const __m128 xv = _mm_loadu_ps(xval);
         const __m128 wv = _mm_loadu_ps(waux);
         const __m128 sc = _mm_set1_ps(scale);
-        for (int32_t n = lo; n < hi; ++n) {
+        int32_t n = lo;
+        for (; n + 2 <= hi; n += 2) {
+            int g0 = la.ndata[n], g1 = la.ndata[n + 1];
+            __m128 q0 = _mm_loadu_ps(&la.posf[(size_t)g0 * 4]);
+            __m128 q1 = _mm_loadu_ps(&la.posf[(size_t)g1 * 4]);
+            __m128 d0 = _mm_sub_ps(_mm_mul_ps(sc, q0), xv);
+            __m128 d1 = _mm_sub_ps(_mm_mul_ps(sc, q1), xv);
+            __m128 p0 = _mm_mul_ps(_mm_mul_ps(wv, d0), d0);
+            __m128 p1 = _mm_mul_ps(_mm_mul_ps(wv, d1), d1);
+            float prod0[4], prod1[4];
+            _mm_storeu_ps(prod0, p0);
+            _mm_storeu_ps(prod1, p1);
+            float a0 = 0.0f, a1 = 0.0f;
+            for (int i = 0; i < 4; ++i) {
+                a0 = a0 + prod0[i];
+                a1 = a1 + prod1[i];
+            }
+            if (a0 < bestd) { bestd = a0; best = g0; }
+            if (a1 < bestd) { bestd = a1; best = g1; }
+        }
+        for (; n < hi; ++n) {
             int g = la.ndata[n];
             __m128 q = _mm_loadu_ps(&la.posf[(size_t)g * 4]);
             __m128 d = _mm_sub_ps(_mm_mul_ps(sc, q), xv);
@@ -1847,6 +1891,52 @@ static int iq1_best_neighbour(const IQLattice& la, int64_t u, const float* xb,
     int32_t lo = la.noff[u], hi = la.noff[u + 1];
     int best = la.ndata[lo];
     float bestd = INFINITY;
+#if defined(__AVX2__)
+    {
+        // q = xg[code] via an 8-slot permute LUT (codes are 0..2); the
+        // per-candidate accumulation stays a strictly sequential 8-add
+        // chain, two independent chains in flight (exact values unchanged)
+        const __m256 xgv = _mm256_setr_ps(xg[0], xg[1], xg[2], 0, 0, 0, 0, 0);
+        const __m256 xv = _mm256_loadu_ps(xb);
+        const __m256 wv = _mm256_loadu_ps(w);
+        const __m256 sc = _mm256_set1_ps(scale);
+        int32_t n = lo;
+        for (; n + 2 <= hi; n += 2) {
+            int g0 = la.ndata[n], g1 = la.ndata[n + 1];
+            __m256i c0 = _mm256_cvtepi8_epi32(
+                _mm_loadl_epi64((const __m128i*)&la.L[(size_t)g0 * 8]));
+            __m256i c1 = _mm256_cvtepi8_epi32(
+                _mm_loadl_epi64((const __m128i*)&la.L[(size_t)g1 * 8]));
+            __m256 q0 = _mm256_permutevar8x32_ps(xgv, c0);
+            __m256 q1 = _mm256_permutevar8x32_ps(xgv, c1);
+            __m256 d0 = _mm256_sub_ps(_mm256_mul_ps(sc, q0), xv);
+            __m256 d1 = _mm256_sub_ps(_mm256_mul_ps(sc, q1), xv);
+            __m256 p0 = _mm256_mul_ps(_mm256_mul_ps(wv, d0), d0);
+            __m256 p1 = _mm256_mul_ps(_mm256_mul_ps(wv, d1), d1);
+            float prod0[8], prod1[8];
+            _mm256_storeu_ps(prod0, p0);
+            _mm256_storeu_ps(prod1, p1);
+            float a0 = 0.0f, a1 = 0.0f;
+            for (int i = 0; i < 8; ++i) {
+                a0 = a0 + prod0[i];
+                a1 = a1 + prod1[i];
+            }
+            if (a0 < bestd) { bestd = a0; best = g0; }
+            if (a1 < bestd) { bestd = a1; best = g1; }
+        }
+        for (; n < hi; ++n) {
+            int g = la.ndata[n];
+            float acc = 0.0f;
+            for (int i = 0; i < 8; ++i) {
+                float q = xg[la.L[g * 8 + i]];
+                float diff = scale * q - xb[i];
+                acc = acc + (w[i] * diff) * diff;
+            }
+            if (acc < bestd) { bestd = acc; best = g; }
+        }
+        return best;
+    }
+#endif
     for (int32_t n = lo; n < hi; ++n) {
         int g = la.ndata[n];
         float acc = 0.0f;
