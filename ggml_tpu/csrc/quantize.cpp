@@ -2121,6 +2121,37 @@ static void quant_iq1_m_block(const float* x, const float* qw, uint8_t* out) {
         float best = -FLT_MIN_F;
         float scale = maxv;
         int bi1 = 0, bi2 = 0, bk = 0;
+#if defined(__AVX2__)
+        // vectorize the 4 k-variants across SSE lanes: each lane keeps the
+        // spec's j-sequential fp32 accumulation (byte-identical); only the
+        // 4 independent chains run together.  qk per (half, seg) lane
+        // vector is one of 6 precomputed constants.
+        __m128 qtab[2][3];
+        for (int seg = 0; seg < 3; ++seg) {
+            qtab[0][seg] = _mm_setr_ps(x_p[seg], x_p[seg], x_m[seg], x_m[seg]);
+            qtab[1][seg] = _mm_setr_ps(x_p[seg], x_m[seg], x_p[seg], x_m[seg]);
+        }
+        for (int i1 = 0; i1 <= bs; ++i1)
+            for (int i2 = i1; i2 <= bs; ++i2) {
+                __m128 sqx4 = _mm_setzero_ps(), sq24 = _mm_setzero_ps();
+                for (int j = 0; j < bs; ++j) {
+                    int seg = j < i1 ? 0 : (j < i2 ? 1 : 2);
+                    __m128 q = qtab[order[j] < bs / 2 ? 0 : 1][seg];
+                    __m128 wq = _mm_mul_ps(_mm_set1_ps(ws[j]), q);
+                    sqx4 = _mm_add_ps(sqx4, _mm_mul_ps(wq, _mm_set1_ps(xs[j])));
+                    sq24 = _mm_add_ps(sq24, _mm_mul_ps(wq, q));
+                }
+                float sqx[4], sq2[4];
+                _mm_storeu_ps(sqx, sqx4);
+                _mm_storeu_ps(sq2, sq24);
+                for (int k = 0; k < 4; ++k)
+                    if (sq2[k] > 0.0f && sqx[k] * sqx[k] > best * sq2[k]) {
+                        scale = sqx[k] / sq2[k];
+                        best = scale * sqx[k];
+                        bi1 = i1; bi2 = i2; bk = k;
+                    }
+            }
+#else
         for (int i1 = 0; i1 <= bs; ++i1)
             for (int i2 = i1; i2 <= bs; ++i2) {
                 float sqx[4] = {0, 0, 0, 0}, sq2[4] = {0, 0, 0, 0};
@@ -2142,6 +2173,7 @@ static void quant_iq1_m_block(const float* x, const float* qw, uint8_t* out) {
                         bi1 = i1; bi2 = i2; bk = k;
                     }
             }
+#endif
         int8_t L[16];
         for (int i = 0; i < bs; ++i)
             L[i] = (int8_t)((rank[i] >= bi1 ? 1 : 0) + (rank[i] >= bi2 ? 1 : 0));
